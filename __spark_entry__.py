@@ -1,38 +1,280 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline on sf0.001;
+``queries()`` / ``oracle_sql()`` expose one entry per implemented
+operator from SURVEY.md §2.B plus the training-data operator family
+(dedup, similarity, text analysis, multimodal plumbing).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+from readability_ex_spark.operators import relational as R  # noqa: E402
+from readability_ex_spark.operators import similarity as S  # noqa: E402
+from readability_ex_spark.operators import textops as T  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize a web-page table from sf0.001 documents and
+    run the full readability extraction pipeline (mapInPandas kernel)."""
+    from readability_ex_spark.pipeline import flagship_extract
+
+    return flagship_extract(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # -- relational pipeline operators (SURVEY.md §2.B) --
+        "filter_project": R.q_filter_project,
+        "dedup_latest": R.q_dedup_latest,
+        "agg_counters": R.q_agg_counters,
+        "anti_join_resume": R.q_anti_join_resume,
+        "semi_join": R.q_semi_join,
+        "broadcast_join": R.q_broadcast_join,
+        "topk_docs": R.q_topk_docs,
+        "set_diff": R.q_set_diff,
+        "events_window": R.q_events_window,
+        # -- text analysis / training-data ops --
+        "token_count": T.q_token_count,
+        "quality_score": T.q_quality_score,
+        "lang_id": T.q_lang_id,
+        "fingerprint": T.q_fingerprint,
+        "exact_dedup": T.q_exact_dedup,
+        "minhash_sig": T.q_minhash_sig,
+        "minhash_band_pairs": T.q_minhash_band_pairs,
+        "ngram_jaccard": T.q_ngram_jaccard,
+        "multimodal_meta": T.q_multimodal_meta,
+        # -- similarity search --
+        "ann_bruteforce": S.q_ann_bruteforce,
+        "knn_label_pairs": S.q_knn_label_pairs,
+        "ann_lsh": S.q_ann_lsh,  # rows-only (driver-side hyperplanes)
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    ntoks = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({toks}) END"
+    nstop = "len(regexp_extract_all(text, '\\b(the|a|of|and|to)\\b'))"
+
+    def vote(words: list[str]) -> str:
+        return " + ".join(
+            f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in words
+        )
+
+    sig = lambda i: (
+        "CASE WHEN trim(text) = '' THEN NULL ELSE "
+        f"list_aggregate(list_transform(list_distinct({toks}), "
+        f"t -> md5('{i}|' || t)), 'min') END"
+    )
+
+    return {
+        "filter_project": """
+            SELECT doc_id, md5(text) AS text_md5, n_chars,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes
+            FROM documents WHERE lang = 'en' AND n_chars > 200
+            ORDER BY doc_id
+        """,
+        "dedup_latest": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(o_orderdate AS VARCHAR) AS latest_date
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders)
+            WHERE rn = 1 ORDER BY o_custkey
+        """,
+        "agg_counters": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_rows,
+                   CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   round(avg(l_discount), 6) AS avg_disc
+            FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "anti_join_resume": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+            ORDER BY o_orderkey
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name, c_nationkey
+            FROM customer
+            WHERE c_custkey IN (
+              SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0)
+            ORDER BY c_custkey
+        """,
+        "broadcast_join": """
+            SELECT r_name, count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS sum_acctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "topk_docs": """
+            SELECT doc_id, n_chars, lang FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+        """,
+        "set_diff": """
+            SELECT doc_id FROM documents WHERE lang = 'en'
+            EXCEPT ALL
+            SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars > 300
+            ORDER BY doc_id
+        """,
+        "events_window": """
+            SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "token_count": f"""
+            SELECT doc_id,
+                   CAST({ntoks} AS BIGINT) AS n_tokens,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(list_distinct({toks})) END AS BIGINT)
+                     AS n_distinct_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "quality_score": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST({ntoks} AS BIGINT) AS n_tokens,
+                     CAST({nstop} AS BIGINT) AS n_stopwords
+              FROM documents)
+            SELECT doc_id, n_tokens, n_stopwords,
+                   round(CASE WHEN n_tokens > 0
+                         THEN n_stopwords / CAST(n_tokens AS DOUBLE)
+                         ELSE 0.0 END, 6) AS stopword_ratio,
+                   round(least(n_tokens / 400.0, 1.0) * 0.5 +
+                         (CASE WHEN n_tokens > 0
+                          THEN n_stopwords / CAST(n_tokens AS DOUBLE)
+                          ELSE 0.0 END) * 0.5, 6) AS quality_score
+            FROM t ORDER BY doc_id
+        """,
+        "lang_id": f"""
+            WITH v AS (
+              SELECT doc_id, lang,
+                     {vote(['the', 'and', 'of'])} AS v_en,
+                     {vote(['el', 'la', 'los'])} AS v_es,
+                     {vote(['le', 'les', 'des'])} AS v_fr,
+                     {vote(['der', 'die', 'und'])} AS v_de
+              FROM documents)
+            SELECT doc_id, lang,
+                   CASE
+                     WHEN v_en >= v_es AND v_en >= v_fr AND v_en >= v_de
+                          AND v_en > 0 THEN 'en'
+                     WHEN v_es >= v_fr AND v_es >= v_de AND v_es > 0 THEN 'es'
+                     WHEN v_fr >= v_de AND v_fr > 0 THEN 'fr'
+                     WHEN v_de > 0 THEN 'de'
+                     ELSE 'und' END AS lang_guess
+            FROM v ORDER BY doc_id
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                     AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "exact_dedup": """
+            SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                     AS fingerprint,
+                   min(doc_id) AS canonical_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1 ORDER BY fingerprint
+        """,
+        "minhash_sig": f"""
+            SELECT doc_id, {sig(0)} AS sig0, {sig(1)} AS sig1,
+                   {sig(2)} AS sig2, {sig(3)} AS sig3
+            FROM documents ORDER BY doc_id
+        """,
+        "minhash_band_pairs": f"""
+            WITH s AS (
+              SELECT doc_id, {sig(0)} AS sig0, {sig(1)} AS sig1
+              FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM s a JOIN s b
+              ON a.sig0 = b.sig0 AND a.sig1 = b.sig1 AND a.doc_id < b.doc_id
+            ORDER BY doc_a, doc_b
+        """,
+        "ngram_jaccard": f"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE list_distinct({toks}) END AS toks
+              FROM documents),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     round(CASE
+                       WHEN len(list_distinct(a.toks || b.toks)) > 0
+                       THEN len(list_intersect(a.toks, b.toks)) /
+                            CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE)
+                       ELSE 0.0 END, 6) AS jaccard
+              FROM t a JOIN t b
+                ON a.source = b.source AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, jaccard FROM p
+            WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
+        """,
+        "multimodal_meta": """
+            SELECT doc_id,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   CAST(strlen(text) % 640 + 1 AS BIGINT) AS fake_width,
+                   CAST(strlen(text) % 480 + 1 AS BIGINT) AS fake_height
+            FROM documents ORDER BY doc_id
+        """,
+        "ann_bruteforce": """
+            WITH q AS (
+              SELECT generate_subscripts(embedding, 1) AS i,
+                     unnest(embedding) AS qv
+              FROM embeddings WHERE vec_id = 0),
+            e AS (
+              SELECT vec_id, label,
+                     generate_subscripts(embedding, 1) AS i,
+                     unnest(embedding) AS ev
+              FROM embeddings WHERE vec_id <> 0),
+            d AS (
+              SELECT vec_id, any_value(label) AS label,
+                     sum(CAST(ev AS DOUBLE) * CAST(qv AS DOUBLE)) AS dot,
+                     sum(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS ne,
+                     sum(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS nq
+              FROM e JOIN q USING (i) GROUP BY vec_id)
+            SELECT vec_id, label,
+                   round(dot / (sqrt(ne) * sqrt(nq)), 6) AS cosine
+            FROM d ORDER BY cosine DESC, vec_id ASC LIMIT 5
+        """,
+        "knn_label_pairs": """
+            WITH e AS (
+              SELECT vec_id, label,
+                     generate_subscripts(embedding, 1) AS i,
+                     unnest(embedding) AS v
+              FROM embeddings),
+            d AS (
+              SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot,
+                     sum(CAST(a.v AS DOUBLE) * CAST(a.v AS DOUBLE)) AS na,
+                     sum(CAST(b.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS nb
+              FROM e a JOIN e b
+                ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
+              GROUP BY a.label, a.vec_id, b.vec_id),
+            c AS (
+              SELECT label, vec_a, vec_b,
+                     round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+              FROM d)
+            SELECT label, vec_a, vec_b, cosine FROM c
+            WHERE cosine >= 0.2 ORDER BY label, vec_a, vec_b
+        """,
+        # "ann_lsh": intentionally omitted — bucket ids derive from
+        # driver-side seeded hyperplanes (rows-only check).
+    }

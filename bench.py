@@ -1,0 +1,84 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <docs/sec>, "unit": "docs/sec",
+   "queries": {name: seconds}, "sf": <dir>, ...}
+
+The headline metric is extraction throughput (docs/sec) through the full
+pipeline (synth pages -> dedup -> repartition -> mapInPandas kernel);
+per-query wall times for the relational/training-data operators ride
+along. Scaling-efficiency evidence (local[8] vs local[32]) is produced
+by scripts/bench_scaling.py and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from readability_ex_spark.operators import relational as R
+    from readability_ex_spark.operators import similarity as S
+    from readability_ex_spark.operators import textops as T
+    from readability_ex_spark.pipeline import run_extraction
+    from readability_ex_spark.session import get_spark
+    from readability_ex_spark.sources.pages import synthesize_pages
+
+    spark = get_spark("bench")
+
+    timings: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return n
+
+    # headline: full extraction pipeline
+    pages = synthesize_pages(spark, sf_dir)
+    n_pages = pages.select("url").distinct().count()
+    t0 = time.perf_counter()
+    extracted = run_extraction(pages)
+    n_extracted = extracted.count()
+    extract_sec = time.perf_counter() - t0
+    timings["extract_pipeline"] = round(extract_sec, 3)
+    docs_per_sec = round(n_extracted / extract_sec, 2) if extract_sec > 0 else 0.0
+
+    # relational / training-data operators (count() forces execution)
+    run("agg_counters", lambda: R.q_agg_counters(spark, sf_dir).count())
+    run("dedup_latest", lambda: R.q_dedup_latest(spark, sf_dir).count())
+    run("anti_join_resume", lambda: R.q_anti_join_resume(spark, sf_dir).count())
+    run("broadcast_join", lambda: R.q_broadcast_join(spark, sf_dir).count())
+    run("token_count", lambda: T.q_token_count(spark, sf_dir).count())
+    run("exact_dedup", lambda: T.q_exact_dedup(spark, sf_dir).count())
+    run("minhash_sig", lambda: T.q_minhash_sig(spark, sf_dir).count())
+    run("ann_bruteforce", lambda: S.q_ann_bruteforce(spark, sf_dir).count())
+
+    print(
+        json.dumps(
+            {
+                "metric": "extraction docs/sec (full pipeline, synth pages)",
+                "value": docs_per_sec,
+                "unit": "docs/sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "n_pages": n_pages,
+                "n_extracted": n_extracted,
+                "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,164 @@
+"""parse(html, **opts) — the full extraction pipeline
+(reference: readability_ex.ex:17-124)."""
+
+from __future__ import annotations
+
+import re
+import sys
+from urllib.parse import urljoin
+
+from readability_ex_spark.kernel import cleaner, dom, index, metadata, sieve, title
+from readability_ex_spark.kernel.constants import FLAG_PASSES
+
+DEFAULT_OPTS = {
+    "char_threshold": 500,
+    "base_uri": None,
+    "nb_top_candidates": 5,
+    "preserve_classes": frozenset(["page", "caption", "OPEN", "CLOSE", "ORD"]),
+    "keep_classes": False,
+}
+
+_RE_NUM_ENTITY = re.compile(r"&#x[0-9a-fA-F]+;|&#\d+;")
+
+# Deep real-world DOMs + recursive traversals need headroom beyond the
+# default 1000 frames.
+_MIN_RECURSION_LIMIT = 20000
+
+
+class NotReadable(Exception):
+    pass
+
+
+def parse(html: str | bytes, **opts) -> dict:
+    """Extract the main article. Returns a dict with keys
+    title, content (HTML), text_content, length, excerpt, byline, dir,
+    site_name, lang, published_time.
+
+    Raises NotReadable when no pass produces a candidate.
+    """
+    if sys.getrecursionlimit() < _MIN_RECURSION_LIMIT:
+        sys.setrecursionlimit(_MIN_RECURSION_LIMIT)
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    o = dict(DEFAULT_OPTS)
+    o.update(opts)
+    base_uri = o.get("base_uri") or ""
+
+    doc = dom.parse_document(html)
+    doc = cleaner.unwrap_noscript_images(doc)
+    doc = cleaner.remove_scripts(doc)
+    doc = cleaner.prep_document(doc)
+
+    base_uri, absolute_fragments = _effective_base_uri(doc, base_uri)
+
+    meta = metadata.extract(doc, html)
+    article_title = title.get_article_title(doc, meta)
+
+    nodes, el_ids = index.build(doc)
+
+    result = None
+    attempts = []
+    for flags in FLAG_PASSES:
+        attempt = _run_attempt(
+            nodes, el_ids, meta, article_title, base_uri,
+            absolute_fragments, flags, o,
+        )
+        if attempt is None:
+            continue
+        if attempt["_pass_ok"]:
+            result = attempt
+            break
+        attempts.append(attempt)
+
+    best = result
+    if best is None and attempts:
+        best = max(attempts, key=lambda a: a["length"])
+    if best is None:
+        raise NotReadable("not_readable")
+    best.pop("_pass_ok", None)
+    return best
+
+
+def _run_attempt(
+    nodes, el_ids, meta, article_title, base_uri, absolute_fragments, flags, opts
+):
+    grab = sieve.grab_article(
+        nodes, el_ids, flags, base_uri, absolute_fragments,
+        article_title, opts, meta,
+    )
+    if grab is None:
+        return None
+    text = grab["text"]
+    best_ok = len(text) >= opts["char_threshold"]
+    excerpt = meta.get("excerpt")
+    if excerpt is None or (isinstance(excerpt, str) and excerpt.strip() == ""):
+        excerpt = _first_excerpt(grab["content_html"], text)
+    return {
+        "title": article_title,
+        "content": grab["content_html"],
+        "text_content": text,
+        "length": len(text),
+        "excerpt": _decode_html_entities(excerpt),
+        "byline": meta.get("byline") or grab["byline"],
+        "dir": meta.get("dir") or grab["dir"],
+        "site_name": meta.get("site_name"),
+        "lang": meta.get("lang"),
+        "published_time": meta.get("published_time"),
+        "_pass_ok": best_ok,
+    }
+
+
+def _first_excerpt(content_html: str, text: str) -> str:
+    """First non-empty <p> of the output, text without <br> contributions;
+    else truncated full text (readability_ex.ex:126-144)."""
+    frag = dom.parse_fragment(content_html)
+    for p in dom.find(frag, "p"):
+        if dom.text(p).strip() != "":
+            return _text_no_br(p).strip()
+    text = text.strip()
+    return text if len(text) <= 200 else text[:200]
+
+
+def _text_no_br(node) -> str:
+    if isinstance(node, str):
+        return node
+    if isinstance(node, dom.Element):
+        if node.tag == "br":
+            return ""
+        return "".join(_text_no_br(c) for c in node.children)
+    return ""
+
+
+def _decode_html_entities(text):
+    """Numeric entities only (readability_ex.ex:147-178)."""
+    if text is None:
+        return None
+
+    def repl(m):
+        s = m.group(0)
+        if s[:3].lower() == "&#x":
+            body, base = s[3:-1], 16
+        else:
+            body, base = s[2:-1], 10
+        value = int(body, base)
+        if 0 < value <= 0x10FFFF and not (0xD800 <= value <= 0xDFFF):
+            return chr(value)
+        return "�"
+
+    return _RE_NUM_ENTITY.sub(repl, text)
+
+
+def _effective_base_uri(doc, base_uri):
+    """<base href> merges with base_uri; fragment hrefs become absolute
+    only when a <base> exists (readability_ex.ex:207-222)."""
+    base_href = None
+    for b in dom.find(doc, "base[href]"):
+        base_href = b.attr("href")
+        break
+    if base_href:
+        if base_uri in (None, ""):
+            merged = base_href
+        else:
+            merged = urljoin(base_uri, base_href)
+        return merged, True
+    return base_uri, False

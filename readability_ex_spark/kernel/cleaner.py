@@ -1,0 +1,1408 @@
+"""DOM cleaners: pre-processing (P1-P10) and post-processing (C1-C19).
+
+Faithful re-implementation of /root/reference/lib/readability_ex/cleaner.ex
+over our mutable Element tree. Traversals mirror Floki.traverse_and_update
+(post-order; see dom.traverse_update) unless the reference recurses
+manually (mark_data_tables, clean_conditionally, clean_share_elements —
+those are top-down there and here).
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin, urlsplit
+
+from readability_ex_spark.kernel import dom, metrics
+from readability_ex_spark.kernel.constants import (
+    BLOCK_TAGS,
+    LAZY_SRC_ATTRS,
+    PHRASING_ELEMS,
+    PRESENTATIONAL_ATTRS,
+    RE_AD_WORDS,
+    RE_ALLOWED_VIDEO,
+    RE_LOADING_WORDS,
+    RE_NONWORD,
+    RE_SHARE_ELEMENTS,
+    RE_URLISH_IMAGE,
+)
+from readability_ex_spark.kernel.dom import Comment, Element
+
+RE_WS_ASCII = re.compile(r"\s+", re.A)
+
+
+def _is_ws(s) -> bool:
+    return isinstance(s, str) and s.strip() == ""
+
+
+# ---------------------------------------------------------------------------
+# P1: unwrap_noscript_images (cleaner.ex:48-127)
+# ---------------------------------------------------------------------------
+
+def unwrap_noscript_images(doc: list) -> list:
+    def mark(node):
+        if isinstance(node, Element) and node.tag == "noscript":
+            imgs = dom.find(node, "img")
+            if len(imgs) == 1:
+                return Element(
+                    "noscript", [("data-readability-noscript", "1")], [imgs[0]]
+                )
+        return node
+
+    doc = dom.traverse_update(doc, mark)
+
+    def swap(node):
+        if isinstance(node, Element):
+            node.children = _swap_children(node.children)
+        return node
+
+    return dom.traverse_update(doc, swap)
+
+
+def _swap_children(children: list) -> list:
+    out = []
+    i = 0
+    n = len(children)
+    while i < n:
+        child = children[i]
+        nxt = children[i + 1] if i + 1 < n else None
+        if (
+            isinstance(child, Element)
+            and child.tag == "img"
+            and isinstance(nxt, Element)
+            and nxt.tag == "noscript"
+            and nxt.has_attr("data-readability-noscript")
+            and len(nxt.children) == 1
+            and isinstance(nxt.children[0], Element)
+        ):
+            if _placeholder_img(child):
+                out.append(_merge_img_attrs(nxt.children[0], child.attrs))
+                i += 2
+                continue
+        out.append(child)
+        i += 1
+    return out
+
+
+def _placeholder_img(img: Element) -> bool:
+    src = img.attr("src")
+    if src == "":
+        return True
+    return src.startswith("data:") and len(src.encode("utf-8")) < 133
+
+
+def _merge_img_attrs(ns_img: Element, placeholder_attrs) -> Element:
+    merged = Element("img", list(ns_img.attrs), list(ns_img.children))
+    for k, v in placeholder_attrs:
+        if merged.attr(k) == "" and v != "":
+            merged.set_attr(k, v)
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# P2: remove_scripts (cleaner.ex:130-132)
+# ---------------------------------------------------------------------------
+
+def remove_scripts(doc: list) -> list:
+    def fn(node):
+        if isinstance(node, Element) and node.tag in ("script", "noscript"):
+            return None
+        return node
+
+    return dom.traverse_update(doc, fn)
+
+
+# ---------------------------------------------------------------------------
+# prep_document chain (cleaner.ex:134-144)
+# ---------------------------------------------------------------------------
+
+def prep_document(doc: list) -> list:
+    doc = remove_head_styles(doc)
+    doc = remove_comments(doc)
+    doc = normalize_text_nodes(doc)
+    doc = replace_font_tags(doc)
+    doc = replace_brbr_with_p(doc)
+    doc = remove_redundant_brs(doc)
+    doc = convert_divs_to_paragraphs(doc)
+    doc = fix_lazy_images(doc)
+    return doc
+
+
+def remove_head_styles(doc: list) -> list:  # P3 (cleaner.ex:146-160)
+    def fn(node):
+        if isinstance(node, Element) and node.tag == "head":
+            node.children = [
+                c for c in node.children
+                if not (isinstance(c, Element) and c.tag == "style")
+            ]
+        return node
+
+    return dom.traverse_update(doc, fn)
+
+
+def replace_font_tags(doc: list) -> list:  # P6 (cleaner.ex:162-167)
+    def fn(node):
+        if isinstance(node, Element) and node.tag == "font":
+            node.tag = "span"
+        return node
+
+    return dom.traverse_update(doc, fn)
+
+
+def remove_redundant_brs(doc: list) -> list:  # P8 (cleaner.ex:169-187)
+    def fn(node):
+        if isinstance(node, Element) and node.tag in ("div", "section", "article"):
+            if any(isinstance(c, Element) and c.tag == "p" for c in node.children):
+                node.children = [
+                    c for c in node.children
+                    if not (isinstance(c, Element) and c.tag == "br")
+                ]
+        return node
+
+    return dom.traverse_update(doc, fn)
+
+
+def remove_comments(doc: list) -> list:  # P4 (cleaner.ex:189-195)
+    def fn(node):
+        if isinstance(node, Comment):
+            return ""
+        return node
+
+    return dom.traverse_update(doc, fn)
+
+
+# ---------------------------------------------------------------------------
+# P5: normalize_text_nodes (cleaner.ex:197-258)
+# ---------------------------------------------------------------------------
+
+_RE_END_WS = re.compile(r"\s\Z", re.A)
+_RE_START_WS = re.compile(r"\A\s", re.A)
+_RE_END_ALPHA = re.compile(r"[A-Za-z]\Z")
+_RE_START_DIGIT = re.compile(r"\A[0-9]")
+_RE_START_ALPHA = re.compile(r"\A[A-Za-z]")
+_RE_START_LOWER = re.compile(r"\A[a-z]")
+_RE_END_ALNUM = re.compile(r"[A-Za-z0-9]\Z")
+_RE_START_ALNUM = re.compile(r"\A[A-Za-z0-9]")
+_RE_END_PUNCT = re.compile(r"[!-/:-@\[-`{-~]\Z")  # POSIX [[:punct:]] ASCII
+_RE_ALPHA_CHAR = re.compile(r"[A-Za-z]")
+
+
+def normalize_text_nodes(doc: list) -> list:
+    def fn(node):
+        if isinstance(node, Element):
+            node.children = _merge_text_children(node.children)
+        return node
+
+    return dom.traverse_update(doc, fn)
+
+
+def _merge_text_children(children: list) -> list:
+    out: list = []
+    for child in children:
+        if isinstance(child, str) and out and isinstance(out[-1], str):
+            out[-1] = _join_text(out[-1], child)
+        else:
+            out.append(child)
+    return out
+
+
+def _join_text(prev: str, nxt: str) -> str:
+    if prev == "":
+        return nxt
+    if nxt == "":
+        return prev
+    if _RE_END_WS.search(prev) or _RE_START_WS.search(nxt):
+        return prev + nxt
+    if _RE_END_ALPHA.search(prev) and _RE_START_DIGIT.search(nxt):
+        return prev + nxt
+    if _RE_END_ALPHA.search(prev) and _RE_START_ALPHA.search(nxt):
+        second = nxt[1] if len(nxt) > 1 else None
+        if _RE_START_LOWER.search(nxt) and (
+            len(nxt) == 1 or (second is not None and not _RE_ALPHA_CHAR.match(second))
+        ):
+            return prev + nxt
+        return prev + " " + nxt
+    if _RE_END_ALNUM.search(prev) and _RE_START_ALNUM.search(nxt):
+        return prev + " " + nxt
+    if _RE_END_PUNCT.search(prev) and _RE_START_ALNUM.search(nxt):
+        return prev + " " + nxt
+    return prev + nxt
+
+
+# ---------------------------------------------------------------------------
+# P7: replace_brbr_with_p (cleaner.ex:373-503)
+# ---------------------------------------------------------------------------
+
+def replace_brbr_with_p(doc: list) -> list:
+    def fn(node):
+        if isinstance(node, Element) and _has_double_br(node.children):
+            new_children = _br_children_to_paragraphs(node.children)
+            if node.tag == "p" and any(
+                isinstance(c, Element) and c.tag == "p" for c in new_children
+            ):
+                node.tag = "div"
+            node.children = new_children
+        return node
+
+    return dom.traverse_update(doc, fn)
+
+
+def _is_br(c) -> bool:
+    return isinstance(c, Element) and c.tag == "br"
+
+
+def _has_double_br(children) -> bool:
+    last_br = False
+    for child in children:
+        if _is_br(child):
+            if last_br:
+                return True
+            last_br = True
+        elif _is_ws(child):
+            continue
+        else:
+            last_br = False
+    return False
+
+
+def _br_children_to_paragraphs(children: list) -> list:
+    acc: list = []
+    cur: list = []
+    pending_br = False
+    for child in children:
+        if _is_br(child):
+            if pending_br:
+                acc.extend(_maybe_paragraph(cur))
+                cur = []
+                pending_br = False
+            else:
+                pending_br = True
+        elif isinstance(child, str):
+            if pending_br:
+                if not cur and not child.startswith((" ", "\n", "\t", "\r")):
+                    child = " " + child
+                if cur:
+                    cur.append(Element("br"))
+                cur.append(child)
+                pending_br = False
+            else:
+                cur.append(child)
+        elif isinstance(child, Element) and child.tag in BLOCK_TAGS:
+            if pending_br:
+                cur.append(Element("br"))
+                pending_br = False
+            acc.extend(_maybe_paragraph(cur))
+            acc.append(child)
+            cur = []
+        else:
+            if pending_br:
+                cur.append(Element("br"))
+                pending_br = False
+            cur.append(child)
+    if pending_br:
+        cur.append(Element("br"))
+    acc.extend(_maybe_paragraph(cur))
+    return acc
+
+
+def _maybe_paragraph(children: list) -> list:
+    cleaned = [c for c in children if not (isinstance(c, str) and c.strip() == "")]
+    cleaned = _drop_edge_brs(cleaned)
+    if not cleaned:
+        return []
+    return [Element("p", [], cleaned)]
+
+
+def _drop_edge_brs(children: list) -> list:
+    start = 0
+    end = len(children)
+    while start < end and _is_br(children[start]):
+        start += 1
+    while end > start and _is_br(children[end - 1]):
+        end -= 1
+    return children[start:end]
+
+
+# ---------------------------------------------------------------------------
+# P9: convert_divs_to_paragraphs (cleaner.ex:260-371)
+# ---------------------------------------------------------------------------
+
+def convert_divs_to_paragraphs(doc: list) -> list:
+    def fn(node):
+        if not (isinstance(node, Element) and node.tag == "div"):
+            return node
+        children = _wrap_phrasing_children(node.children)
+        node.children = children
+        p_child = _single_p_child(children)
+        if p_child is not None and metrics.link_density(node) < 0.25:
+            merged = _merge_attrs(list(p_child.attrs), node.attrs)
+            return Element("p", merged, p_child.children)
+        if _single_heading_child(children):
+            node.tag = "p"
+            return node
+        if any(isinstance(c, Element) and c.tag in BLOCK_TAGS for c in children):
+            return node
+        node.tag = "p"
+        return node
+
+    return dom.traverse_update(doc, fn)
+
+
+def _phrasing_content(node) -> bool:
+    """cleaner.ex:1707-1722."""
+    if isinstance(node, str):
+        return True
+    if not isinstance(node, Element):
+        return False
+    if node.tag in PHRASING_ELEMS:
+        return True
+    if node.tag in ("a", "del", "ins"):
+        return all(_phrasing_content(c) for c in node.children)
+    return False
+
+
+def _wrap_phrasing_children(children: list) -> list:
+    acc: list = []
+    cur: list = []
+    for child in children:
+        if isinstance(child, (Comment,)):
+            # comments are neither phrasing nor flush triggers in the
+            # reference (phrasing_content? returns false for them) —
+            # they flush the group like any non-phrasing node
+            acc.extend(_wrap_phrasing_group(cur))
+            acc.append(child)
+            cur = []
+        elif _phrasing_content(child):
+            cur.append(child)
+        else:
+            acc.extend(_wrap_phrasing_group(cur))
+            acc.append(child)
+            cur = []
+    acc.extend(_wrap_phrasing_group(cur))
+    return acc
+
+
+def _wrap_phrasing_group(children: list) -> list:
+    start = 0
+    end = len(children)
+    while start < end and _is_ws(children[start]):
+        start += 1
+    while end > start and _is_ws(children[end - 1]):
+        end -= 1
+    trimmed = children[start:end]
+    if not trimmed:
+        return []
+    return [Element("p", [], trimmed)]
+
+
+def _single_p_child(children: list):
+    elements = [c for c in children if isinstance(c, Element)]
+    if len(elements) == 1 and elements[0].tag == "p":
+        if all(not isinstance(c, str) or c.strip() == "" for c in children):
+            return elements[0]
+    return None
+
+
+def _single_heading_child(children: list) -> bool:
+    elements = [c for c in children if isinstance(c, Element)]
+    return len(elements) == 1 and elements[0].tag in (
+        "h1", "h2", "h3", "h4", "h5", "h6"
+    )
+
+
+def _merge_attrs(child_attrs: list, parent_attrs: list) -> list:
+    """Child wins; parent fills gaps (cleaner.ex:1992-2001)."""
+    acc = list(child_attrs)
+
+    def get(attrs, k):
+        for kk, vv in attrs:
+            if kk == k:
+                return vv
+        return ""
+
+    for k, v in parent_attrs:
+        if get(acc, k) == "" and v != "":
+            replaced = False
+            for i, (kk, _) in enumerate(acc):
+                if kk == k:
+                    acc[i] = (k, v)
+                    replaced = True
+                    break
+            if not replaced:
+                acc.append((k, v))
+    return acc
+
+
+def _merge_attrs_override(child_attrs: list, parent_attrs: list) -> list:
+    """Parent non-empty values override child (cleaner.ex:1608-1617)."""
+    acc = list(child_attrs)
+    for k, v in parent_attrs:
+        if v != "":
+            replaced = False
+            for i, (kk, _) in enumerate(acc):
+                if kk == k:
+                    acc[i] = (k, v)
+                    replaced = True
+                    break
+            if not replaced:
+                acc.append((k, v))
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# P10/C3: fix_lazy_images (cleaner.ex:542-565, 736-788)
+# ---------------------------------------------------------------------------
+
+def fix_lazy_images(doc):
+    def fn(node):
+        if not isinstance(node, Element):
+            return node
+        if node.tag == "img":
+            _promote_lazy_attrs(node)
+            _cleanup_tiny_data_uri(node)
+            return node
+        if node.tag == "figure" and not dom.find(node, "img"):
+            url = _find_any_image_url_in_attrs(node.attrs)
+            if url:
+                node.children.append(Element("img", [("src", url)]))
+        return node
+
+    return dom.traverse_update(doc, fn)
+
+
+def _tiny_data_uri(s: str) -> bool:
+    return s.startswith("data:") and len(s.encode("utf-8")) < 133
+
+
+def _promote_lazy_attrs(img: Element) -> None:
+    src = img.attr("src")
+    if src == "" or _tiny_data_uri(src):
+        for k in LAZY_SRC_ATTRS:
+            v = img.attr(k)
+            if v != "":
+                img.set_attr("src", v)
+                break
+    if img.attr("srcset") == "":
+        for k in ("data-srcset", "data-lazy-srcset", "data-src-set"):
+            v = img.attr(k)
+            if v != "":
+                img.set_attr("srcset", v)
+                break
+
+
+def _cleanup_tiny_data_uri(img: Element) -> None:
+    src = img.attr("src")
+    if _tiny_data_uri(src):
+        if any(k != "src" and RE_URLISH_IMAGE.search(v) for k, v in img.attrs):
+            img.del_attr("src")
+
+
+def _find_any_image_url_in_attrs(attrs) -> str | None:
+    for _k, v in attrs:
+        if RE_URLISH_IMAGE.search(v):
+            return v
+    return None
+
+
+# ---------------------------------------------------------------------------
+# C1: clean_styles (cleaner.ex:567-593)
+# ---------------------------------------------------------------------------
+
+def clean_styles(node):
+    if node is None or not isinstance(node, Element):
+        return node
+    if node.tag == "svg":
+        return node
+    node.attrs = [(k, v) for k, v in node.attrs if k not in PRESENTATIONAL_ATTRS]
+    if node.tag in ("table", "th", "td", "hr", "pre"):
+        node.del_attr("width")
+        node.del_attr("height")
+    for c in node.children:
+        clean_styles(c)
+    return node
+
+
+# ---------------------------------------------------------------------------
+# C2: mark_data_tables (cleaner.ex:595-734)
+# ---------------------------------------------------------------------------
+
+def mark_data_tables(root):
+    return _mark_node(root, False, False)
+
+
+def _mark_node(node, inside_data_table: bool, inside_table: bool):
+    if not isinstance(node, Element):
+        return node
+    tag = node.tag
+    is_table = tag == "table"
+    data_table = is_table and _is_data_table(node)
+    if data_table:
+        node.set_attr("data-readability-datatable", "1")
+    elif is_table:
+        node.set_attr("data-readability-datatable", "0")
+    if inside_data_table:
+        node.set_attr("data-readability-inside-datatable", "1")
+    if inside_table:
+        node.set_attr("data-readability-inside-table", "1")
+    for c in node.children:
+        _mark_node(c, inside_data_table or data_table, inside_table or is_table)
+    return node
+
+
+def _is_data_table(node: Element) -> bool:
+    role = node.attr("role")
+    if role == "presentation":
+        return False
+    if node.attr("datatable") == "0":
+        return False
+    if node.attr("summary") != "":
+        return True
+    if _has_caption(node.children):
+        return True
+    if dom.find(node, "col,colgroup,tfoot,thead,th"):
+        return True
+    if dom.find(node, "table table"):
+        return False
+    size = _row_and_column_count(node)
+    if size["columns"] == 1 or size["rows"] == 1:
+        return False
+    if size["rows"] >= 10 or size["columns"] > 4:
+        return True
+    return size["rows"] * size["columns"] > 10
+
+
+def _has_caption(children) -> bool:
+    for c in children:
+        if isinstance(c, Element) and c.tag == "caption":
+            for cc in c.children:
+                if isinstance(cc, str):
+                    if cc.strip() != "":
+                        return True
+                elif isinstance(cc, Element):
+                    return True
+    return False
+
+
+def _row_and_column_count(node: Element) -> dict:
+    rows = 0
+    columns = 0
+    for row in dom.find(node, "tr"):
+        rowspan = _parse_int(row.attr("rowspan"), 0)
+        rows += max(rowspan, 1)
+        cols_in_row = 0
+        for cell in dom.find(row, "td"):
+            colspan = _parse_int(cell.attr("colspan"), 0)
+            cols_in_row += max(colspan, 1)
+        columns = max(columns, cols_in_row)
+    return {"rows": rows, "columns": columns}
+
+
+def _parse_int(value: str, default: int) -> int:
+    m = re.match(r"[+-]?\d+", value.strip()) if value else None
+    return int(m.group(0)) if m else default
+
+
+# ---------------------------------------------------------------------------
+# C9: clean_conditionally (cleaner.ex:790-1041)
+# ---------------------------------------------------------------------------
+
+def clean_conditionally(node):
+    for tag in ("form", "fieldset", "table", "ul", "div"):
+        node = _clean_conditionally_tag(node, tag, (False, False, False), True)
+    return node
+
+
+def _clean_conditionally_tag(node, tag_name, ctx, is_root):
+    if not isinstance(node, Element):
+        return node
+    in_code, in_figure, in_data_table = ctx
+    tag = node.tag
+    in_code = in_code or tag == "code"
+    in_figure = in_figure or tag == "figure"
+    in_data_table = in_data_table or node.attr("data-readability-datatable") == "1"
+    new_ctx = (in_code, in_figure, in_data_table)
+
+    if tag == tag_name and not is_root and _should_remove_conditionally(
+        node, tag_name, new_ctx
+    ):
+        return None
+
+    new_children = []
+    for c in node.children:
+        r = _clean_conditionally_tag(c, tag_name, new_ctx, False)
+        if r is not None:
+            new_children.append(r)
+    node.children = new_children
+    return node
+
+
+def _inner_text(node, normalize_spaces=True) -> str:
+    t = dom.text(node).strip()
+    if normalize_spaces:
+        t = RE_WS_ASCII.sub(" ", t)
+    return t
+
+
+def _should_remove_conditionally(node: Element, tag_name: str, ctx) -> bool:
+    in_code, in_figure, in_data_table = ctx
+    tag = node.tag
+    is_list = tag in ("ul", "ol") or _list_content(node)
+
+    if tag_name == "table" and node.attr("data-readability-datatable") == "1":
+        return False
+    if in_data_table:
+        return False
+    if in_code:
+        return False
+    if dom.find(node, "table[data-readability-datatable='1']"):
+        return False
+
+    weight = metrics.class_weight(node.attr("class"), node.attr("id"))
+    if weight < 0:
+        return True
+    if _char_count(node, ",") >= 10:
+        return False
+
+    p = len(dom.find(node, "p"))
+    img = len(dom.find(node, "img"))
+    li = len(dom.find(node, "li")) - 100
+    input_ = len(dom.find(node, "input"))
+    heading_density = _text_density(node, ["h1", "h2", "h3", "h4", "h5", "h6"])
+    embed_count, allowed_embed = _count_embeds(node)
+    if allowed_embed:
+        return False
+
+    inner = _inner_text(node, True)
+    if RE_AD_WORDS.search(inner):
+        return True
+    if RE_LOADING_WORDS.search(inner):
+        return True
+
+    content_length = len(inner)
+    link_density = metrics.link_density(node)
+    text_density = _text_density(node, TEXTISH_TAGS)
+    is_figure_child = in_figure
+    link_density_modifier = 0.0
+
+    have_to_remove = (
+        (not is_figure_child and img > 1 and _safe_ratio(p, img) < 0.5)
+        or (not is_list and li > p)
+        or (input_ > p // 3)
+        or (
+            not is_list
+            and not is_figure_child
+            and heading_density < 0.9
+            and content_length < 25
+            and (img == 0 or img > 2)
+            and link_density > 0
+        )
+        or (not is_list and weight < 25 and link_density > 0.2 + link_density_modifier)
+        or (weight >= 25 and link_density > 0.5 + link_density_modifier)
+        or ((embed_count == 1 and content_length < 75) or embed_count > 1)
+        or (img == 0 and text_density == 0)
+    )
+
+    if is_list and have_to_remove:
+        return _remove_list_anyway(node, img)
+    return have_to_remove
+
+
+TEXTISH_TAGS = ["span", "li", "td", "blockquote", "dl", "div", "img", "ol", "p",
+                "pre", "table", "ul"]
+
+
+def _list_content(node: Element) -> bool:
+    inner = _inner_text(node, True)
+    if inner == "":
+        return False
+    list_length = 0
+    for lst in dom.find(node, "ul,ol"):
+        list_length += len(_inner_text(lst, True))
+    return list_length / len(inner) > 0.9
+
+
+def _remove_list_anyway(node: Element, img_count: int) -> bool:
+    """Image-gallery exception (cleaner.ex:953-964): keep lists whose <li>
+    count equals the image count, unless a child has >1 element children."""
+    for child in node.element_children():
+        if len(child.element_children()) > 1:
+            return True
+    li_count = len(dom.find(node, "li"))
+    return img_count != li_count
+
+
+def _char_count(node, char: str) -> int:
+    return _inner_text(node, True).count(char)
+
+
+def _text_density(node, tags) -> float:
+    total = _inner_text(node, True)
+    total_len = len(total)
+    if total_len == 0:
+        return 0.0
+    child_len = 0
+    for child in dom.find(node, ",".join(tags)):
+        child_len += len(_inner_text(child, True))
+    return child_len / total_len
+
+
+def _safe_ratio(num, denom) -> float:
+    return 0.0 if denom == 0 else num / denom
+
+
+def _count_embeds(node) -> tuple[int, bool]:
+    count = 0
+    for embed in dom.find(node, "object,embed,iframe"):
+        if any(RE_ALLOWED_VIDEO.search(v) for _k, v in embed.attrs):
+            return (count, True)
+        if embed.tag == "object" and RE_ALLOWED_VIDEO.search(dom.raw_html(embed)):
+            return (count, True)
+        count += 1
+    return (count, False)
+
+
+# ---------------------------------------------------------------------------
+# C8: clean_headers (cleaner.ex:1043-1058)
+# ---------------------------------------------------------------------------
+
+def clean_headers(node):
+    def fn(n):
+        if isinstance(n, Element) and n.tag in ("h1", "h2"):
+            if metrics.class_weight(n.attr("class"), n.attr("id")) < 0:
+                return None
+        return n
+
+    return dom.traverse_update(node, fn)
+
+
+# ---------------------------------------------------------------------------
+# C6: clean_share_elements (cleaner.ex:1060-1103)
+# ---------------------------------------------------------------------------
+
+def clean_share_elements(node, threshold: int):
+    if not isinstance(node, Element):
+        return node
+    node.children = [
+        _clean_share_descendants(c, threshold) if isinstance(c, Element) else c
+        for c in node.children
+    ]
+    return node
+
+
+def _clean_share_descendants(node: Element, threshold: int) -> Element:
+    new_children = []
+    for c in node.children:
+        if isinstance(c, Element):
+            match_string = c.attr("class") + " " + c.attr("id")
+            if (
+                RE_SHARE_ELEMENTS.search(match_string)
+                and len(dom.text(c)) < threshold
+            ):
+                continue
+            new_children.append(_clean_share_descendants(c, threshold))
+        else:
+            new_children.append(c)
+    node.children = new_children
+    return node
+
+
+# ---------------------------------------------------------------------------
+# C7: remove_title_headers (cleaner.ex:1105-1146)
+# ---------------------------------------------------------------------------
+
+def remove_title_headers(node, title: str | None):
+    title = (title or "").strip()
+    if title == "":
+        return node
+    removed = [False]
+
+    def walk(n):
+        if removed[0] or not isinstance(n, Element):
+            return n
+        if n.tag in ("h1", "h2") and text_similarity(title, dom.text(n)) > 0.75:
+            removed[0] = True
+            return None
+        new_children = []
+        for c in n.children:
+            if removed[0]:
+                new_children.append(c)
+                continue
+            r = walk(c)
+            if r is not None:
+                new_children.append(r)
+        n.children = new_children
+        return n
+
+    return walk(node)
+
+
+def text_similarity(text_a: str, text_b: str) -> float:
+    """Token-overlap similarity (cleaner.ex:1148-1168, sieve.ex:137-157)."""
+    tokens_a = _tokenize(text_a)
+    tokens_b = _tokenize(text_b)
+    if not tokens_a or not tokens_b:
+        return 0.0
+    set_a = set(tokens_a)
+    uniq_b = [t for t in tokens_b if t not in set_a]
+    distance_b = len(" ".join(uniq_b)) / max(1, len(" ".join(tokens_b)))
+    return 1.0 - distance_b
+
+
+def _tokenize(text: str) -> list[str]:
+    return [t for t in RE_NONWORD.split(text.lower()) if t != ""]
+
+
+# ---------------------------------------------------------------------------
+# C4: remove_semantic_junk (cleaner.ex:1170-1341) — reference-specific
+# ---------------------------------------------------------------------------
+
+_RE_JUNK_1 = re.compile(
+    r"\barticle__photo\b|photo--opener|article__photo__image|article__photo__desc"
+    r"|content-head|content-bar|author__|author--article|codefragment|recirc"
+    r"|itemendrow|related-articles-module|most-popular-recircs|teads"
+    r"|caption-credit|post-meta|bloc_signature|banner-headline|breadcrumbs"
+    r"|authors-container|modal|dealbook-branding",
+    re.I | re.A,
+)
+_RE_JUNK_TABOOLA = re.compile(r"\btaboola\b", re.I | re.A)
+_RE_JUNK_2 = re.compile(
+    r"\bstory-meta\b|\bstory-header\b|\bstory-ad\b|\bsharetools?\b|\bsharetool\b"
+    r"|\bad-placeholder\b|\breader-satisfaction\b|\bfeedback\b|\bsurvey\b"
+    r"|\bmarginalia\b",
+    re.I | re.A,
+)
+_RE_SUPPLEMENTAL = re.compile(r"\bsupplemental\b", re.I | re.A)
+_RE_STORY_BODY = re.compile(r"\bstory-body\b", re.I | re.A)
+_RE_MEDIA_WRAP = re.compile(
+    r"\bmedia-container\b|\bimage-wrapper\b|\bimage-carousel\b|\bcarousel\b",
+    re.I | re.A,
+)
+_RE_COPY = re.compile(r"\bcopy\b", re.I | re.A)
+_RE_G_CHART = re.compile(r"^g-.*-chart", re.I | re.A)
+_RE_CONTINUE_READING = re.compile(r"^Continue reading", re.I | re.A)
+
+
+def remove_semantic_junk(node):
+    def fn(n):
+        if not isinstance(n, Element):
+            return n
+        if n.tag == "div" and n.attr("id").startswith("FlexAd"):
+            return _maybe_continue_link(n.children)
+        return _remove_semantic_junk_node(n)
+
+    return dom.traverse_update(node, fn)
+
+
+def _remove_semantic_junk_node(n: Element):
+    s = n.attr("class") + " " + n.attr("id")
+    id_attr = n.attr("id")
+    data_component = n.attr("data-component")
+    data_testid = n.attr("data-testid").lower()
+    itemprop = n.attr("itemprop").lower()
+    story_body = bool(_RE_STORY_BODY.search(s))
+    tag = n.tag
+
+    if (
+        _RE_JUNK_1.search(s)
+        or _RE_JUNK_TABOOLA.search(s)
+        or _RE_JUNK_2.search(s)
+        or (_RE_SUPPLEMENTAL.search(s) and not story_body)
+        or data_component == "taboola"
+        or (tag == "div" and _RE_MEDIA_WRAP.search(s))
+        or (tag == "button" and (_RE_COPY.search(s) or _RE_COPY.search(dom.text(n))))
+        or (tag == "a" and "module=RelatedLinks" in n.attr("href"))
+        or data_testid == "share-tools"
+        or (itemprop != "" and "author" in itemprop and tag in ("p", "span"))
+        or id_attr == "bottom-wrapper"
+        or id_attr.startswith("twttr_")
+        or id_attr.startswith("trc_")
+        or (id_attr != "" and _RE_G_CHART.search(id_attr))
+        or id_attr.startswith("story-ad-")
+        or id_attr in (
+            "story-meta", "story-header",
+            "sharetools-story-meta-footer", "sharetools-masthead",
+        )
+    ):
+        return None
+    return n
+
+
+def _maybe_continue_link(children):
+    for a in dom.find(children, "a"):
+        href = a.attr("href")
+        txt = dom.text(a).strip()
+        if href.startswith("#story-continues") and _RE_CONTINUE_READING.search(txt):
+            return Element("p", [], [a])
+    return None
+
+
+# ---------------------------------------------------------------------------
+# C5: clean_tag (cleaner.ex:1189-1220)
+# ---------------------------------------------------------------------------
+
+def clean_tag(node, tag: str):
+    target = tag.lower()
+    embed_tag = target in ("object", "embed", "iframe")
+
+    def fn(n):
+        if isinstance(n, Element) and n.tag == target:
+            if embed_tag and _allowed_video(n):
+                return n
+            return None
+        return n
+
+    return dom.traverse_update(node, fn)
+
+
+def _allowed_video(n: Element) -> bool:
+    if any(RE_ALLOWED_VIDEO.search(v) for _k, v in n.attrs):
+        return True
+    return n.tag == "object" and bool(RE_ALLOWED_VIDEO.search(dom.raw_html(n)))
+
+
+# ---------------------------------------------------------------------------
+# C10: wrap_continue_links (cleaner.ex:1243-1275)
+# ---------------------------------------------------------------------------
+
+def wrap_continue_links(node):
+    def fn(n):
+        if isinstance(n, Element) and n.tag in ("div", "section", "article", "main"):
+            new_children = []
+            for c in n.children:
+                if isinstance(c, Element) and c.tag == "a" and _continue_link(c):
+                    new_children.append(Element("p", [], [c]))
+                else:
+                    new_children.append(c)
+            n.children = new_children
+        return n
+
+    return dom.traverse_update(node, fn)
+
+
+def _continue_link(a: Element) -> bool:
+    href = a.attr("href")
+    txt = dom.text(a).strip()
+    return (
+        href.startswith("#story-continues") or href == "#whats-next"
+    ) and bool(_RE_CONTINUE_READING.search(txt))
+
+
+# ---------------------------------------------------------------------------
+# C11: flatten_tables (cleaner.ex:1619-1673)
+# ---------------------------------------------------------------------------
+
+def flatten_tables(node):
+    def fn(n):
+        if isinstance(n, Element) and n.tag == "table":
+            cell = _single_cell_table(n)
+            if cell is not None:
+                cell.tag = "p" if _all_phrasing(cell) else "div"
+                return cell
+            return _flatten_code_table(n)
+        return n
+
+    return dom.traverse_update(node, fn)
+
+
+def _flatten_code_table(table: Element):
+    pres = dom.find(table, "pre")
+    if len(pres) == 1:
+        table_text = dom.text(table).strip()
+        pre_text = dom.text(pres[0]).strip()
+        if table_text != "" and table_text == pre_text:
+            return pres[0]
+    return table
+
+
+def _single_cell_table(table: Element):
+    tbody = table
+    if _has_single_tag_inside(table, "tbody"):
+        tbody = _first_element_child(table)
+    if not _has_single_tag_inside(tbody, "tr"):
+        return None
+    row = _first_element_child(tbody)
+    if row is None or row.tag != "tr":
+        return None
+    if not _has_single_tag_inside(row, "td"):
+        return None
+    cell = _first_element_child(row)
+    if cell is None or cell.tag != "td":
+        return None
+    return cell
+
+
+def _has_single_tag_inside(node, wanted: str) -> bool:
+    if not isinstance(node, Element):
+        return False
+    elements = node.element_children()
+    if len(elements) != 1:
+        return False
+    if elements[0].tag != wanted:
+        return False
+    return not any(isinstance(c, str) and c.strip() != "" for c in node.children)
+
+
+def _first_element_child(node: Element):
+    for c in node.children:
+        if isinstance(c, Element):
+            return c
+    return None
+
+
+def _all_phrasing(node: Element) -> bool:
+    return all(_phrasing_content(c) for c in node.children)
+
+
+# ---------------------------------------------------------------------------
+# C12: downgrade_h1 (cleaner.ex:1392-1400)
+# ---------------------------------------------------------------------------
+
+def downgrade_h1(node):
+    def fn(n):
+        if isinstance(n, Element) and n.tag == "h1":
+            n.tag = "h2"
+        return n
+
+    return dom.traverse_update(node, fn)
+
+
+# ---------------------------------------------------------------------------
+# C13: simplify_nested_elements (cleaner.ex:1402-1460)
+# ---------------------------------------------------------------------------
+
+def simplify_nested_elements(node):
+    def fn(n):
+        if not (isinstance(n, Element) and n.tag in ("div", "section")):
+            return n
+        id_attr = n.attr("id")
+        readability_id = id_attr != "" and id_attr.startswith("readability")
+        if readability_id:
+            return n
+        if _element_without_content(n):
+            return None
+        if _has_single_tag_inside(n, "div") or _has_single_tag_inside(n, "section"):
+            child = _first_element_child(n)
+            merged = _merge_attrs_override(list(child.attrs), n.attrs)
+            child.attrs = merged
+            return child
+        if (
+            n.attr("data-testid") == "photoviewer-children"
+            and len(n.element_children()) == 1
+        ):
+            return n.element_children()[0]
+        if n.attr("id") == "content" and _only_whitespace_text(n.children):
+            child = n.element_children()[0]
+            if child.attr("id") == "content-main":
+                return Element("div", list(child.attrs), child.children)
+            n.children = child.children
+            return n
+        if _redundant_div_with_p(n):
+            # reference returns List.first(children) (cleaner.ex:1436-1437)
+            # which could be a whitespace text node; we return the single
+            # <p> element child (the intended unwrap target)
+            return n.element_children()[0]
+        meaningful_text = _direct_text(n.children)
+        preserve = _preserve_wrapper(n)
+        child_structural = [
+            c for c in n.element_children() if c.tag in ("div", "section")
+        ]
+        if (
+            not preserve
+            and not meaningful_text
+            and len(child_structural) == 1
+            and _only_whitespace_text(n.children)
+        ):
+            child = child_structural[0]
+            child.attrs = _merge_attrs(list(child.attrs), n.attrs)
+            return child
+        return n
+
+    return dom.traverse_update(node, fn)
+
+
+def _direct_text(children) -> bool:
+    return any(isinstance(c, str) and c.strip() != "" for c in children)
+
+
+def _only_whitespace_text(children) -> bool:
+    element_count = sum(1 for c in children if isinstance(c, Element))
+    text_ok = all(not isinstance(c, str) or c.strip() == "" for c in children)
+    return element_count == 1 and text_ok
+
+
+def _element_without_content(node: Element) -> bool:
+    if dom.text(node).strip() != "":
+        return False
+    elements = node.element_children()
+    if not elements:
+        return True
+    br_count = len(dom.find(node, "br"))
+    hr_count = len(dom.find(node, "hr"))
+    return len(elements) == br_count + hr_count
+
+
+def _preserve_wrapper(node: Element) -> bool:
+    id_attr = node.attr("id")
+    class_attr = node.attr("class")
+    if id_attr in ("readability-page-1", "content", "article-content"):
+        return True
+    return "page" in RE_WS_ASCII.split(class_attr.strip()) if class_attr.strip() else False
+
+
+_RE_TEXT_WRAPPER = re.compile(r"\b(text|parbase|content)\b", re.I | re.A)
+_RE_CONTENT_BODY_ID = re.compile(r"\b(content|body)\b", re.I | re.A)
+_RE_BIO_PARA = re.compile(r"^[A-Z][^,]+ is a ")
+
+
+def _redundant_div_with_p(n: Element) -> bool:
+    if n.tag != "div" or _preserve_wrapper(n) or not _only_whitespace_text(n.children):
+        return False
+    if not all(
+        k in ("class", "id", "role") or k.startswith("data-") or k.startswith("aria-")
+        for k, _v in n.attrs
+    ):
+        return False
+    elements = n.element_children()
+    if len(elements) != 1 or elements[0].tag != "p":
+        return False
+    p = elements[0]
+    p_text = dom.text(p).strip()
+    unwrap_wrapper = (
+        _text_container_wrapper(n)
+        or _css_wrapper_with_media(n, p.children)
+        or p_text.startswith("A version of this article appears in print")
+    )
+    has_heading = any(
+        isinstance(c, Element) and c.tag in ("h1", "h2", "h3", "h4", "h5", "h6")
+        for c in p.children
+    )
+    return (
+        not has_heading
+        and p_text != ""
+        and unwrap_wrapper
+        and not _keep_bio_wrapper(n, p_text)
+    )
+
+
+def _text_container_wrapper(n: Element) -> bool:
+    class_ = n.attr("class")
+    id_attr = n.attr("id")
+    if class_ == "" and id_attr == "":
+        return True
+    return bool(_RE_TEXT_WRAPPER.search(class_)) or bool(
+        _RE_CONTENT_BODY_ID.search(id_attr)
+    )
+
+
+def _css_wrapper_with_media(n: Element, children) -> bool:
+    return n.attr("class").startswith("css-") and _contains_tag(children, "img")
+
+
+def _contains_tag(children, tag: str) -> bool:
+    for c in children:
+        if isinstance(c, Element):
+            if c.tag == tag:
+                return True
+            if _contains_tag(c.children, tag):
+                return True
+    return False
+
+
+def _keep_bio_wrapper(n: Element, text: str) -> bool:
+    return n.attr("class") == "" and n.attr("id") == "" and bool(
+        _RE_BIO_PARA.match(text)
+    )
+
+
+# ---------------------------------------------------------------------------
+# C14: unwrap_content_main (cleaner.ex:1462-1483)
+# ---------------------------------------------------------------------------
+
+def unwrap_content_main(node):
+    def fn(n):
+        if isinstance(n, Element) and n.tag == "div" and n.attr("id") == "content":
+            for c in n.children:
+                if (
+                    isinstance(c, Element)
+                    and c.tag == "main"
+                    and c.attr("id") == "content-main"
+                ):
+                    return Element("div", list(c.attrs), c.children)
+        return n
+
+    return dom.traverse_update(node, fn)
+
+
+# ---------------------------------------------------------------------------
+# C15: absolutize_uris (cleaner.ex:1900-1988)
+# ---------------------------------------------------------------------------
+
+_RE_PROTO_SKIP = re.compile(r"^(mailto|tel|data|javascript|about):", re.I)
+_RE_SRCSET_PART = re.compile(r"(\S+)(\s+[\d.]+[xw])?(\s*(?:,|$))", re.A)
+
+
+def absolutize_uris(node, base_uri: str | None, absolute_fragments: bool):
+    if not base_uri:
+        return node
+
+    def fn(n):
+        if isinstance(n, Element):
+            _abs_attr(n, "href", base_uri, absolute_fragments)
+            _abs_attr(n, "src", base_uri, True)
+            _abs_attr(n, "poster", base_uri, True)
+            _abs_srcset(n, base_uri)
+        return n
+
+    return dom.traverse_update(node, fn)
+
+
+def _abs_attr(n: Element, k: str, base_uri: str, absolute_fragments: bool) -> None:
+    v = n.attr(k)
+    if v == "" or not n.has_attr(k):
+        return
+    if v.startswith("#") and k == "href" and not absolute_fragments:
+        return
+    if _RE_PROTO_SKIP.match(v):
+        return
+    n.set_attr(k, _to_abs(v, base_uri))
+
+
+def _abs_srcset(n: Element, base_uri: str) -> None:
+    v = n.attr("srcset")
+    if v == "" or not n.has_attr("srcset"):
+        return
+    def repl(m):
+        return _to_abs(m.group(1), base_uri) + (m.group(2) or "") + m.group(3)
+    n.set_attr("srcset", _RE_SRCSET_PART.sub(repl, v))
+
+
+def _to_abs(url: str, base_uri: str) -> str:
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return url
+    scheme = parts.scheme.lower()
+    if scheme in ("mailto", "tel", "data", "javascript", "about"):
+        return url
+    if scheme in ("http", "https"):
+        if parts.path in ("", None) and not parts.query and not parts.fragment:
+            return url + "/"
+        return url
+    if url.startswith("//"):
+        base_scheme = urlsplit(base_uri).scheme or "https"
+        return base_scheme + ":" + url
+    base = base_uri
+    try:
+        bp = urlsplit(base_uri)
+        if bp.path in ("", None):
+            base = base_uri + "/"
+    except ValueError:
+        pass
+    try:
+        return urljoin(base, url)
+    except ValueError:
+        return url
+
+
+# ---------------------------------------------------------------------------
+# C16: replace_javascript_links (cleaner.ex:1757-1777)
+# ---------------------------------------------------------------------------
+
+_RE_JS_HREF = re.compile(r"^javascript:", re.I)
+
+
+def replace_javascript_links(node):
+    def fn(n):
+        if isinstance(n, Element) and n.tag == "a":
+            href = n.attr("href").strip()
+            if _RE_JS_HREF.match(href):
+                if len(n.children) == 1 and isinstance(n.children[0], str):
+                    return n.children[0]
+                return Element("span", [], n.children)
+        return n
+
+    return dom.traverse_update(node, fn)
+
+
+# ---------------------------------------------------------------------------
+# C17: remove_empty_nodes (cleaner.ex:1779-1791, 1833-1858)
+# ---------------------------------------------------------------------------
+
+def remove_empty_nodes(node):
+    def fn(n):
+        if isinstance(n, Element) and _empty_node(n):
+            return None
+        return n
+
+    return dom.traverse_update(node, fn)
+
+
+def _empty_node(n: Element) -> bool:
+    if _preserve_wrapper(n):
+        return False
+    if dom.text(n.children).strip() != "":
+        return False
+    if n.tag == "p":
+        has_media = bool(dom.find(n, "img,video,audio,svg,iframe,object,embed"))
+    else:
+        has_media = bool(dom.find(n, "img,video,audio,svg,iframe,object,embed,br"))
+    if has_media:
+        return False
+    return n.tag == "p"
+
+
+# ---------------------------------------------------------------------------
+# C18: remove_br_before_p (cleaner.ex:1793-1831)
+# ---------------------------------------------------------------------------
+
+def remove_br_before_p(node):
+    def fn(n):
+        if isinstance(n, Element):
+            n.children = _drop_br_before_p(n.children)
+        return n
+
+    return dom.traverse_update(node, fn)
+
+
+def _drop_br_before_p(children: list) -> list:
+    out = []
+    for i, c in enumerate(children):
+        if _is_br(c) and _next_non_ws_is_p(children[i + 1:]):
+            continue
+        out.append(c)
+    return out
+
+
+def _next_non_ws_is_p(rest: list) -> bool:
+    for c in rest:
+        if isinstance(c, str):
+            if c.strip() != "":
+                return False
+            continue
+        return isinstance(c, Element) and c.tag == "p"
+    return False
+
+
+# ---------------------------------------------------------------------------
+# C19: strip_attributes_and_classes (cleaner.ex:1728-1743, 1860-1881)
+# ---------------------------------------------------------------------------
+
+def strip_attributes_and_classes(node, preserve_classes):
+    """preserve_classes: set of class names to keep, or None to keep all."""
+    def fn(n):
+        if isinstance(n, Element):
+            n.attrs = [
+                (k, v) for k, v in n.attrs
+                if not k.startswith("data-readability-")
+            ]
+            if preserve_classes is not None and n.has_attr("class"):
+                kept = [
+                    c for c in RE_WS_ASCII.split(n.attr("class"))
+                    if c != "" and c in preserve_classes
+                ]
+                if kept:
+                    n.set_attr("class", " ".join(kept))
+                else:
+                    n.del_attr("class")
+        return n
+
+    return dom.traverse_update(node, fn)

@@ -1,0 +1,176 @@
+"""Relational pipeline operators (SURVEY.md §2.B).
+
+Each function takes ``(spark, sf_dir)`` and returns a DataFrame; they are
+the building blocks of the extraction pipeline (filter, projection+hash,
+window dedup, anti-join resume, semi join, broadcast join, aggregation
+counters, top-k, set ops) expressed as stock DataFrame ops so Catalyst
+handles pushdown/pruning/join strategy.
+
+All computed columns are aliased to match the DuckDB oracle SQL in
+``__spark_entry__.oracle_sql`` exactly. Float aggregates are rounded to
+stabilize cross-engine value hashing.
+
+Reference parity notes cite /root/reference file:line where the operator
+mirrors a pipeline need from the survey.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan -> filter -> projection with content hash.
+
+    Mirrors the pipeline's pre-UDF stage: drop null/short docs, filter on
+    lang, derive a deterministic content hash (md5 — portable across
+    engines, unlike xxhash64 which we use for partitioning only).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter((F.col("lang") == "en") & (F.col("n_chars") > 200))
+        .select(
+            F.col("doc_id"),
+            F.md5(F.col("text")).alias("text_md5"),
+            F.col("n_chars"),
+            F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-crawl dedup pattern: one row per key by max timestamp.
+
+    In the page pipeline this is `one row per url at max warc_ts`
+    (SURVEY.md §2.B "Dedup / latest-crawl pick"); exercised here as
+    latest order per customer with a deterministic tiebreak.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("latest_date"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def q_agg_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregation with partial (map-side) combine — the metrics
+    rollup pattern (docs in / ok / failed / bytes per partition)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_anti_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resume pattern: source ANTI JOIN done -> remaining work.
+
+    Here: orders that have no lineitem rows (stand-in for `urls not yet
+    in the committed output table`)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        orders.join(li, "o_orderkey", "left_anti")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-subset restriction pattern: SEMI JOIN corpus to fixtures."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 100000.0
+    )
+    return (
+        cust.join(
+            orders.select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_semi",
+        )
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dim broadcast join + rollup (customers per region)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dim = F.broadcast(
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(F.col("n_nationkey"), F.col("r_name"))
+    )
+    return (
+        cust.join(dim, cust.c_nationkey == dim.n_nationkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort / top-k report: largest documents (largest-page report)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "n_chars", "lang")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+def q_set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op conformance diff pattern (extracted EXCEPT golden)."""
+    docs = _t(spark, sf_dir, "documents")
+    all_en = docs.filter(F.col("lang") == "en").select("doc_id")
+    long_en = docs.filter(
+        (F.col("lang") == "en") & (F.col("n_chars") > 300)
+    ).select("doc_id")
+    return all_en.exceptAll(long_en).orderBy("doc_id")
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation (hourly counters by event type) —
+    the batch shape of the streaming rollup."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )

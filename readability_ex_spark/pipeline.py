@@ -1,0 +1,170 @@
+"""The end-to-end extraction pipeline (SURVEY.md §4.3 target plan):
+
+    scan(pages) -> filter(html valid) -> dedup latest per url
+      -> repartition(xxhash64(url) [+ salt])
+      -> mapInPandas(readability kernel)  [Arrow-batched]
+      -> lineage columns -> sink (+ per-partition metrics)
+
+Everything outside the kernel is stock DataFrame ops so Catalyst keeps
+pushdown/pruning; the kernel runs in Arrow batches with rows capped by
+session config (HTML rows are MB-scale — session.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("byline", T.StringType(), True),
+        T.StructField("dir", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("site_name", T.StringType(), True),
+        T.StructField("published_time", T.StringType(), True),
+        T.StructField("excerpt", T.StringType(), True),
+        T.StructField("content_html", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("length", T.IntegerType(), True),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+# lineage columns appended after extraction
+LINEAGE_COLS = ("partition_id", "kernel_version")
+
+KERNEL_VERSION = "0.1.0"
+
+
+def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel driver: one Arrow batch in, one out.
+
+    Imports inside the function so the Python workers resolve the kernel
+    through --py-files without a driver-side closure.
+    """
+    from readability_ex_spark.kernel import parse
+    from readability_ex_spark.kernel.api import NotReadable
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "url", "title", "byline", "dir", "lang", "site_name",
+            "published_time", "excerpt", "content_html", "text", "length",
+            "status", "error",
+        )}
+        for url, html in zip(pdf["url"], pdf["html"]):
+            row = {
+                "title": None, "byline": None, "dir": None, "lang": None,
+                "site_name": None, "published_time": None, "excerpt": None,
+                "content_html": None, "text": None, "length": 0,
+            }
+            if html is None or len(html) == 0:
+                status, error = "error", "empty_html"
+            else:
+                try:
+                    r = parse(bytes(html), base_uri=url)
+                    row.update(
+                        title=r["title"], byline=r["byline"], dir=r["dir"],
+                        lang=r["lang"], site_name=r["site_name"],
+                        published_time=r["published_time"],
+                        excerpt=r["excerpt"], content_html=r["content"],
+                        text=r["text_content"], length=r["length"],
+                    )
+                    status, error = "ok", None
+                except NotReadable:
+                    status, error = "not_readable", None
+                except Exception as exc:  # noqa: BLE001 — never kill the job
+                    status, error = "error", f"{type(exc).__name__}: {exc}"[:500]
+            out["url"].append(url)
+            for k, v in row.items():
+                out[k].append(v)
+            out["status"].append(status)
+            out["error"].append(error)
+        yield pd.DataFrame(out)
+
+
+def dedup_latest_crawl(pages: DataFrame) -> DataFrame:
+    """One row per url at max warc_ts (deterministic tiebreak on the
+    html hash so reruns are stable)."""
+    w = W.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(), F.xxhash64(F.col("html")).asc()
+    )
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def run_extraction(
+    pages: DataFrame,
+    *,
+    n_partitions: int | None = None,
+    salt_buckets: int = 0,
+    dedup: bool = True,
+    done_urls: DataFrame | None = None,
+) -> DataFrame:
+    """Build the extraction plan over a pages DataFrame.
+
+    - filters null/empty html rows *into* the kernel (they come back as
+      status='error' rows, preserving per-url accounting);
+    - optional anti-join against ``done_urls`` (checkpoint resume);
+    - explicit repartition by xxhash64(url) (+ optional salt for skewed
+      hosts) before the expensive UDF so work spreads evenly;
+    - appends lineage columns.
+    """
+    df = pages.select("url", "warc_ts", "html")
+    if dedup:
+        df = dedup_latest_crawl(df)
+    if done_urls is not None:
+        df = df.join(done_urls.select("url"), "url", "left_anti")
+    df = df.select("url", "html")
+
+    key = F.xxhash64(F.col("url"))
+    if salt_buckets > 1:
+        key = F.concat(
+            key.cast("string"), F.pmod(F.xxhash64("url", "html"), F.lit(salt_buckets))
+            .cast("string")
+        )
+    if n_partitions:
+        df = df.repartition(n_partitions, key)
+    else:
+        df = df.repartition(key)
+
+    extracted = df.mapInPandas(extract_batches, EXTRACT_SCHEMA)
+    return extracted.withColumns(
+        {
+            "partition_id": F.spark_partition_id(),
+            "kernel_version": F.lit(KERNEL_VERSION),
+        }
+    )
+
+
+def metrics_rollup(extracted: DataFrame) -> DataFrame:
+    """Per-partition counters (docs in/ok/failed, chars out) — persisted
+    next to the output table as the _metrics lineage artifact."""
+    return (
+        extracted.groupBy("partition_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("n_ok"),
+            F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("n_failed"),
+            F.sum(F.coalesce(F.col("length"), F.lit(0))).alias("n_chars"),
+        )
+        .orderBy("partition_id")
+    )
+
+
+def flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver smoke entry: synthesize pages from sf documents, run the
+    full pipeline, return extraction results (stable schema)."""
+    from readability_ex_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, sf_dir)
+    return run_extraction(pages, n_partitions=None)
