@@ -127,13 +127,13 @@ def prep_document(doc: list) -> list:
     return doc
 
 
-def remove_head_styles(doc: list) -> list:  # P3 (cleaner.ex:146-160)
+def remove_head_styles(doc: list) -> list:
+    """P3 — remove ALL <style> tags (Readability.js _prepDocument,
+    00_original_code.js:673; the reference restricts to <head>,
+    cleaner.ex:146-160, and fails the style-tags-removal fixture)."""
     def fn(node):
-        if isinstance(node, Element) and node.tag == "head":
-            node.children = [
-                c for c in node.children
-                if not (isinstance(c, Element) and c.tag == "style")
-            ]
+        if isinstance(node, Element) and node.tag == "style":
+            return None
         return node
 
     return dom.traverse_update(doc, fn)
@@ -361,37 +361,32 @@ def _phrasing_content(node) -> bool:
 
 
 def _wrap_phrasing_children(children: list) -> list:
+    """Wrap phrasing runs into <p> with Readability.js semantics
+    (00_original_code.js div-handling loop): whitespace before a run
+    stays *outside* the <p> (the reference drops it, cleaner.ex:310-321,
+    losing inter-block spacing); trailing whitespace of a run flushed by
+    a block element is dropped; a run at the end keeps its tail."""
     acc: list = []
-    cur: list = []
+    cur: list | None = None
     for child in children:
-        if isinstance(child, (Comment,)):
-            # comments are neither phrasing nor flush triggers in the
-            # reference (phrasing_content? returns false for them) —
-            # they flush the group like any non-phrasing node
-            acc.extend(_wrap_phrasing_group(cur))
-            acc.append(child)
-            cur = []
-        elif _phrasing_content(child):
-            cur.append(child)
+        if _phrasing_content(child):
+            if cur is not None:
+                cur.append(child)
+            elif not _is_ws(child):
+                cur = [child]
+            else:
+                acc.append(child)
         else:
-            acc.extend(_wrap_phrasing_group(cur))
+            if cur is not None:
+                while cur and _is_ws(cur[-1]):
+                    cur.pop()
+                if cur:
+                    acc.append(Element("p", [], cur))
+                cur = None
             acc.append(child)
-            cur = []
-    acc.extend(_wrap_phrasing_group(cur))
+    if cur:
+        acc.append(Element("p", [], cur))
     return acc
-
-
-def _wrap_phrasing_group(children: list) -> list:
-    start = 0
-    end = len(children)
-    while start < end and _is_ws(children[start]):
-        start += 1
-    while end > start and _is_ws(children[end - 1]):
-        end -= 1
-    trimmed = children[start:end]
-    if not trimmed:
-        return []
-    return [Element("p", [], trimmed)]
 
 
 def _single_p_child(children: list):

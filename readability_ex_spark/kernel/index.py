@@ -9,12 +9,22 @@ per-node Floki.text rescans, cf. SURVEY.md §4.1).
 
 from __future__ import annotations
 
+import re
+
 from readability_ex_spark.kernel.dom import Element
+
+# Readability.js innerText: textContent.trim() + collapse of 2+ whitespace
+# runs (REGEXPS.normalize = /\s{2,}/g) — Unicode-aware like JS \s.
+_RE_NORM = re.compile(r"\s{2,}")
+
+
+def inner_text(raw: str) -> str:
+    return _RE_NORM.sub(" ", raw.strip())
 
 
 class Node:
     __slots__ = (
-        "id", "tag", "el", "parent_id", "child_ids", "text",
+        "id", "tag", "el", "parent_id", "child_ids", "text", "norm_text",
         "link_density", "class_", "id_attr", "role", "dir", "hidden",
     )
 
@@ -25,6 +35,7 @@ class Node:
         self.parent_id = parent_id
         self.child_ids: list[int] = []
         self.text = ""
+        self.norm_text = ""
         self.link_density = 0.0
         self.class_ = ""
         self.id_attr = ""
@@ -68,14 +79,18 @@ def build(doc: list) -> tuple[dict[int, Node], dict[int, int]]:
         own_text = "" if el.tag == "script" else "".join(texts)
         if el.tag == "script":
             link_len = 0.0
-        if el.tag == "a":
-            href = el.attr("href")
-            coef = 0.3 if href.startswith("#") else 1.0
-            link_len += len(own_text) * coef
 
         node.text = own_text
-        n = len(own_text)
-        node.link_density = (link_len - _self_link(el, own_text)) / n if n else 0.0
+        node.norm_text = inner_text(own_text)
+        # link density per Readability.js _getLinkDensity: innerText
+        # lengths, <a> descendants only (not self), 0.3 coefficient for
+        # /^#.+/ fragment hrefs (00_original_code.js REGEXPS.hashUrl)
+        n = len(node.norm_text)
+        node.link_density = link_len / n if n else 0.0
+        if el.tag == "a":
+            href = el.attr("href")
+            coef = 0.3 if _RE_HASH_URL.match(href) else 1.0
+            link_len += len(node.norm_text) * coef
 
         node.class_ = el.attr("class")
         node.id_attr = el.attr("id")
@@ -86,12 +101,10 @@ def build(doc: list) -> tuple[dict[int, Node], dict[int, int]]:
         fallback_image = (
             node.class_ != "" and "fallback-image" in node.class_.lower()
         )
-        style = el.attr("style").lower()
         node.hidden = (
-            el.attr("hidden") != ""
+            el.has_attr("hidden")
             or (aria_hidden and not fallback_image)
-            or "display:none" in style
-            or "visibility:hidden" in style
+            or _style_hides(el.attr("style"))
         )
         return nid, own_text, link_len
 
@@ -100,9 +113,23 @@ def build(doc: list) -> tuple[dict[int, Node], dict[int, int]]:
     return state, el_ids
 
 
-def _self_link(el: Element, own_text: str) -> float:
-    """link_density in the reference counts <a> descendants of the node —
-    the node's own <a>-ness included only if it's in Floki.find(node,"a"),
-    which matches the node itself too. So for an <a> node itself the self
-    contribution stays; this helper exists to document that and returns 0."""
-    return 0.0
+_RE_HASH_URL = re.compile(r"^#.+")
+
+
+def _style_hides(style: str) -> bool:
+    """display:none / visibility:hidden with CSS-style whitespace tolerance
+    (Readability.js _isProbablyVisible reads parsed node.style; the
+    reference's raw substring check, index.ex:71-72, misses 'display: none')."""
+    if not style:
+        return False
+    for decl in style.lower().split(";"):
+        prop, _, value = decl.partition(":")
+        prop = prop.strip()
+        value = value.strip()
+        if prop == "display" and value == "none":
+            return True
+        if prop == "visibility" and value == "hidden":
+            return True
+    return False
+
+

@@ -6,18 +6,29 @@ from readability_ex_spark.kernel import dom
 from readability_ex_spark.kernel.constants import RE_NEGATIVE, RE_POSITIVE
 
 
+import re
+
+_RE_NORM = re.compile(r"\s{2,}")
+_RE_HASH_URL = re.compile(r"^#.+")
+
+
+def _inner_len(node) -> int:
+    return len(_RE_NORM.sub(" ", dom.text(node).strip()))
+
+
 def link_density(node) -> float:
-    """sum(len(text(a)) * coef) / len(text(node)); coef 0.3 for
-    fragment-only hrefs (metrics.ex:5-23)."""
-    txt = dom.text(node)
-    n = len(txt)
+    """Readability.js _getLinkDensity: innerText (trim + whitespace
+    collapse) lengths; 0.3 coefficient for /^#.+/ hrefs. (The reference,
+    metrics.ex:5-23, uses raw Floki.text lengths — indentation inflates
+    the denominator and misclassifies link-heavy wrappers.)"""
+    n = _inner_len(node)
     if n == 0:
         return 0.0
     links_text = 0.0
     for link in dom.find(node, "a"):
         href = link.attr("href")
-        coef = 0.3 if href.startswith("#") else 1.0
-        links_text += len(dom.text(link)) * coef
+        coef = 0.3 if _RE_HASH_URL.match(href) else 1.0
+        links_text += _inner_len(link) * coef
     return links_text / n
 
 

@@ -38,7 +38,10 @@ _RE_BY_PREFIX = re.compile(r"^(par|by)\b", re.I | re.A)
 _RE_AUTEUR = re.compile(r"\bauteur\b", re.I | re.A)
 _RE_AUTHORNAME = re.compile(r"\bauthorname\b", re.I | re.A)
 _RE_PAR_X = re.compile(r"^Par\s+\S+", re.I | re.A)
-_RE_SENT_END = re.compile(r"[\.\?!]( |$)", re.A)
+# Readability.js keeps short sibling <p>s only on /\.( |$)/
+# (00_original_code.js:1502); the reference widened it to [.?!]
+# (sieve.ex:483) — goldens follow JS.
+_RE_SENT_END = re.compile(r"\.( |$)", re.A)
 _RE_WS = re.compile(r"\s+", re.A)
 
 
@@ -116,7 +119,11 @@ def grab_article(
     cleaned = cleaner.clean_share_elements(cleaned, DEFAULT_CHAR_THRESHOLD)
     for t in ("iframe", "input", "textarea", "select", "button"):
         cleaned = cleaner.clean_tag(cleaned, t)
-    cleaned = cleaner.remove_title_headers(cleaned, article_title)
+    # NB: no remove_title_headers here — the S9 drop above already removed
+    # the one title-duplicating header from the output (Readability.js
+    # removes exactly one, 00_original_code.js:1067,1115-1121; the
+    # reference needs the C7 cleaner pass, sieve.ex:63, only because its
+    # index-level drops don't reach the serialized output)
     cleaned = cleaner.clean_headers(cleaned)
     if has_flag(flags, FLAG_CLEAN_CONDITIONALLY):
         cleaned = cleaner.clean_conditionally(cleaned)
@@ -331,10 +338,11 @@ def _ancestor_ids(ps: PassState, nid: int, max_depth: int) -> list[int]:
 def _score_candidates(ps: PassState, flags: int) -> None:
     for nid in list(ps.live_ids()):
         n = ps.nodes[nid]
-        if n.tag not in CANDIDATE_TAGS or len(n.text) < 25:
+        # innerText semantics (trim + collapse) per Readability.js
+        if n.tag not in CANDIDATE_TAGS or len(n.norm_text) < 25:
             continue
-        comma_segments = len(RE_COMMAS.split(n.text))
-        len_bonus = min(float(len(n.text) // 100), 3.0)
+        comma_segments = len(RE_COMMAS.split(n.norm_text))
+        len_bonus = min(float(len(n.norm_text) // 100), 3.0)
         content_score = 1.0 + comma_segments + len_bonus
         for level, ancestor_id in enumerate(_ancestor_ids(ps, nid, 5)):
             anc = ps.get(ancestor_id)
@@ -581,10 +589,14 @@ def _keep_sibling(ps, sib: Node, top_id: int, top: Node, threshold: float) -> bo
     ):
         return True
     if sib.tag == "p":
-        ln = len(sib.text)
+        ln = len(sib.norm_text)
         if ln > 80 and sib.link_density < 0.25:
             return True
-        if 0 < ln < 80 and sib.link_density == 0.0 and _RE_SENT_END.search(sib.text):
+        if (
+            0 < ln < 80
+            and sib.link_density == 0.0
+            and _RE_SENT_END.search(sib.norm_text)
+        ):
             return True
     return False
 
