@@ -121,7 +121,9 @@ def prep_document(doc: list) -> list:
     doc = normalize_text_nodes(doc)
     doc = replace_font_tags(doc)
     doc = replace_brbr_with_p(doc)
-    doc = remove_redundant_brs(doc)
+    # NB: no remove_redundant_brs — reference-specific (cleaner.ex:169-187),
+    # absent from Readability.js; stray <br>s are handled by
+    # remove_br_before_p in the post chain like JS does.
     doc = convert_divs_to_paragraphs(doc)
     doc = fix_lazy_images(doc)
     return doc
@@ -233,14 +235,22 @@ def _join_text(prev: str, nxt: str) -> str:
 # ---------------------------------------------------------------------------
 
 def replace_brbr_with_p(doc: list) -> list:
+    """Readability.js _replaceBrs semantics (00_original_code.js):
+    a chain of 2+ <br>s (whitespace text transparent) is replaced by one
+    <p> that swallows following phrasing siblings until the next double-br
+    or a non-phrasing node; trailing whitespace/brs are popped from the
+    new <p>; a <p> parent that gained <p> children becomes a <div>.
+
+    (The reference instead wraps every br-delimited segment including the
+    leading one, cleaner.ex:397-441, and treats whitespace between brs as
+    breaking the chain — both diverge from the goldens.)"""
     def fn(node):
-        if isinstance(node, Element) and _has_double_br(node.children):
-            new_children = _br_children_to_paragraphs(node.children)
-            if node.tag == "p" and any(
-                isinstance(c, Element) and c.tag == "p" for c in new_children
-            ):
-                node.tag = "div"
-            node.children = new_children
+        if isinstance(node, Element):
+            new_children, changed = _replace_brs_in_children(node.children)
+            if changed:
+                node.children = new_children
+                if node.tag == "p":
+                    node.tag = "div"
         return node
 
     return dom.traverse_update(doc, fn)
@@ -250,76 +260,60 @@ def _is_br(c) -> bool:
     return isinstance(c, Element) and c.tag == "br"
 
 
-def _has_double_br(children) -> bool:
-    last_br = False
-    for child in children:
-        if _is_br(child):
-            if last_br:
-                return True
-            last_br = True
-        elif _is_ws(child):
-            continue
-        else:
-            last_br = False
-    return False
-
-
-def _br_children_to_paragraphs(children: list) -> list:
-    acc: list = []
-    cur: list = []
-    pending_br = False
-    for child in children:
-        if _is_br(child):
-            if pending_br:
-                acc.extend(_maybe_paragraph(cur))
-                cur = []
-                pending_br = False
-            else:
-                pending_br = True
-        elif isinstance(child, str):
-            if pending_br:
-                if not cur and not child.startswith((" ", "\n", "\t", "\r")):
-                    child = " " + child
-                if cur:
-                    cur.append(Element("br"))
-                cur.append(child)
-                pending_br = False
-            else:
-                cur.append(child)
-        elif isinstance(child, Element) and child.tag in BLOCK_TAGS:
-            if pending_br:
-                cur.append(Element("br"))
-                pending_br = False
-            acc.extend(_maybe_paragraph(cur))
-            acc.append(child)
-            cur = []
-        else:
-            if pending_br:
-                cur.append(Element("br"))
-                pending_br = False
-            cur.append(child)
-    if pending_br:
-        cur.append(Element("br"))
-    acc.extend(_maybe_paragraph(cur))
-    return acc
-
-
-def _maybe_paragraph(children: list) -> list:
-    cleaned = [c for c in children if not (isinstance(c, str) and c.strip() == "")]
-    cleaned = _drop_edge_brs(cleaned)
-    if not cleaned:
-        return []
-    return [Element("p", [], cleaned)]
-
-
-def _drop_edge_brs(children: list) -> list:
-    start = 0
-    end = len(children)
-    while start < end and _is_br(children[start]):
-        start += 1
-    while end > start and _is_br(children[end - 1]):
-        end -= 1
-    return children[start:end]
+def _replace_brs_in_children(children: list) -> tuple[list, bool]:
+    out: list = []
+    changed = False
+    i = 0
+    n = len(children)
+    while i < n:
+        c = children[i]
+        if _is_br(c):
+            # scan the chain: brs with ws-only text transparent
+            j = i + 1
+            ws_between: list = []
+            n_brs = 1
+            pending_ws: list = []
+            while j < n:
+                nxt = children[j]
+                if _is_ws(nxt):
+                    pending_ws.append(nxt)
+                    j += 1
+                elif _is_br(nxt):
+                    ws_between.extend(pending_ws)
+                    pending_ws = []
+                    n_brs += 1
+                    j += 1
+                else:
+                    break
+            if n_brs >= 2:
+                changed = True
+                # ws text nodes that sat between the removed brs remain and
+                # get pulled into the new <p>, plus trailing pending ws
+                p_children: list = ws_between + pending_ws
+                k = j
+                while k < n:
+                    nxt = children[k]
+                    if _is_br(nxt):
+                        m = k + 1
+                        while m < n and _is_ws(children[m]):
+                            m += 1
+                        if m < n and _is_br(children[m]):
+                            break
+                    if not _phrasing_content(nxt):
+                        break
+                    p_children.append(nxt)
+                    k += 1
+                # pop trailing whitespace text and brs (JS _isWhitespace)
+                while p_children and (
+                    _is_ws(p_children[-1]) or _is_br(p_children[-1])
+                ):
+                    p_children.pop()
+                out.append(Element("p", [], p_children))
+                i = k
+                continue
+        out.append(c)
+        i += 1
+    return out, changed
 
 
 # ---------------------------------------------------------------------------
@@ -360,25 +354,31 @@ def _phrasing_content(node) -> bool:
     return False
 
 
+def _is_ws_js(c) -> bool:
+    """JS _isWhitespace: whitespace-only text node OR a <br> element."""
+    return (isinstance(c, str) and c.strip() == "") or _is_br(c)
+
+
 def _wrap_phrasing_children(children: list) -> list:
     """Wrap phrasing runs into <p> with Readability.js semantics
-    (00_original_code.js div-handling loop): whitespace before a run
-    stays *outside* the <p> (the reference drops it, cleaner.ex:310-321,
-    losing inter-block spacing); trailing whitespace of a run flushed by
-    a block element is dropped; a run at the end keeps its tail."""
+    (00_original_code.js div-handling loop): whitespace/brs before a run
+    stay *outside* the <p> (JS _isWhitespace counts <br>; the reference
+    drops the whitespace instead, cleaner.ex:310-321); trailing
+    whitespace of a run flushed by a block element is dropped; a run at
+    the end keeps its tail."""
     acc: list = []
     cur: list | None = None
     for child in children:
         if _phrasing_content(child):
             if cur is not None:
                 cur.append(child)
-            elif not _is_ws(child):
+            elif not _is_ws_js(child):
                 cur = [child]
             else:
                 acc.append(child)
         else:
             if cur is not None:
-                while cur and _is_ws(cur[-1]):
+                while cur and _is_ws_js(cur[-1]):
                     cur.pop()
                 if cur:
                     acc.append(Element("p", [], cur))
@@ -607,6 +607,10 @@ def clean_conditionally(node):
 
 
 def _clean_conditionally_tag(node, tag_name, ctx, is_root):
+    """Post-order (children evaluated/removed before the parent) —
+    equivalent to Readability.js _removeNodes' reverse-document-order
+    iteration; a removed inner node changes the stats its ancestors are
+    judged on. (The reference goes top-down, cleaner.ex:808-848.)"""
     if not isinstance(node, Element):
         return node
     in_code, in_figure, in_data_table = ctx
@@ -616,17 +620,17 @@ def _clean_conditionally_tag(node, tag_name, ctx, is_root):
     in_data_table = in_data_table or node.attr("data-readability-datatable") == "1"
     new_ctx = (in_code, in_figure, in_data_table)
 
-    if tag == tag_name and not is_root and _should_remove_conditionally(
-        node, tag_name, new_ctx
-    ):
-        return None
-
     new_children = []
     for c in node.children:
         r = _clean_conditionally_tag(c, tag_name, new_ctx, False)
         if r is not None:
             new_children.append(r)
     node.children = new_children
+
+    if tag == tag_name and not is_root and _should_remove_conditionally(
+        node, tag_name, new_ctx
+    ):
+        return None
     return node
 
 
@@ -1258,7 +1262,9 @@ def _abs_attr(n: Element, k: str, base_uri: str, absolute_fragments: bool) -> No
         return
     if _RE_PROTO_SKIP.match(v):
         return
-    n.set_attr(k, _to_abs(v, base_uri))
+    # WHATWG URL (JS `new URL(uri, base)`) strips leading/trailing
+    # C0-control-or-space from the input before resolving
+    n.set_attr(k, _to_abs(v.strip(), base_uri))
 
 
 def _abs_srcset(n: Element, base_uri: str) -> None:

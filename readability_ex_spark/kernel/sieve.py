@@ -481,8 +481,10 @@ def _promote_content_ancestor(ps: PassState, top_id: int) -> int:
 
 
 def _promote_single_child(ps: PassState, top_id: int) -> int:
-    """While the (live) parent has exactly one original child, promote
-    (sieve.ex:731-753 uses the build-time child_ids)."""
+    """While the parent has exactly one LIVE element child, promote —
+    Readability.js counts live DOM children after removals
+    (00_original_code.js parentOfTopCandidate.children.length == 1; the
+    reference uses stale build-time child_ids, sieve.ex:745)."""
     cur = top_id
     while True:
         node = ps.get(cur)
@@ -491,7 +493,8 @@ def _promote_single_child(ps: PassState, top_id: int) -> int:
         parent = ps.get(node.parent_id)
         if parent is None or parent.tag == "body":
             return cur
-        if len(parent.child_ids) == 1:
+        live_children = [c for c in parent.child_ids if c not in ps.removed]
+        if len(live_children) == 1:
             cur = parent.id
             continue
         return cur
