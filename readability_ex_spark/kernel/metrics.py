@@ -33,13 +33,19 @@ def link_density(node) -> float:
 
 
 def class_weight(class_: str | None, id_attr: str | None) -> int:
-    """+25 positive / -25 negative on the *concatenated* class+id string —
-    reference semantics (metrics.ex:25-31), range -25..+25 (unlike
-    Readability.js's per-field −50..+50; SURVEY.md §2.A S2)."""
-    s = (class_ or "") + " " + (id_attr or "")
+    """Readability.js _getClassWeight: ±25 for class and ±25 for id
+    *separately* (range −50..+50). The reference concatenates the two
+    fields (metrics.ex:25-31, range ±25) — the fixture goldens encode the
+    per-field behavior (wrapper selection on id'd+classed containers)."""
     w = 0
-    if RE_POSITIVE.search(s):
-        w += 25
-    if RE_NEGATIVE.search(s):
-        w -= 25
+    if class_:
+        if RE_NEGATIVE.search(class_):
+            w -= 25
+        if RE_POSITIVE.search(class_):
+            w += 25
+    if id_attr:
+        if RE_NEGATIVE.search(id_attr):
+            w -= 25
+        if RE_POSITIVE.search(id_attr):
+            w += 25
     return w

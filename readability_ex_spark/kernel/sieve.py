@@ -101,8 +101,10 @@ def grab_article(
 
     top_id = _promote_common_ancestor(ps, top_id, top_candidates, flags)
     top_id = _promote_content_ancestor(ps, top_id)
-    top_id = _promote_article_container(ps, top_id)
-    top_id = _promote_byline_container(ps, top_id)
+    # NB: the reference's promote_article_container (sieve.ex:344-358) and
+    # promote_byline_container (sieve.ex:360-387) are deliberately absent —
+    # they are reference-specific compensations with no Readability.js
+    # counterpart, and they over-promote against the fixture goldens.
 
     article = _build_article_node(ps, top_id)
 
@@ -500,37 +502,8 @@ def _promote_single_child(ps: PassState, top_id: int) -> int:
         return cur
 
 
-def _promote_article_container(ps: PassState, top_id: int) -> int:
-    chain = []
-    cur = top_id
-    while cur is not None:
-        n = ps.get(cur)
-        if n is None:
-            break
-        chain.append(n)
-        cur = n.parent_id
-    matches = [
-        n for n in chain
-        if n.tag in ("section", "article") and _RE_ARTICLE_ID.search(n.id_attr)
-    ]
-    return matches[-1].id if matches else top_id
 
 
-def _promote_byline_container(ps: PassState, top_id: int) -> int:
-    node = ps.get(top_id)
-    if node is None:
-        return top_id
-    parent = ps.get(node.parent_id)
-    if parent is None or parent.tag == "body":
-        return top_id
-    for cid in parent.child_ids:
-        child = ps.get(cid)
-        if child is None:
-            continue
-        s = child.class_ + " " + child.id_attr
-        if RE_BYLINE.search(s) and len(child.text) > 0:
-            return parent.id
-    return top_id
 
 
 # -- sibling joining (S17) -----------------------------------------------------
