@@ -100,7 +100,11 @@ def _run_attempt(
         "length": len(text),
         "excerpt": _decode_html_entities(excerpt),
         "byline": meta.get("byline") or grab["byline"],
-        "dir": meta.get("dir") or grab["dir"],
+        # Readability.js takes dir from the candidate-ancestor crawl only
+        # (the <html> dir is found by the crawl as an ancestor); the
+        # reference prefers the metadata dir (readability_ex.ex:114),
+        # which loses rtl articles inside ltr chrome.
+        "dir": grab["dir"] or meta.get("dir"),
         "site_name": meta.get("site_name"),
         "lang": meta.get("lang"),
         "published_time": meta.get("published_time"),

@@ -600,8 +600,8 @@ def _parse_int(value: str, default: int) -> int:
 # C9: clean_conditionally (cleaner.ex:790-1041)
 # ---------------------------------------------------------------------------
 
-def clean_conditionally(node):
-    for tag in ("form", "fieldset", "table", "ul", "div"):
+def clean_conditionally(node, tags=("form", "fieldset", "table", "ul", "div")):
+    for tag in tags:
         node = _clean_conditionally_tag(node, tag, (False, False, False), True)
     return node
 
@@ -990,26 +990,18 @@ def _continue_link(a: Element) -> bool:
 # ---------------------------------------------------------------------------
 
 def flatten_tables(node):
+    """Single-cell table -> its cell as <p>/<div> (Readability.js
+    _prepArticle tail; the reference's extra lone-<pre> flattening,
+    cleaner.ex:1639-1654, has no JS counterpart and is omitted)."""
     def fn(n):
         if isinstance(n, Element) and n.tag == "table":
             cell = _single_cell_table(n)
             if cell is not None:
                 cell.tag = "p" if _all_phrasing(cell) else "div"
                 return cell
-            return _flatten_code_table(n)
         return n
 
     return dom.traverse_update(node, fn)
-
-
-def _flatten_code_table(table: Element):
-    pres = dom.find(table, "pre")
-    if len(pres) == 1:
-        table_text = dom.text(table).strip()
-        pre_text = dom.text(pres[0]).strip()
-        if table_text != "" and table_text == pre_text:
-            return pres[0]
-    return table
 
 
 def _single_cell_table(table: Element):
@@ -1069,53 +1061,45 @@ def downgrade_h1(node):
 # ---------------------------------------------------------------------------
 
 def simplify_nested_elements(node):
-    def fn(n):
-        if not (isinstance(n, Element) and n.tag in ("div", "section")):
+    """Readability.js _simplifyNestedElements: pre-order walk; a
+    div/section without content is removed; a div/section whose only
+    element child is a div/section is merged into it (parent attrs
+    override child's), re-examining the merged child so chains collapse.
+
+    (The reference's extra branches — photoviewer, #content unwrap,
+    redundant-div-around-p heuristics, cleaner.ex:1402-1460 — are
+    compensations without a JS counterpart and are omitted.)"""
+    def simplify(n):
+        if not isinstance(n, Element):
             return n
-        id_attr = n.attr("id")
-        readability_id = id_attr != "" and id_attr.startswith("readability")
-        if readability_id:
-            return n
-        if _element_without_content(n):
-            return None
-        if _has_single_tag_inside(n, "div") or _has_single_tag_inside(n, "section"):
-            child = _first_element_child(n)
-            merged = _merge_attrs_override(list(child.attrs), n.attrs)
-            child.attrs = merged
-            return child
-        if (
-            n.attr("data-testid") == "photoviewer-children"
-            and len(n.element_children()) == 1
+        while (
+            isinstance(n, Element)
+            and n.tag in ("div", "section")
+            and not n.attr("id").startswith("readability")
         ):
-            return n.element_children()[0]
-        if n.attr("id") == "content" and _only_whitespace_text(n.children):
-            child = n.element_children()[0]
-            if child.attr("id") == "content-main":
-                return Element("div", list(child.attrs), child.children)
-            n.children = child.children
-            return n
-        if _redundant_div_with_p(n):
-            # reference returns List.first(children) (cleaner.ex:1436-1437)
-            # which could be a whitespace text node; we return the single
-            # <p> element child (the intended unwrap target)
-            return n.element_children()[0]
-        meaningful_text = _direct_text(n.children)
-        preserve = _preserve_wrapper(n)
-        child_structural = [
-            c for c in n.element_children() if c.tag in ("div", "section")
-        ]
-        if (
-            not preserve
-            and not meaningful_text
-            and len(child_structural) == 1
-            and _only_whitespace_text(n.children)
-        ):
-            child = child_structural[0]
-            child.attrs = _merge_attrs(list(child.attrs), n.attrs)
-            return child
+            if _element_without_content(n):
+                return None
+            if _has_single_tag_inside(n, "div") or _has_single_tag_inside(
+                n, "section"
+            ):
+                child = _first_element_child(n)
+                for k, v in n.attrs:
+                    child.set_attr(k, v)
+                n = child
+                continue
+            break
+        if isinstance(n, Element):
+            new_children = []
+            for c in n.children:
+                r = simplify(c)
+                if r is not None:
+                    new_children.append(r)
+            n.children = new_children
         return n
 
-    return dom.traverse_update(node, fn)
+    if isinstance(node, list):
+        return [r for r in (simplify(c) for c in node) if r is not None]
+    return simplify(node)
 
 
 def _direct_text(children) -> bool:
@@ -1329,26 +1313,19 @@ def replace_javascript_links(node):
 # ---------------------------------------------------------------------------
 
 def remove_empty_nodes(node):
+    """Remove <p> with no img/embed/object/iframe and no trimmed text
+    (Readability.js _prepArticle 'Remove extra paragraphs')."""
     def fn(n):
-        if isinstance(n, Element) and _empty_node(n):
+        if (
+            isinstance(n, Element)
+            and n.tag == "p"
+            and not dom.find(n, "img,embed,object,iframe")
+            and dom.text(n).strip() == ""
+        ):
             return None
         return n
 
     return dom.traverse_update(node, fn)
-
-
-def _empty_node(n: Element) -> bool:
-    if _preserve_wrapper(n):
-        return False
-    if dom.text(n.children).strip() != "":
-        return False
-    if n.tag == "p":
-        has_media = bool(dom.find(n, "img,video,audio,svg,iframe,object,embed"))
-    else:
-        has_media = bool(dom.find(n, "img,video,audio,svg,iframe,object,embed,br"))
-    if has_media:
-        return False
-    return n.tag == "p"
 
 
 # ---------------------------------------------------------------------------

@@ -111,33 +111,33 @@ def grab_article(
     preserve_classes = None if opts.get("keep_classes") else opts.get(
         "preserve_classes"
     )
+    # Cleaner chain in the exact Readability.js _prepArticle +
+    # _postProcessContent order (00_original_code.js). The reference's
+    # extra cleaners (remove_semantic_junk, wrap_continue_links,
+    # remove_title_headers, unwrap_content_main, code-table flattening —
+    # sieve.ex:44-78) have no JS counterpart and are omitted; our
+    # index-level drops already reach the output.
     cleaned = article
     cleaned = cleaner.clean_styles(cleaned)
     cleaned = cleaner.mark_data_tables(cleaned)
     cleaned = cleaner.fix_lazy_images(cleaned)
-    cleaned = cleaner.remove_semantic_junk(cleaned)
-    for t in ("form", "fieldset", "object", "embed", "footer", "link", "aside"):
+    if has_flag(flags, FLAG_CLEAN_CONDITIONALLY):
+        cleaned = cleaner.clean_conditionally(cleaned, ("form", "fieldset"))
+    for t in ("object", "embed", "footer", "link", "aside"):
         cleaned = cleaner.clean_tag(cleaned, t)
     cleaned = cleaner.clean_share_elements(cleaned, DEFAULT_CHAR_THRESHOLD)
     for t in ("iframe", "input", "textarea", "select", "button"):
         cleaned = cleaner.clean_tag(cleaned, t)
-    # NB: no remove_title_headers here — the S9 drop above already removed
-    # the one title-duplicating header from the output (Readability.js
-    # removes exactly one, 00_original_code.js:1067,1115-1121; the
-    # reference needs the C7 cleaner pass, sieve.ex:63, only because its
-    # index-level drops don't reach the serialized output)
     cleaned = cleaner.clean_headers(cleaned)
     if has_flag(flags, FLAG_CLEAN_CONDITIONALLY):
-        cleaned = cleaner.clean_conditionally(cleaned)
-    cleaned = cleaner.wrap_continue_links(cleaned)
-    cleaned = cleaner.flatten_tables(cleaned)
+        cleaned = cleaner.clean_conditionally(cleaned, ("table", "ul", "div"))
     cleaned = cleaner.downgrade_h1(cleaned)
-    cleaned = cleaner.simplify_nested_elements(cleaned)
-    cleaned = cleaner.unwrap_content_main(cleaned)
-    cleaned = cleaner.absolutize_uris(cleaned, base_uri, absolute_fragments)
-    cleaned = cleaner.replace_javascript_links(cleaned)
     cleaned = cleaner.remove_empty_nodes(cleaned)
     cleaned = cleaner.remove_br_before_p(cleaned)
+    cleaned = cleaner.flatten_tables(cleaned)
+    # _postProcessContent
+    cleaned = cleaner.absolutize_uris(cleaned, base_uri, absolute_fragments)
+    cleaned = cleaner.replace_javascript_links(cleaned)
     cleaned = cleaner.simplify_nested_elements(cleaned)
     cleaned = cleaner.strip_attributes_and_classes(cleaned, preserve_classes)
 
@@ -703,14 +703,25 @@ def _fallback_byline(ps: PassState, root_id: int) -> str | None:
 
 
 def _get_direction(ps: PassState, top_id: int) -> str | None:
-    """Walk live ancestors for a non-empty dir (metadata.ex:76-94 on the
-    pass-filtered state)."""
-    cur = top_id
+    """Article direction per Readability.js: check the top candidate's
+    PARENT first, then the top candidate, then the parent's ancestors
+    (00_original_code.js 'Find out text direction from ancestors')."""
+    top = ps.nodes.get(top_id)
+    if top is None:
+        return None
+    order = []
+    parent = ps.nodes.get(top.parent_id) if top.parent_id else None
+    if parent is not None:
+        order.append(parent)
+    order.append(top)
+    cur = parent.parent_id if parent is not None else None
     while cur is not None:
-        n = ps.get(cur)
+        n = ps.nodes.get(cur)
         if n is None:
-            return None
+            break
+        order.append(n)
+        cur = n.parent_id
+    for n in order:
         if n.dir:
             return n.dir
-        cur = n.parent_id
     return None
