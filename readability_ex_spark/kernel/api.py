@@ -73,6 +73,8 @@ def parse(html: str | bytes, **opts) -> dict:
     best = result
     if best is None and attempts:
         best = max(attempts, key=lambda a: a["length"])
+        if best["length"] == 0:
+            best = None  # JS: all attempts empty -> not readable
     if best is None:
         raise NotReadable("not_readable")
     best.pop("_pass_ok", None)

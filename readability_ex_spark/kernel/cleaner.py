@@ -116,16 +116,15 @@ def remove_scripts(doc: list) -> list:
 # ---------------------------------------------------------------------------
 
 def prep_document(doc: list) -> list:
+    """Readability.js _prepDocument: remove styles, convert double-br
+    runs to paragraphs, font->span. (Div->p conversion happens inside the
+    grab walk — sieve._convert_divs — not here; the reference's prep-time
+    conversion, cleaner.ex:142, sees pre-removal content and diverges.)"""
     doc = remove_head_styles(doc)
     doc = remove_comments(doc)
     doc = normalize_text_nodes(doc)
-    doc = replace_font_tags(doc)
     doc = replace_brbr_with_p(doc)
-    # NB: no remove_redundant_brs — reference-specific (cleaner.ex:169-187),
-    # absent from Readability.js; stray <br>s are handled by
-    # remove_br_before_p in the post chain like JS does.
-    doc = convert_divs_to_paragraphs(doc)
-    doc = fix_lazy_images(doc)
+    doc = replace_font_tags(doc)
     return doc
 
 
@@ -198,10 +197,15 @@ def normalize_text_nodes(doc: list) -> list:
 
 
 def _merge_text_children(children: list) -> list:
+    """Plain concatenation of adjacent text nodes (DOM textContent
+    semantics). The reference's language-aware space insertion
+    (cleaner.ex:221-258) compensates for its parser splitting text at
+    entity boundaries; our parser doesn't split, so inserting spaces
+    would corrupt text."""
     out: list = []
     for child in children:
         if isinstance(child, str) and out and isinstance(out[-1], str):
-            out[-1] = _join_text(out[-1], child)
+            out[-1] = out[-1] + child
         else:
             out.append(child)
     return out

@@ -1,20 +1,28 @@
-"""The sieve: filtering, scoring, candidate promotion, sibling joining,
-and the post-processing cleaner chain (reference: sieve.ex).
+"""The sieve: grab-article walk, scoring, candidate promotion, sibling
+joining, and the post-processing cleaner chain.
 
-State model: the node table (index.build) is immutable and shared across
-the four flag passes (readability_ex.ex:33-64); each pass keeps its own
-``removed`` id set and score maps (the reference filters copies of the
-state map — same semantics, ids only). Output honors removals: subtrees
-whose root id is in ``removed`` are excluded when the article is copied
-for cleaning (Readability.js DOM-mutation semantics; the fixture goldens
-encode that behavior).
+Mirrors Readability.js _grabArticle (00_original_code.js; the reference's
+sieve.ex re-expresses the same stages over its node table):
+
+1. one pre-order walk over the shared node table applying, per node:
+   visibility -> modal -> byline -> title-duplicate header -> unlikely
+   (class/id + roles, flag-gated) -> empty containers;
+2. a pass-private tree copy with the removals applied;
+3. in-walk div conversion (phrasing runs wrapped into <p>, div-with-
+   single-p replaced, divs without block descendants re-tagged <p>);
+4. a second node index over the converted tree for scoring, top-candidate
+   selection, promotions, and sibling joining;
+5. the cleaner chain in _prepArticle/_postProcessContent order.
+
+The node table is immutable and shared across the four flag passes
+(readability_ex.ex:33-64); each pass owns its removal set and tree copy.
 """
 
 from __future__ import annotations
 
 import re
 
-from readability_ex_spark.kernel import cleaner, dom, metrics
+from readability_ex_spark.kernel import cleaner, dom, index as index_mod, metrics
 from readability_ex_spark.kernel.constants import (
     CANDIDATE_TAGS,
     DEFAULT_CHAR_THRESHOLD,
@@ -23,53 +31,48 @@ from readability_ex_spark.kernel.constants import (
     FLAG_WEIGHT_CLASSES,
     RE_BYLINE,
     RE_COMMAS,
-    RE_NEGATIVE,
     RE_OK_MAYBE,
     RE_UNLIKELY,
     TAG_SCORE_BASE,
+    UNLIKELY_ROLES,
     has_flag,
 )
 from readability_ex_spark.kernel.dom import Comment, Doctype, Element
 from readability_ex_spark.kernel.index import Node
 
-_RE_ARTICLE_ID = re.compile(r"\bnews-article\b|\bstory\b", re.I | re.A)
-_RE_TRAILING_DASH = re.compile(r"\s*[\-–—]+$", re.A)
-_RE_BY_PREFIX = re.compile(r"^(par|by)\b", re.I | re.A)
-_RE_AUTEUR = re.compile(r"\bauteur\b", re.I | re.A)
-_RE_AUTHORNAME = re.compile(r"\bauthorname\b", re.I | re.A)
-_RE_PAR_X = re.compile(r"^Par\s+\S+", re.I | re.A)
-# Readability.js keeps short sibling <p>s only on /\.( |$)/
-# (00_original_code.js:1502); the reference widened it to [.?!]
-# (sieve.ex:483) — goldens follow JS.
-_RE_SENT_END = re.compile(r"\.( |$)", re.A)
 _RE_WS = re.compile(r"\s+", re.A)
+# Readability.js keeps short sibling <p>s only on /\.( |$)/
+_RE_SENT_END = re.compile(r"\.( |$)", re.A)
+
+# DIV_TO_P_ELEMS (00_original_code.js): block markers for the recursive
+# has-child-block check driving div->p conversion
+_DIV_TO_P_ELEMS = frozenset(
+    ["blockquote", "dl", "div", "img", "ol", "p", "pre", "table", "ul"]
+)
+
+_EMPTYABLE_TAGS = frozenset(
+    ["div", "section", "header", "h1", "h2", "h3", "h4", "h5", "h6"]
+)
+
+_ALTER_KEEP = frozenset(["div", "article", "section", "p", "ol", "ul"])
 
 
 class PassState:
-    """Per-pass view over the shared node table."""
+    """View over a node table; ``removed`` is only used for stage-1."""
 
-    __slots__ = ("nodes", "el_ids", "removed", "score", "content_score",
-                 "is_candidate")
+    __slots__ = ("nodes", "el_ids", "removed", "score", "is_candidate")
 
     def __init__(self, nodes: dict[int, Node], el_ids: dict[int, int]):
         self.nodes = nodes
         self.el_ids = el_ids
         self.removed: set[int] = set()
         self.score: dict[int, float] = {}
-        self.content_score: dict[int, float] = {}
         self.is_candidate: set[int] = set()
 
     def get(self, nid) -> Node | None:
         if nid is None or nid in self.removed:
             return None
         return self.nodes.get(nid)
-
-    def live_ids(self):
-        """Document order (ids are DFS pre-order)."""
-        return (i for i in self.nodes if i not in self.removed)
-
-    def remove(self, nid: int) -> None:
-        self.removed.add(nid)
 
 
 def grab_article(
@@ -82,41 +85,38 @@ def grab_article(
     opts: dict,
     meta: dict,
 ):
-    """sieve.ex:17-88. Returns dict or None (no candidate)."""
+    """One flag pass. Returns result dict or None (nothing to extract)."""
     ps = PassState(nodes, el_ids)
+    byline = _grab_walk(ps, flags, article_title, meta)
 
-    _drop_hidden(ps)
-    _drop_aria_roles(ps)
-    _drop_modal_dialogs(ps)
-    if has_flag(flags, FLAG_STRIP_UNLIKELYS):
-        _strip_unlikely(ps)
-    _drop_empty_containers(ps)
-    byline = _drop_bylines(ps, meta)
-    _drop_title_duplicates(ps, article_title)
+    # pass-private tree with removals applied
+    roots: list = []
+    for nid, n in nodes.items():
+        if n.parent_id is None:
+            el = _copy_subtree_live(ps, n.el)
+            if el is not None:
+                roots.append(el)
+    if not roots:
+        return None
+    _convert_divs(roots)
 
-    _score_candidates(ps, flags)
-    top_id, top_candidates = _pick_top_candidate(ps, opts)
+    nodes2, el_ids2 = index_mod.build(roots)
+    ps2 = PassState(nodes2, el_ids2)
+    _score_candidates(ps2, flags)
+    top_id = _pick_top_candidate(ps2, opts, flags)
     if top_id is None:
         return None
 
-    top_id = _promote_common_ancestor(ps, top_id, top_candidates, flags)
-    top_id = _promote_content_ancestor(ps, top_id)
-    # NB: the reference's promote_article_container (sieve.ex:344-358) and
-    # promote_byline_container (sieve.ex:360-387) are deliberately absent —
-    # they are reference-specific compensations with no Readability.js
-    # counterpart, and they over-promote against the fixture goldens.
-
-    article = _build_article_node(ps, top_id)
+    article = _build_article_node(ps2, top_id)
 
     preserve_classes = None if opts.get("keep_classes") else opts.get(
         "preserve_classes"
     )
     # Cleaner chain in the exact Readability.js _prepArticle +
-    # _postProcessContent order (00_original_code.js). The reference's
-    # extra cleaners (remove_semantic_junk, wrap_continue_links,
-    # remove_title_headers, unwrap_content_main, code-table flattening —
-    # sieve.ex:44-78) have no JS counterpart and are omitted; our
-    # index-level drops already reach the output.
+    # _postProcessContent order. The reference's extra cleaners
+    # (remove_semantic_junk, wrap_continue_links, remove_title_headers,
+    # unwrap_content_main, code-table flattening — sieve.ex:44-78) have no
+    # JS counterpart and are omitted.
     cleaned = article
     cleaned = cleaner.clean_styles(cleaned)
     cleaned = cleaner.mark_data_tables(cleaned)
@@ -144,65 +144,116 @@ def grab_article(
     return {
         "content_html": dom.raw_html(cleaned),
         "text": dom.text(cleaned),
-        "byline": byline if byline is not None else _find_byline_near(ps, top_id),
-        "dir": _get_direction(ps, top_id),
+        "byline": byline,
+        "dir": _get_direction(ps2, top_id),
     }
 
 
-# -- drops (S3-S9) -----------------------------------------------------------
+# -- stage 1: the grab walk ---------------------------------------------------
 
-def _drop_hidden(ps: PassState) -> None:
-    for nid in list(ps.live_ids()):
-        if ps.nodes[nid].hidden:
-            ps.remove(nid)
+def _grab_walk(ps: PassState, flags: int, article_title: str, meta) -> str | None:
+    """Pre-order walk applying the per-node removal rules in the JS order.
+    Returns the byline captured from a removed byline node (if any)."""
+    strip = has_flag(flags, FLAG_STRIP_UNLIKELYS)
+    meta_byline = meta.get("byline")
+    have_byline = isinstance(meta_byline, str) and meta_byline.strip() != ""
+    byline: str | None = None
+    title = (article_title or "").strip()
+    should_remove_title_header = bool(title)
 
+    nodes = ps.nodes
+    removed = ps.removed
+    skip_until: int | None = None  # skip descendants of a removed subtree
 
-_UNLIKELY_ROLES = frozenset(
-    ["menu", "menubar", "complementary", "navigation", "alert", "alertdialog",
-     "dialog"]
-)
+    for nid in nodes:  # ids are DFS pre-order
+        n = nodes[nid]
+        if skip_until is not None:
+            if _is_descendant(nodes, nid, skip_until):
+                continue
+            skip_until = None
 
+        def remove() -> None:
+            removed.add(nid)
 
-def _drop_aria_roles(ps: PassState) -> None:
-    for nid in list(ps.live_ids()):
-        r = ps.nodes[nid].role.lower()
-        if r != "" and r in _UNLIKELY_ROLES:
-            ps.remove(nid)
-
-
-def _drop_modal_dialogs(ps: PassState) -> None:
-    for nid in list(ps.live_ids()):
-        n = ps.nodes[nid]
+        if n.hidden:
+            remove()
+            skip_until = nid
+            continue
         if (
             n.el.attr("aria-modal").lower() == "true"
             and n.role.lower() == "dialog"
         ):
-            ps.remove(nid)
-
-
-def _strip_unlikely(ps: PassState) -> None:
-    for nid in list(ps.live_ids()):
-        n = ps.nodes[nid]
-        s = n.class_ + " " + n.id_attr
+            remove()
+            skip_until = nid
+            continue
+        match_string = n.class_ + " " + n.id_attr
+        if byline is None and not have_byline and _is_valid_byline(n, match_string):
+            byline = n.text.strip()
+            remove()
+            skip_until = nid
+            continue
         if (
-            RE_UNLIKELY.search(s)
-            and not RE_OK_MAYBE.search(s)
-            and not _has_ancestor_tag(ps, nid, "table")
-            and not _has_ancestor_tag(ps, nid, "code")
-            and n.tag not in ("body", "a")
+            should_remove_title_header
+            and n.tag in ("h1", "h2")
+            and cleaner.text_similarity(title, n.text.strip()) > 0.75
         ):
-            ps.remove(nid)
+            should_remove_title_header = False
+            remove()
+            skip_until = nid
+            continue
+        if strip:
+            if (
+                RE_UNLIKELY.search(match_string)
+                and not RE_OK_MAYBE.search(match_string)
+                and not _has_ancestor_tag(ps, nid, "table")
+                and not _has_ancestor_tag(ps, nid, "code")
+                and n.tag not in ("body", "a")
+            ):
+                remove()
+                skip_until = nid
+                continue
+            if n.role in UNLIKELY_ROLES:
+                remove()
+                skip_until = nid
+                continue
+        if n.tag in _EMPTYABLE_TAGS and _element_without_content(n):
+            remove()
+            skip_until = nid
+            continue
+    return byline
+
+
+def _is_descendant(nodes: dict[int, Node], nid: int, ancestor_id: int) -> bool:
+    cur = nodes[nid].parent_id
+    while cur is not None:
+        if cur == ancestor_id:
+            return True
+        if cur < ancestor_id:
+            return False
+        cur = nodes[cur].parent_id
+    return False
+
+
+def _is_valid_byline(n: Node, match_string: str) -> bool:
+    """Readability.js _checkByline + _isValidByline."""
+    rel = n.el.attr("rel").lower()
+    itemprop = n.el.attr("itemprop").lower()
+    if not (
+        rel == "author" or "author" in itemprop or RE_BYLINE.search(match_string)
+    ):
+        return False
+    blen = len(n.text.strip())
+    return 0 < blen < 100
 
 
 def _has_ancestor_tag(ps: PassState, nid: int, tag: str) -> bool:
-    """Up to 4 ancestor levels; chain stops past a removed node
-    (sieve.ex:678-691)."""
+    """Up to 4 ancestor levels (JS _hasAncestorTag default depth)."""
     node = ps.nodes.get(nid)
     pid = node.parent_id if node else None
     for _ in range(4):
         if pid is None:
             return False
-        pn = ps.get(pid)  # None if removed: chain stops there
+        pn = ps.get(pid)
         if pn is None:
             return False
         if pn.tag == tag:
@@ -211,110 +262,112 @@ def _has_ancestor_tag(ps: PassState, nid: int, tag: str) -> bool:
     return False
 
 
-def _drop_empty_containers(ps: PassState) -> None:
-    for nid in list(ps.live_ids()):
-        n = ps.nodes[nid]
-        if n.tag in ("div", "section", "header", "h1", "h2", "h3", "h4", "h5", "h6"):
-            if n.text.strip() != "":
-                continue
-            elements = n.el.element_children()
-            br_hr = sum(1 for e in elements if e.tag in ("br", "hr"))
-            if len(elements) == 0 or len(elements) == br_hr:
-                ps.remove(nid)
+def _element_without_content(n: Node) -> bool:
+    """JS _isElementWithoutContent: no trimmed text and either no element
+    children or exactly as many as there are br+hr DESCENDANTS (sic)."""
+    if n.text.strip() != "":
+        return False
+    elements = n.el.element_children()
+    if not elements:
+        return True
+    return len(elements) == len(dom.find(n.el, "br,hr"))
 
 
-def _drop_bylines(ps: PassState, meta: dict) -> str | None:
-    """sieve.ex:791-838; returns byline text if a node was consumed."""
-    byline = meta.get("byline")
-    if isinstance(byline, str) and byline.strip() != "":
+def _copy_subtree_live(ps: PassState, el: Element) -> Element | None:
+    nid = ps.el_ids.get(id(el))
+    if nid is not None and nid in ps.removed:
         return None
-    root_id = _find_root_id(ps)
-    if root_id is not None:
-        nodes_in_order = _collect_nodes_in_order(ps, root_id)
-    else:
-        nodes_in_order = [ps.nodes[i] for i in ps.live_ids()]
-
-    candidates = [n for n in nodes_in_order if _valid_byline_node(n)]
-    chosen = None
-    for n in candidates:
-        if _RE_BY_PREFIX.match(_normalize_byline_text(n.text)):
-            chosen = n
-            break
-    if chosen is None and candidates:
-        chosen = candidates[0]
-    if chosen is None:
-        return None
-    text = _find_itemprop_name(chosen.el)
-    if text is None:
-        text = chosen.text
-    ps.remove(chosen.id)
-    return _normalize_byline_text(text)
+    kids = []
+    for c in el.children:
+        if isinstance(c, Element):
+            cc = _copy_subtree_live(ps, c)
+            if cc is not None:
+                kids.append(cc)
+        elif isinstance(c, Comment):
+            kids.append(Comment(c.data))
+        elif isinstance(c, Doctype):
+            kids.append(Doctype(c.data))
+        else:
+            kids.append(c)
+    return Element(el.tag, list(el.attrs), kids)
 
 
-def _valid_byline_node(n: Node) -> bool:
-    match_string = n.class_ + " " + n.id_attr
-    rel = n.el.attr("rel").lower()
-    itemprop = n.el.attr("itemprop").lower()
-    blen = len(n.text.strip())
-    return (
-        rel == "author"
-        or "author" in itemprop
-        or bool(RE_BYLINE.search(match_string))
-    ) and 0 < blen < 100
+# -- stage 2: div conversion (in the JS grab walk) ----------------------------
+
+def _convert_divs(roots: list) -> None:
+    for i, r in enumerate(roots):
+        if isinstance(r, Element):
+            roots[i] = _convert_node(r)
 
 
-def _normalize_byline_text(text: str) -> str:
-    return _RE_TRAILING_DASH.sub("", text.strip()).strip()
+def _convert_node(el: Element) -> Element:
+    if el.tag == "div":
+        el.children = _wrap_phrasing_runs(el.children)
+        p_child = _single_p_child(el)
+        if p_child is not None and metrics.link_density(el) < 0.25:
+            # replace the div with its lone <p> (no attr merge — JS
+            # replaceChild keeps only the child)
+            el = p_child
+        elif not _has_child_block(el):
+            el.tag = "p"
+    el.children = [
+        _convert_node(c) if isinstance(c, Element) else c for c in el.children
+    ]
+    return el
 
 
-def _find_itemprop_name(el: Element) -> str | None:
-    for node in dom.find(el, "[itemprop]"):
-        if "name" in node.attr("itemprop").lower():
-            t = dom.text(node).strip()
-            if t != "":
-                return t
-    return None
-
-
-def _find_root_id(ps: PassState) -> int | None:
-    for nid in ps.live_ids():
-        if ps.nodes[nid].tag == "html":
-            return nid
-    for nid in ps.live_ids():
-        if ps.nodes[nid].tag == "body":
-            return nid
-    return None
-
-
-def _collect_nodes_in_order(ps: PassState, root_id: int) -> list[Node]:
-    out: list[Node] = []
-
-    def rec(nid):
-        n = ps.get(nid)
-        if n is None:
-            return
-        out.append(n)
-        for cid in n.child_ids:
-            rec(cid)
-
-    rec(root_id)
+def _wrap_phrasing_runs(children: list) -> list:
+    """Consecutive phrasing nodes -> <p>, edge whitespace/brs of each run
+    dropped entirely (JS fragment trim)."""
+    out: list = []
+    i = 0
+    n = len(children)
+    while i < n:
+        c = children[i]
+        if cleaner._phrasing_content(c):
+            j = i
+            run = []
+            while j < n and cleaner._phrasing_content(children[j]):
+                run.append(children[j])
+                j += 1
+            start, end = 0, len(run)
+            while start < end and cleaner._is_ws_js(run[start]):
+                start += 1
+            while end > start and cleaner._is_ws_js(run[end - 1]):
+                end -= 1
+            trimmed = run[start:end]
+            if trimmed:
+                if len(trimmed) == len(run) == 1 and isinstance(
+                    trimmed[0], Element
+                ) and trimmed[0].tag == "p":
+                    out.append(trimmed[0])  # already a paragraph
+                else:
+                    out.append(Element("p", [], trimmed))
+            i = j
+        else:
+            out.append(c)
+            i += 1
     return out
 
 
-def _drop_title_duplicates(ps: PassState, title: str) -> None:
-    title = (title or "").strip()
-    if title == "":
-        return
-    matching = [
-        nid for nid in ps.live_ids()
-        if ps.nodes[nid].tag in ("h1", "h2")
-        and cleaner.text_similarity(title, ps.nodes[nid].text) > 0.75
-    ]
-    if matching:
-        ps.remove(min(matching))
+def _single_p_child(el: Element):
+    elements = el.element_children()
+    if len(elements) == 1 and elements[0].tag == "p":
+        if all(not isinstance(c, str) or c.strip() == "" for c in el.children):
+            return elements[0]
+    return None
 
 
-# -- scoring (S10-S11) --------------------------------------------------------
+def _has_child_block(el: Element) -> bool:
+    """JS _hasChildBlockElement: recursive over all descendants."""
+    for c in el.children:
+        if isinstance(c, Element):
+            if c.tag in _DIV_TO_P_ELEMS or _has_child_block(c):
+                return True
+    return False
+
+
+# -- stage 3: scoring ---------------------------------------------------------
 
 def _class_weight(n: Node, flags: int) -> int:
     if has_flag(flags, FLAG_WEIGHT_CLASSES):
@@ -322,151 +375,106 @@ def _class_weight(n: Node, flags: int) -> int:
     return 0
 
 
-def _ancestor_ids(ps: PassState, nid: int, max_depth: int) -> list[int]:
-    """Parent chain; includes a removed ancestor id (skipped by the caller)
-    but stops the walk there (sieve.ex:670-676)."""
-    out = []
-    node = ps.nodes.get(nid)
-    pid = node.parent_id if node else None
-    while pid is not None and len(out) < max_depth:
-        out.append(pid)
-        pn = ps.nodes.get(pid)
-        if pid in ps.removed or pn is None:
-            break
-        pid = pn.parent_id
-    return out
+def _initialize(ps: PassState, nid: int, flags: int) -> None:
+    n = ps.nodes[nid]
+    ps.is_candidate.add(nid)
+    ps.score[nid] = float(TAG_SCORE_BASE.get(n.tag, 0) + _class_weight(n, flags))
 
 
 def _score_candidates(ps: PassState, flags: int) -> None:
-    for nid in list(ps.live_ids()):
-        n = ps.nodes[nid]
-        # innerText semantics (trim + collapse) per Readability.js
-        if n.tag not in CANDIDATE_TAGS or len(n.norm_text) < 25:
+    nodes = ps.nodes
+    for nid, n in nodes.items():
+        if n.tag not in CANDIDATE_TAGS:
             continue
-        comma_segments = len(RE_COMMAS.split(n.norm_text))
-        len_bonus = min(float(len(n.norm_text) // 100), 3.0)
-        content_score = 1.0 + comma_segments + len_bonus
-        for level, ancestor_id in enumerate(_ancestor_ids(ps, nid, 5)):
-            anc = ps.get(ancestor_id)
-            if anc is None:
-                continue
-            if ancestor_id not in ps.is_candidate:
-                base = float(
-                    TAG_SCORE_BASE.get(anc.tag, 0) + _class_weight(anc, flags)
-                )
-                ps.is_candidate.add(ancestor_id)
-                ps.score[ancestor_id] = base
-                ps.content_score[ancestor_id] = base
-            divider = 1 if level == 0 else (2 if level == 1 else level * 3)
-            add = content_score / divider
-            ps.score[ancestor_id] = ps.score.get(ancestor_id, 0.0) + add
-            ps.content_score[ancestor_id] = (
-                ps.content_score.get(ancestor_id, 0.0) + add
-            )
-
-
-def _pick_top_candidate(ps: PassState, opts: dict):
-    """sieve.ex:225-261: final score scaled by (1 - link_density)."""
-    cand_ids = [
-        nid for nid in ps.live_ids()
-        if nid in ps.is_candidate
-        and ps.nodes[nid].tag not in ("html", "body", "head")
-    ]
-    for nid in cand_ids:
-        final = ps.content_score.get(nid, 0.0) * (
-            1.0 - ps.nodes[nid].link_density
+        if n.parent_id is None:
+            continue
+        if len(n.norm_text) < 25:
+            continue
+        content_score = (
+            1.0
+            + len(RE_COMMAS.split(n.norm_text))
+            + min(float(len(n.norm_text) // 100), 3.0)
         )
-        ps.score[nid] = final
-        ps.content_score[nid] = final
+        level = 0
+        pid = n.parent_id
+        while pid is not None and level < 5:
+            anc = nodes[pid]
+            # JS skips ancestors without an element parent (the root)
+            if anc.parent_id is None:
+                break
+            if pid not in ps.is_candidate:
+                _initialize(ps, pid, flags)
+            divider = 1 if level == 0 else (2 if level == 1 else level * 3)
+            ps.score[pid] += content_score / divider
+            pid = anc.parent_id
+            level += 1
+
+
+def _pick_top_candidate(ps: PassState, opts: dict, flags: int) -> int | None:
+    """Final score scaled by (1 - link_density); top-5 kept; body/None
+    falls back to wrapping the whole page (JS neededToCreateTopCandidate
+    is modeled by the body special-case in _build_article_node)."""
+    for nid in ps.is_candidate:
+        ps.score[nid] = ps.score[nid] * (1.0 - ps.nodes[nid].link_density)
 
     nb_top = opts.get("nb_top_candidates", 5)
-    top_candidates = sorted(
-        cand_ids, key=lambda i: (-ps.score.get(i, 0.0), i)
-    )[:nb_top]
+    ranked = sorted(ps.is_candidate, key=lambda i: (-ps.score[i], i))
+    top_candidates = ranked[:nb_top]
     top_id = top_candidates[0] if top_candidates else None
 
-    if top_id is None or ps.score.get(top_id, 0.0) <= 0.0:
+    if top_id is None or ps.nodes[top_id].tag == "body":
         body_id = next(
-            (nid for nid in ps.live_ids() if ps.nodes[nid].tag == "body"), None
+            (nid for nid, n in ps.nodes.items() if n.tag == "body"), None
         )
-        return (body_id if body_id is not None else top_id), top_candidates
-    return top_id, top_candidates
+        if body_id is None:
+            # no <body> element: treat the document root as the page
+            body_id = next(iter(ps.nodes), None)
+        return body_id
+
+    # common-ancestor promotion (alternative candidates)
+    top_score = max(0.0001, ps.score.get(top_id, 0.0))
+    alternative_ancestors = [
+        set(_ancestors_of(ps, cid))
+        for cid in top_candidates[1:]
+        if ps.score.get(cid, 0.0) / top_score >= 0.75
+    ]
+    if len(alternative_ancestors) >= 3:
+        pid = ps.nodes[top_id].parent_id
+        while pid is not None:
+            parent = ps.nodes.get(pid)
+            if parent is None or parent.tag == "body":
+                break
+            containing = sum(1 for chain in alternative_ancestors if pid in chain)
+            if containing >= 3:
+                top_id = pid
+                break
+            pid = parent.parent_id
+    if top_id not in ps.is_candidate:
+        _initialize(ps, top_id, flags)
+
+    # parent-score promotion
+    top_id = _promote_content_ancestor(ps, top_id)
+    # single-child promotion
+    top_id = _promote_single_child(ps, top_id)
+    return top_id
 
 
-# -- promotions (S12-S16) ------------------------------------------------------
-
-def _ensure_initialized(ps: PassState, nid: int, flags: int) -> None:
-    n = ps.get(nid)
-    if n is None or nid in ps.is_candidate:
-        return
-    base = float(TAG_SCORE_BASE.get(n.tag, 0) + _class_weight(n, flags))
-    ps.is_candidate.add(nid)
-    ps.score[nid] = base
-    ps.content_score[nid] = base
-
-
-def _ancestor_chain(ps: PassState, nid: int) -> list[int]:
-    """Chain including self, stopping past removed (sieve.ex:397-410)."""
+def _ancestors_of(ps: PassState, nid: int) -> list[int]:
     out = []
-    cur = nid
+    cur = ps.nodes[nid].parent_id
     while cur is not None:
         out.append(cur)
-        n = ps.get(cur)
-        cur = n.parent_id if n is not None else None
+        cur = ps.nodes[cur].parent_id
     return out
 
 
-def _promote_common_ancestor(ps, top_id, top_candidates, flags):
-    top = ps.get(top_id)
-    if top is None:
-        return top_id
-    top_score = max(0.0001, ps.score.get(top_id, 0.0))
-    alternative = [
-        cid for cid in top_candidates[1:]
-        if ps.get(cid) is not None
-        and ps.score.get(cid, 0.0) / top_score >= 0.75
-    ]
-    alternative_ancestors = [_ancestor_chain(ps, cid) for cid in alternative]
-    min_candidates = 3
-    new_top = top_id
-    if len(alternative_ancestors) >= min_candidates:
-        found = _find_common_ancestor(
-            ps, top.parent_id, alternative_ancestors, min_candidates
-        )
-        if found is not None:
-            new_top = found
-    _ensure_initialized(ps, new_top, flags)
-    return new_top
-
-
-def _find_common_ancestor(ps, parent_id, alternative_ancestors, min_candidates):
-    while True:
-        parent = ps.get(parent_id)
-        if parent is None:
-            return None
-        if parent.tag == "body":
-            return None
-        containing = sum(
-            1 for chain in alternative_ancestors if parent_id in chain
-        )
-        if containing >= min_candidates:
-            return parent_id
-        parent_id = parent.parent_id
-
-
 def _promote_content_ancestor(ps: PassState, top_id: int) -> int:
-    top = ps.get(top_id)
-    if top is None:
-        return top_id
     last_score = ps.score.get(top_id, 0.0)
     score_threshold = last_score / 3.0
-    current_id = top_id
-    pid = top.parent_id
+    pid = ps.nodes[top_id].parent_id
     while pid is not None:
-        parent = ps.get(pid)
-        if parent is None:
-            break
-        if parent.tag == "body":
+        parent = ps.nodes.get(pid)
+        if parent is None or parent.tag == "body":
             break
         if pid not in ps.is_candidate:
             pid = parent.parent_id
@@ -475,82 +483,55 @@ def _promote_content_ancestor(ps: PassState, top_id: int) -> int:
         if pscore < score_threshold:
             break
         if pscore > last_score:
-            current_id = pid
-            break
+            return pid
         last_score = pscore
         pid = parent.parent_id
-    return _promote_single_child(ps, current_id)
+    return top_id
 
 
 def _promote_single_child(ps: PassState, top_id: int) -> int:
-    """While the parent has exactly one LIVE element child, promote —
-    Readability.js counts live DOM children after removals
-    (00_original_code.js parentOfTopCandidate.children.length == 1; the
-    reference uses stale build-time child_ids, sieve.ex:745)."""
     cur = top_id
     while True:
-        node = ps.get(cur)
+        node = ps.nodes.get(cur)
         if node is None:
-            return top_id
-        parent = ps.get(node.parent_id)
+            return cur
+        parent = ps.nodes.get(node.parent_id) if node.parent_id else None
         if parent is None or parent.tag == "body":
             return cur
-        live_children = [c for c in parent.child_ids if c not in ps.removed]
-        if len(live_children) == 1:
+        if len(parent.child_ids) == 1:
             cur = parent.id
             continue
         return cur
 
 
-
-
-
-
-# -- sibling joining (S17) -----------------------------------------------------
-
-_ALTER_KEEP = frozenset(["div", "article", "section", "p", "ol", "ul"])
-
+# -- stage 4: sibling joining -------------------------------------------------
 
 def _build_article_node(ps: PassState, top_id: int) -> Element:
-    top = ps.get(top_id)
+    top = ps.nodes[top_id]
     wrapper_attrs = [("id", "readability-page-1"), ("class", "page")]
-    if top is None:
-        return Element("div", wrapper_attrs, [])
 
-    if top.tag == "body":
-        kids = _copy_children_live(ps, top.el)
+    if top.tag in ("body", "html") or top.parent_id is None:
+        # JS neededToCreateTopCandidate: wrap the whole page
+        kids = [
+            c.copy_deep() if isinstance(c, Element) else c
+            for c in top.el.children
+        ]
         return Element("div", wrapper_attrs, kids)
 
-    siblings = _siblings_of(ps, top_id)
-    top_final = ps.score.get(top_id, 0.0)
-    threshold = max(10.0, top_final * 0.2)
+    parent = ps.nodes.get(top.parent_id)
+    siblings = (
+        [ps.nodes[cid] for cid in parent.child_ids] if parent else [top]
+    )
+    threshold = max(10.0, ps.score.get(top_id, 0.0) * 0.2)
     kept: list = []
     for sib in siblings:
         if not _keep_sibling(ps, sib, top_id, top, threshold):
             continue
-        el_copy = _copy_subtree_live(ps, sib.el)
-        if el_copy is None:
-            continue
+        el_copy = sib.el.copy_deep()
         if sib.tag not in _ALTER_KEEP:
             el_copy.tag = "div"
         kept.append(el_copy)
     return Element("div", wrapper_attrs, kept)
-
-
-def _siblings_of(ps: PassState, nid: int) -> list[Node]:
-    node = ps.nodes[nid]
-    parent = ps.get(node.parent_id)
-    if parent is None:
-        pid = node.parent_id
-        return [
-            ps.nodes[i] for i in ps.live_ids() if ps.nodes[i].parent_id == pid
-        ]
-    out = []
-    for cid in parent.child_ids:
-        child = ps.get(cid)
-        if child is not None:
-            out.append(child)
-    return out
 
 
 def _keep_sibling(ps, sib: Node, top_id: int, top: Node, threshold: float) -> bool:
@@ -577,135 +558,9 @@ def _keep_sibling(ps, sib: Node, top_id: int, top: Node, threshold: float) -> bo
     return False
 
 
-def _copy_subtree_live(ps: PassState, el: Element) -> Element | None:
-    """Deep copy excluding subtrees whose element id is in removed."""
-    nid = ps.el_ids.get(id(el))
-    if nid is not None and nid in ps.removed:
-        return None
-    kids = []
-    for c in el.children:
-        if isinstance(c, Element):
-            cc = _copy_subtree_live(ps, c)
-            if cc is not None:
-                kids.append(cc)
-        elif isinstance(c, Comment):
-            kids.append(Comment(c.data))
-        elif isinstance(c, Doctype):
-            kids.append(Doctype(c.data))
-        else:
-            kids.append(c)
-    return Element(el.tag, list(el.attrs), kids)
-
-
-def _copy_children_live(ps: PassState, el: Element) -> list:
-    out = []
-    for c in el.children:
-        if isinstance(c, Element):
-            cc = _copy_subtree_live(ps, c)
-            if cc is not None:
-                out.append(cc)
-        elif isinstance(c, Comment):
-            out.append(Comment(c.data))
-        else:
-            out.append(c)
-    return out
-
-
-# -- byline near top (S18) ----------------------------------------------------
-
-def _find_byline_near(ps: PassState, top_id: int) -> str | None:
-    chain_ids = []
-    cur = top_id
-    while cur is not None:
-        chain_ids.append(cur)
-        n = ps.get(cur)
-        cur = n.parent_id if n is not None else None
-
-    candidates: list[str] = []
-    seen = set()
-    for nid in chain_ids:
-        n = ps.get(nid)
-        if n is None:
-            continue
-        for t in _find_all_bylines_in(n.el):
-            t = t.strip()
-            if 3 <= len(t) <= 120 and t not in seen:
-                seen.add(t)
-                candidates.append(t)
-
-    best = None
-    if candidates:
-        best = max(
-            enumerate(candidates),
-            key=lambda iv: (_byline_priority(iv[1]), len(iv[1]), -iv[0]),
-        )[1]
-    if best is None or len(best) <= 4:
-        fb = _fallback_byline(ps, top_id)
-        return fb if fb is not None else best
-    return best
-
-
-def _byline_priority(text: str) -> int:
-    return 2 if _RE_BY_PREFIX.match(text) else 1
-
-
-def _find_all_bylines_in(el) -> list[str]:
-    out: list[str] = []
-
-    def rec(node):
-        if isinstance(node, list):
-            for c in node:
-                rec(c)
-            return
-        if not isinstance(node, Element):
-            return
-        s = node.attr("class") + " " + node.attr("id")
-        if RE_NEGATIVE.search(s) or RE_UNLIKELY.search(s):
-            return
-        if (
-            _itemprop_author(node)
-            or _RE_AUTEUR.search(s)
-            or _rel_author(node)
-            or RE_BYLINE.search(s)
-        ):
-            out.append(_RE_TRAILING_DASH.sub("", dom.text(node).strip()))
-        rec(node.children)
-
-    rec(el)
-    return out
-
-
-def _rel_author(node: Element) -> bool:
-    return any(p == "author" for p in _RE_WS.split(node.attr("rel").lower()))
-
-
-def _itemprop_author(node: Element) -> bool:
-    return any(
-        "author" in p
-        for p in _RE_WS.split(node.attr("itemprop").lower())
-        if p != ""
-    )
-
-
-def _fallback_byline(ps: PassState, root_id: int) -> str | None:
-    for n in _collect_nodes_in_order(ps, root_id):
-        s = n.class_ + " " + n.id_attr
-        if _RE_AUTHORNAME.search(s):
-            name = n.text.strip()
-            if name != "":
-                found = "Par " + name
-                return found if 3 <= len(found) <= 120 else None
-        else:
-            t = n.text.strip()
-            if _RE_PAR_X.match(t):
-                return t if 3 <= len(t) <= 120 else None
-    return None
-
-
 def _get_direction(ps: PassState, top_id: int) -> str | None:
-    """Article direction per Readability.js: check the top candidate's
-    PARENT first, then the top candidate, then the parent's ancestors
-    (00_original_code.js 'Find out text direction from ancestors')."""
+    """JS: check the top candidate's parent first, then the top candidate,
+    then the parent's ancestors."""
     top = ps.nodes.get(top_id)
     if top is None:
         return None
