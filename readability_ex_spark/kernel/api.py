@@ -54,14 +54,11 @@ def parse(html: str | bytes, **opts) -> dict:
     meta = metadata.extract(doc, html)
     article_title = title.get_article_title(doc, meta)
 
-    nodes, el_ids = index.build(doc)
-
     result = None
     attempts = []
     for flags in FLAG_PASSES:
         attempt = _run_attempt(
-            nodes, el_ids, meta, article_title, base_uri,
-            absolute_fragments, flags, o,
+            doc, meta, article_title, base_uri, absolute_fragments, flags, o,
         )
         if attempt is None:
             continue
@@ -82,11 +79,10 @@ def parse(html: str | bytes, **opts) -> dict:
 
 
 def _run_attempt(
-    nodes, el_ids, meta, article_title, base_uri, absolute_fragments, flags, opts
+    doc, meta, article_title, base_uri, absolute_fragments, flags, opts
 ):
     grab = sieve.grab_article(
-        nodes, el_ids, flags, base_uri, absolute_fragments,
-        article_title, opts, meta,
+        doc, flags, base_uri, absolute_fragments, article_title, opts, meta,
     )
     if grab is None:
         return None

@@ -201,15 +201,20 @@ def _normalize_jsonld(data, article_title: str) -> dict | None:
 
 
 def _extract_author(author):
-    if author is None:
-        return None
+    """Readability.js accepts only {name: str} or a list of them — a bare
+    string author is ignored (tumblr-style JSON-LD '"author": "blogname"'
+    must NOT become the byline)."""
     if isinstance(author, dict):
-        return _blank_to_none(author.get("name"))
+        name = author.get("name")
+        return _blank_to_none(name) if isinstance(name, str) else None
     if isinstance(author, list):
-        parts = [x for x in (_extract_author(a) for a in author) if x is not None]
-        return _blank_to_none(", ".join(parts))
-    if isinstance(author, str):
-        return _blank_to_none(author)
+        parts = [
+            a["name"].strip()
+            for a in author
+            if isinstance(a, dict) and isinstance(a.get("name"), str)
+            and a["name"].strip() != ""
+        ]
+        return _blank_to_none(", ".join(parts)) if parts else None
     return None
 
 

@@ -41,6 +41,7 @@ from readability_ex_spark.kernel.dom import Comment, Doctype, Element
 from readability_ex_spark.kernel.index import Node
 
 _RE_WS = re.compile(r"\s+", re.A)
+_RE_TRAILING_DASH = re.compile(r"\s*[\-–—]+$", re.A)
 # Readability.js keeps short sibling <p>s only on /\.( |$)/
 _RE_SENT_END = re.compile(r"\.( |$)", re.A)
 
@@ -76,8 +77,7 @@ class PassState:
 
 
 def grab_article(
-    nodes: dict[int, Node],
-    el_ids: dict[int, int],
+    doc: list,
     flags: int,
     base_uri: str | None,
     absolute_fragments: bool,
@@ -85,20 +85,16 @@ def grab_article(
     opts: dict,
     meta: dict,
 ):
-    """One flag pass. Returns result dict or None (nothing to extract)."""
-    ps = PassState(nodes, el_ids)
-    byline = _grab_walk(ps, flags, article_title, meta)
-
-    # pass-private tree with removals applied
-    roots: list = []
-    for nid, n in nodes.items():
-        if n.parent_id is None:
-            el = _copy_subtree_live(ps, n.el)
-            if el is not None:
-                roots.append(el)
-    if not roots:
+    """One flag pass over a pass-private copy of the prepped tree.
+    Returns result dict or None (nothing to extract)."""
+    roots: list = [
+        c.copy_deep() if isinstance(c, Element) else c for c in doc
+    ]
+    walker = _GrabWalk(flags, article_title, meta)
+    roots = walker.walk_list(roots, [])
+    byline = walker.byline
+    if not any(isinstance(r, Element) for r in roots):
         return None
-    _convert_divs(roots)
 
     nodes2, el_ids2 = index_mod.build(roots)
     ps2 = PassState(nodes2, el_ids2)
@@ -150,170 +146,119 @@ def grab_article(
 
 
 # -- stage 1: the grab walk ---------------------------------------------------
+# One pre-order pass over the live (pass-private) tree applying, per node
+# and in Readability.js order: visibility -> modal -> byline ->
+# title-duplicate header -> unlikely (class/id + roles) -> empty
+# containers -> div conversion. Removal and conversion interleave exactly
+# like the JS while-loop: a node's conversion decision sees descendants
+# that are only removed later in the walk.
 
-def _grab_walk(ps: PassState, flags: int, article_title: str, meta) -> str | None:
-    """Pre-order walk applying the per-node removal rules in the JS order.
-    Returns the byline captured from a removed byline node (if any)."""
-    strip = has_flag(flags, FLAG_STRIP_UNLIKELYS)
-    meta_byline = meta.get("byline")
-    have_byline = isinstance(meta_byline, str) and meta_byline.strip() != ""
-    byline: str | None = None
-    title = (article_title or "").strip()
-    should_remove_title_header = bool(title)
+class _GrabWalk:
+    def __init__(self, flags: int, article_title: str, meta: dict):
+        self.strip = has_flag(flags, FLAG_STRIP_UNLIKELYS)
+        mb = meta.get("byline")
+        self.have_byline = isinstance(mb, str) and mb.strip() != ""
+        self.byline: str | None = None
+        self.title = (article_title or "").strip()
+        self.should_remove_title_header = bool(self.title)
 
-    nodes = ps.nodes
-    removed = ps.removed
-    skip_until: int | None = None  # skip descendants of a removed subtree
+    def walk_list(self, children: list, ancestors: list[str]) -> list:
+        out = []
+        for c in children:
+            if isinstance(c, Element):
+                r = self.visit(c, ancestors)
+                if r is not None:
+                    out.append(r)
+            else:
+                out.append(c)
+        return out
 
-    for nid in nodes:  # ids are DFS pre-order
-        n = nodes[nid]
-        if skip_until is not None:
-            if _is_descendant(nodes, nid, skip_until):
-                continue
-            skip_until = None
-
-        def remove() -> None:
-            removed.add(nid)
-
-        if n.hidden:
-            remove()
-            skip_until = nid
-            continue
+    def visit(self, el: Element, ancestors: list[str]):
+        if _el_hidden(el):
+            return None
         if (
-            n.el.attr("aria-modal").lower() == "true"
-            and n.role.lower() == "dialog"
+            el.attr("aria-modal").lower() == "true"
+            and el.attr("role").lower() == "dialog"
         ):
-            remove()
-            skip_until = nid
-            continue
-        match_string = n.class_ + " " + n.id_attr
-        if byline is None and not have_byline and _is_valid_byline(n, match_string):
-            byline = n.text.strip()
-            remove()
-            skip_until = nid
-            continue
+            return None
+        match_string = el.attr("class") + " " + el.attr("id")
+        if self.byline is None and not self.have_byline:
+            if _is_valid_byline_el(el, match_string):
+                # trailing dash separators are not part of the name (the
+                # goldens have them stripped; cf. reference sieve.ex:862-867)
+                self.byline = _RE_TRAILING_DASH.sub(
+                    "", dom.text(el).strip()
+                ).strip()
+                return None
         if (
-            should_remove_title_header
-            and n.tag in ("h1", "h2")
-            and cleaner.text_similarity(title, n.text.strip()) > 0.75
+            self.should_remove_title_header
+            and el.tag in ("h1", "h2")
+            and cleaner.text_similarity(self.title, dom.text(el).strip()) > 0.75
         ):
-            should_remove_title_header = False
-            remove()
-            skip_until = nid
-            continue
-        if strip:
+            self.should_remove_title_header = False
+            return None
+        if self.strip:
             if (
                 RE_UNLIKELY.search(match_string)
                 and not RE_OK_MAYBE.search(match_string)
-                and not _has_ancestor_tag(ps, nid, "table")
-                and not _has_ancestor_tag(ps, nid, "code")
-                and n.tag not in ("body", "a")
+                and "table" not in ancestors[-4:]
+                and "code" not in ancestors[-4:]
+                and el.tag not in ("body", "a")
             ):
-                remove()
-                skip_until = nid
-                continue
-            if n.role in UNLIKELY_ROLES:
-                remove()
-                skip_until = nid
-                continue
-        if n.tag in _EMPTYABLE_TAGS and _element_without_content(n):
-            remove()
-            skip_until = nid
-            continue
-    return byline
+                return None
+            if el.attr("role") in UNLIKELY_ROLES:
+                return None
+        if el.tag in _EMPTYABLE_TAGS and _element_without_content_el(el):
+            return None
+
+        if el.tag == "div":
+            el.children = _wrap_phrasing_runs(el.children)
+            p_child = _single_p_child(el)
+            if p_child is not None and metrics.link_density(el) < 0.25:
+                # replace the div with its lone <p> (no attr merge — JS
+                # replaceChild keeps only the child)
+                el = p_child
+            elif not _has_child_block(el):
+                el.tag = "p"
+
+        ancestors.append(el.tag)
+        el.children = self.walk_list(el.children, ancestors)
+        ancestors.pop()
+        return el
 
 
-def _is_descendant(nodes: dict[int, Node], nid: int, ancestor_id: int) -> bool:
-    cur = nodes[nid].parent_id
-    while cur is not None:
-        if cur == ancestor_id:
+def _el_hidden(el: Element) -> bool:
+    """Readability.js _isProbablyVisible (negated)."""
+    if el.has_attr("hidden"):
+        return True
+    if el.attr("aria-hidden").lower() == "true":
+        cls = el.attr("class")
+        if not (cls and "fallback-image" in cls.lower()):
             return True
-        if cur < ancestor_id:
-            return False
-        cur = nodes[cur].parent_id
-    return False
+    return index_mod._style_hides(el.attr("style"))
 
 
-def _is_valid_byline(n: Node, match_string: str) -> bool:
+def _is_valid_byline_el(el: Element, match_string: str) -> bool:
     """Readability.js _checkByline + _isValidByline."""
-    rel = n.el.attr("rel").lower()
-    itemprop = n.el.attr("itemprop").lower()
+    rel = el.attr("rel").lower()
+    itemprop = el.attr("itemprop").lower()
     if not (
         rel == "author" or "author" in itemprop or RE_BYLINE.search(match_string)
     ):
         return False
-    blen = len(n.text.strip())
+    blen = len(dom.text(el).strip())
     return 0 < blen < 100
 
 
-def _has_ancestor_tag(ps: PassState, nid: int, tag: str) -> bool:
-    """Up to 4 ancestor levels (JS _hasAncestorTag default depth)."""
-    node = ps.nodes.get(nid)
-    pid = node.parent_id if node else None
-    for _ in range(4):
-        if pid is None:
-            return False
-        pn = ps.get(pid)
-        if pn is None:
-            return False
-        if pn.tag == tag:
-            return True
-        pid = pn.parent_id
-    return False
-
-
-def _element_without_content(n: Node) -> bool:
+def _element_without_content_el(el: Element) -> bool:
     """JS _isElementWithoutContent: no trimmed text and either no element
     children or exactly as many as there are br+hr DESCENDANTS (sic)."""
-    if n.text.strip() != "":
+    if dom.text(el).strip() != "":
         return False
-    elements = n.el.element_children()
+    elements = el.element_children()
     if not elements:
         return True
-    return len(elements) == len(dom.find(n.el, "br,hr"))
-
-
-def _copy_subtree_live(ps: PassState, el: Element) -> Element | None:
-    nid = ps.el_ids.get(id(el))
-    if nid is not None and nid in ps.removed:
-        return None
-    kids = []
-    for c in el.children:
-        if isinstance(c, Element):
-            cc = _copy_subtree_live(ps, c)
-            if cc is not None:
-                kids.append(cc)
-        elif isinstance(c, Comment):
-            kids.append(Comment(c.data))
-        elif isinstance(c, Doctype):
-            kids.append(Doctype(c.data))
-        else:
-            kids.append(c)
-    return Element(el.tag, list(el.attrs), kids)
-
-
-# -- stage 2: div conversion (in the JS grab walk) ----------------------------
-
-def _convert_divs(roots: list) -> None:
-    for i, r in enumerate(roots):
-        if isinstance(r, Element):
-            roots[i] = _convert_node(r)
-
-
-def _convert_node(el: Element) -> Element:
-    if el.tag == "div":
-        el.children = _wrap_phrasing_runs(el.children)
-        p_child = _single_p_child(el)
-        if p_child is not None and metrics.link_density(el) < 0.25:
-            # replace the div with its lone <p> (no attr merge — JS
-            # replaceChild keeps only the child)
-            el = p_child
-        elif not _has_child_block(el):
-            el.tag = "p"
-    el.children = [
-        _convert_node(c) if isinstance(c, Element) else c for c in el.children
-    ]
-    return el
+    return len(elements) == len(dom.find(el, "br,hr"))
 
 
 def _wrap_phrasing_runs(children: list) -> list:
