@@ -184,10 +184,17 @@ class _GrabWalk:
         match_string = el.attr("class") + " " + el.attr("id")
         if self.byline is None and not self.have_byline:
             if _is_valid_byline_el(el, match_string):
-                # trailing dash separators are not part of the name (the
-                # goldens have them stripped; cf. reference sieve.ex:862-867)
-                self.byline = _RE_TRAILING_DASH.sub(
-                    "", dom.text(el).strip()
+                # prefer a descendant [itemprop~=name] for the author name
+                # (00_original_code.js:1097-1110)
+                name_node = next(
+                    (
+                        d for d in dom.iter_elements(el.children)
+                        if "name" in d.attr("itemprop")
+                    ),
+                    None,
+                )
+                self.byline = dom.text(
+                    name_node if name_node is not None else el
                 ).strip()
                 return None
         if (
