@@ -743,7 +743,10 @@ def _text_density(node, tags) -> float:
     if total_len == 0:
         return 0.0
     child_len = 0
-    for child in dom.find(node, ",".join(tags)):
+    # descendants only (JS getElementsByTagName excludes the node itself);
+    # passing the children list keeps the root out of the match set
+    children = node.children if isinstance(node, Element) else node
+    for child in dom.find(children, ",".join(tags)):
         child_len += len(_inner_text(child, True))
     return child_len / total_len
 

@@ -41,11 +41,10 @@ def _get_title_from_raw(doc: list, orig_title: str) -> str:
     if _RE_SEP.search(orig_title):
         title_had_hierarchical_separators = bool(_RE_HIER_SEP.search(orig_title))
         matches = list(_RE_SEP.finditer(orig_title))
-        # last separator: keep prefix before it (byte index == codepoint
-        # offset for these ASCII-spaced separators in virtually all titles)
-        last = matches[-1]
-        byte_idx = len(orig_title[: last.start()].encode("utf-8"))
-        cur_title = _slice_cp(orig_title, 0, byte_idx)
+        # keep the prefix before the LAST separator (character indices —
+        # JS substring semantics; the reference mixes byte offsets into
+        # codepoint slicing, title.ex:26-35, mangling CJK titles)
+        cur_title = orig_title[: matches[-1].start()]
         if _word_count(cur_title) < 3:
             cur_title = _RE_LEAD_TO_SEP.sub("", orig_title, count=1)
     elif ": " in orig_title:
@@ -100,12 +99,10 @@ def _slice_from_index(s: str, start_idx: int) -> str:
 
 
 def _first_byte_index(s: str, pat: str) -> int | None:
-    b = s.encode("utf-8")
-    i = b.find(pat.encode("utf-8"))
+    i = s.find(pat)
     return i if i >= 0 else None
 
 
 def _last_byte_index(s: str, pat: str) -> int | None:
-    b = s.encode("utf-8")
-    i = b.rfind(pat.encode("utf-8"))
+    i = s.rfind(pat)
     return i if i >= 0 else None
