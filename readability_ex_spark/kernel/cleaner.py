@@ -38,64 +38,93 @@ def _is_ws(s) -> bool:
 # P1: unwrap_noscript_images (cleaner.ex:48-127)
 # ---------------------------------------------------------------------------
 
+_RE_URLISH = re.compile(r"\.(jpg|jpeg|png|webp)", re.I)
+
+
+def _is_single_image(node) -> bool:
+    """JS _isSingleImage: an <img>, possibly nested in single-child
+    wrappers with no text."""
+    while isinstance(node, Element):
+        if node.tag == "img":
+            return True
+        elements = node.element_children()
+        if len(elements) != 1 or dom.text(node).strip() != "":
+            return False
+        node = elements[0]
+    return False
+
+
 def unwrap_noscript_images(doc: list) -> list:
-    def mark(node):
-        if isinstance(node, Element) and node.tag == "noscript":
-            imgs = dom.find(node, "img")
-            if len(imgs) == 1:
-                return Element(
-                    "noscript", [("data-readability-noscript", "1")], [imgs[0]]
-                )
+    """Readability.js _unwrapNoscriptImages: drop source-less placeholder
+    imgs; replace the element before a single-image <noscript> with the
+    noscript's image, preserving image-bearing old attributes under
+    data-old-* on conflict."""
+    # pass 1: remove imgs with no src/srcset/data-src/data-srcset and no
+    # image-ish attribute value
+    def drop_placeholder(node):
+        if isinstance(node, Element) and node.tag == "img":
+            for k, v in node.attrs:
+                if k in ("src", "srcset", "data-src", "data-srcset"):
+                    return node
+                if _RE_URLISH.search(v):
+                    return node
+            return None
         return node
 
-    doc = dom.traverse_update(doc, mark)
+    doc = dom.traverse_update(doc, drop_placeholder)
 
+    # pass 2: swap previous single-image element with the noscript image
     def swap(node):
         if isinstance(node, Element):
-            node.children = _swap_children(node.children)
+            node.children = _swap_noscript_prev(node.children)
         return node
 
     return dom.traverse_update(doc, swap)
 
 
-def _swap_children(children: list) -> list:
-    out = []
-    i = 0
-    n = len(children)
-    while i < n:
-        child = children[i]
-        nxt = children[i + 1] if i + 1 < n else None
-        if (
-            isinstance(child, Element)
-            and child.tag == "img"
-            and isinstance(nxt, Element)
-            and nxt.tag == "noscript"
-            and nxt.has_attr("data-readability-noscript")
-            and len(nxt.children) == 1
-            and isinstance(nxt.children[0], Element)
-        ):
-            if _placeholder_img(child):
-                out.append(_merge_img_attrs(nxt.children[0], child.attrs))
-                i += 2
+def _swap_noscript_prev(children: list) -> list:
+    out = list(children)
+    for i, child in enumerate(out):
+        if not (isinstance(child, Element) and child.tag == "noscript"):
+            continue
+        if not _is_single_image(child):
+            continue
+        # previousElementSibling (any text nodes in between are skipped)
+        prev_idx = next(
+            (j for j in range(i - 1, -1, -1) if isinstance(out[j], Element)),
+            None,
+        )
+        if prev_idx is None:
+            continue
+        prev = out[prev_idx]
+        if not _is_single_image(prev):
+            continue
+        prev_img = prev if prev.tag == "img" else next(
+            (e for e in dom.iter_elements(prev.children) if e.tag == "img"),
+            None,
+        )
+        new_img = next(
+            (e for e in dom.iter_elements(child.children) if e.tag == "img"),
+            None,
+        )
+        first_el = next(
+            (c for c in child.children if isinstance(c, Element)), None
+        )
+        if prev_img is None or new_img is None or first_el is None:
+            continue
+        for k, v in list(prev_img.attrs):
+            if v == "":
                 continue
-        out.append(child)
-        i += 1
+            if k in ("src", "srcset") or _RE_URLISH.search(v):
+                if new_img.attr(k) == v:
+                    continue
+                name = k
+                if new_img.has_attr(name):
+                    name = "data-old-" + name
+                new_img.set_attr(name, v)
+        out[prev_idx] = first_el
+        child.children = []  # moved out; noscript dies in remove_scripts
     return out
-
-
-def _placeholder_img(img: Element) -> bool:
-    src = img.attr("src")
-    if src == "":
-        return True
-    return src.startswith("data:") and len(src.encode("utf-8")) < 133
-
-
-def _merge_img_attrs(ns_img: Element, placeholder_attrs) -> Element:
-    merged = Element("img", list(ns_img.attrs), list(ns_img.children))
-    for k, v in placeholder_attrs:
-        if merged.attr(k) == "" and v != "":
-            merged.set_attr(k, v)
-    return merged
 
 
 # ---------------------------------------------------------------------------
@@ -451,55 +480,50 @@ def _merge_attrs_override(child_attrs: list, parent_attrs: list) -> list:
 # P10/C3: fix_lazy_images (cleaner.ex:542-565, 736-788)
 # ---------------------------------------------------------------------------
 
+_RE_B64_DATA_URL = re.compile(r"^data:\s*([^\s;,]+)\s*;\s*base64\s*,", re.I)
+_RE_SRCSET_VALUE = re.compile(r"\.(jpg|jpeg|png|webp)\s+\d")
+_RE_SRC_VALUE = re.compile(r"^\s*\S+\.(jpg|jpeg|png|webp)\S*\s*$")
+
+
 def fix_lazy_images(doc):
+    """Readability.js _fixLazyImages over img/picture/figure."""
     def fn(node):
-        if not isinstance(node, Element):
+        if not isinstance(node, Element) or node.tag not in (
+            "img", "picture", "figure"
+        ):
             return node
-        if node.tag == "img":
-            _promote_lazy_attrs(node)
-            _cleanup_tiny_data_uri(node)
+        src = node.attr("src")
+        m = _RE_B64_DATA_URL.match(src) if src else None
+        if m and m.group(1) != "image/svg+xml":
+            if any(
+                k != "src" and _RE_URLISH.search(v) for k, v in node.attrs
+            ):
+                if len(src) - m.end() < 133:
+                    node.del_attr("src")
+                    src = ""
+        srcset = node.attr("srcset")
+        if (src or (srcset and srcset != "null")) and "lazy" not in node.attr(
+            "class"
+        ).lower():
             return node
-        if node.tag == "figure" and not dom.find(node, "img"):
-            url = _find_any_image_url_in_attrs(node.attrs)
-            if url:
-                node.children.append(Element("img", [("src", url)]))
+        for k, v in list(node.attrs):
+            if k in ("src", "srcset", "alt"):
+                continue
+            copy_to = None
+            if _RE_SRCSET_VALUE.search(v):
+                copy_to = "srcset"
+            elif _RE_SRC_VALUE.match(v):
+                copy_to = "src"
+            if copy_to:
+                if node.tag in ("img", "picture"):
+                    node.set_attr(copy_to, v)
+                elif node.tag == "figure" and not dom.find(
+                    node.children, "img,picture"
+                ):
+                    node.children.append(Element("img", [(copy_to, v)]))
         return node
 
     return dom.traverse_update(doc, fn)
-
-
-def _tiny_data_uri(s: str) -> bool:
-    return s.startswith("data:") and len(s.encode("utf-8")) < 133
-
-
-def _promote_lazy_attrs(img: Element) -> None:
-    src = img.attr("src")
-    if src == "" or _tiny_data_uri(src):
-        for k in LAZY_SRC_ATTRS:
-            v = img.attr(k)
-            if v != "":
-                img.set_attr("src", v)
-                break
-    if img.attr("srcset") == "":
-        for k in ("data-srcset", "data-lazy-srcset", "data-src-set"):
-            v = img.attr(k)
-            if v != "":
-                img.set_attr("srcset", v)
-                break
-
-
-def _cleanup_tiny_data_uri(img: Element) -> None:
-    src = img.attr("src")
-    if _tiny_data_uri(src):
-        if any(k != "src" and RE_URLISH_IMAGE.search(v) for k, v in img.attrs):
-            img.del_attr("src")
-
-
-def _find_any_image_url_in_attrs(attrs) -> str | None:
-    for _k, v in attrs:
-        if RE_URLISH_IMAGE.search(v):
-            return v
-    return None
 
 
 # ---------------------------------------------------------------------------
@@ -1276,8 +1300,14 @@ def _to_abs(url: str, base_uri: str) -> str:
     if scheme in ("mailto", "tel", "data", "javascript", "about"):
         return url
     if scheme in ("http", "https"):
-        if parts.path in ("", None) and not parts.query and not parts.fragment:
-            return url + "/"
+        # WHATWG URL: an authority-based URL always has at least "/" as
+        # its path ("http://h?q" -> "http://h/?q")
+        if parts.path in ("", None):
+            from urllib.parse import urlunsplit
+
+            return urlunsplit(
+                (parts.scheme, parts.netloc, "/", parts.query, parts.fragment)
+            )
         return url
     if url.startswith("//"):
         base_scheme = urlsplit(base_uri).scheme or "https"
