@@ -151,7 +151,6 @@ def prep_document(doc: list) -> list:
     conversion, cleaner.ex:142, sees pre-removal content and diverges.)"""
     doc = remove_head_styles(doc)
     doc = remove_comments(doc)
-    doc = normalize_text_nodes(doc)
     doc = replace_brbr_with_p(doc)
     doc = replace_font_tags(doc)
     return doc
@@ -191,10 +190,13 @@ def remove_redundant_brs(doc: list) -> list:  # P8 (cleaner.ex:169-187)
     return dom.traverse_update(doc, fn)
 
 
-def remove_comments(doc: list) -> list:  # P4 (cleaner.ex:189-195)
+def remove_comments(doc: list) -> list:  # P4
+    """Delete comment nodes. NB: the text nodes around a removed comment
+    stay SEPARATE (JSDOM semantics) — merging them destroys the run-edge
+    whitespace trimming that the goldens encode."""
     def fn(node):
         if isinstance(node, Comment):
-            return ""
+            return None
         return node
 
     return dom.traverse_update(doc, fn)
@@ -1254,16 +1256,23 @@ _RE_PROTO_SKIP = re.compile(r"^(mailto|tel|data|javascript|about):", re.I)
 _RE_SRCSET_PART = re.compile(r"(\S+)(\s+[\d.]+[xw])?(\s*(?:,|$))", re.A)
 
 
+_MEDIA_TAGS = frozenset(["img", "picture", "figure", "video", "audio", "source"])
+
+
 def absolutize_uris(node, base_uri: str | None, absolute_fragments: bool):
+    """Readability.js _fixRelativeUris: href on <a>; src/poster/srcset on
+    media tags only (iframes keep their original src)."""
     if not base_uri:
         return node
 
     def fn(n):
         if isinstance(n, Element):
-            _abs_attr(n, "href", base_uri, absolute_fragments)
-            _abs_attr(n, "src", base_uri, True)
-            _abs_attr(n, "poster", base_uri, True)
-            _abs_srcset(n, base_uri)
+            if n.tag == "a":
+                _abs_attr(n, "href", base_uri, absolute_fragments)
+            elif n.tag in _MEDIA_TAGS:
+                _abs_attr(n, "src", base_uri, True)
+                _abs_attr(n, "poster", base_uri, True)
+                _abs_srcset(n, base_uri)
         return n
 
     return dom.traverse_update(node, fn)
