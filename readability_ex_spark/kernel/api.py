@@ -7,7 +7,8 @@ import re
 import sys
 from urllib.parse import urljoin
 
-from readability_ex_spark.kernel import cleaner, dom, index, metadata, sieve, title
+from readability_ex_spark.kernel import cleaner, dom, metadata, sieve, title
+from readability_ex_spark.kernel import index as kernel_index
 from readability_ex_spark.kernel.constants import FLAG_PASSES
 
 DEFAULT_OPTS = {
@@ -69,12 +70,13 @@ def parse(html: str | bytes, **opts) -> dict:
 
     best = result
     if best is None and attempts:
-        best = max(attempts, key=lambda a: a["length"])
-        if best["length"] == 0:
+        best = max(attempts, key=lambda a: a["_norm_length"])
+        if best["_norm_length"] == 0:
             best = None  # JS: all attempts empty -> not readable
     if best is None:
         raise NotReadable("not_readable")
     best.pop("_pass_ok", None)
+    best.pop("_norm_length", None)
     return best
 
 
@@ -87,7 +89,10 @@ def _run_attempt(
     if grab is None:
         return None
     text = grab["text"]
-    best_ok = len(text) >= opts["char_threshold"]
+    # the threshold compares innerText length (trim + whitespace collapse,
+    # Readability.js getInnerText), not raw textContent length
+    norm_len = len(kernel_index.inner_text(text))
+    best_ok = norm_len >= opts["char_threshold"]
     excerpt = meta.get("excerpt")
     if excerpt is None or (isinstance(excerpt, str) and excerpt.strip() == ""):
         excerpt = _first_excerpt(grab["content_html"], text)
@@ -107,6 +112,7 @@ def _run_attempt(
         "lang": meta.get("lang"),
         "published_time": meta.get("published_time"),
         "_pass_ok": best_ok,
+        "_norm_length": norm_len,
     }
 
 
