@@ -57,12 +57,16 @@ def parse(html: str | bytes, **opts) -> dict:
 
     result = None
     attempts = []
+    found_byline = None  # persists across passes (JS _articleByline)
     for flags in FLAG_PASSES:
         attempt = _run_attempt(
             doc, meta, article_title, base_uri, absolute_fragments, flags, o,
+            found_byline,
         )
         if attempt is None:
             continue
+        if attempt["byline"] is not None:
+            found_byline = attempt["byline"]
         if attempt["_pass_ok"]:
             result = attempt
             break
@@ -75,16 +79,21 @@ def parse(html: str | bytes, **opts) -> dict:
             best = None  # JS: all attempts empty -> not readable
     if best is None:
         raise NotReadable("not_readable")
+    # byline resolves at the end of all passes (JS reads _articleByline
+    # after grabArticle settles, whichever pass set it)
+    best["byline"] = meta.get("byline") or found_byline
     best.pop("_pass_ok", None)
     best.pop("_norm_length", None)
     return best
 
 
 def _run_attempt(
-    doc, meta, article_title, base_uri, absolute_fragments, flags, opts
+    doc, meta, article_title, base_uri, absolute_fragments, flags, opts,
+    known_byline=None,
 ):
     grab = sieve.grab_article(
         doc, flags, base_uri, absolute_fragments, article_title, opts, meta,
+        known_byline,
     )
     if grab is None:
         return None

@@ -17,12 +17,15 @@ FLAG_NO_STRIP_UNLIKELYS = FLAG_WEIGHT_CLASSES | FLAG_CLEAN_CONDITIONALLY
 FLAG_NO_WEIGHT_CLASSES = FLAG_STRIP_UNLIKELYS | FLAG_CLEAN_CONDITIONALLY
 FLAG_NO_CLEAN_CONDITIONALLY = FLAG_STRIP_UNLIKELYS | FLAG_WEIGHT_CLASSES
 
-# Multi-pass order (readability_ex.ex:35-40)
+# Multi-pass order: Readability.js removes flags CUMULATIVELY
+# (00_original_code.js _removeFlag chain: ALL -> weight+clean -> clean
+# -> none). The reference instead tries four independent configs
+# (readability_ex.ex:35-40) — the goldens encode the cumulative order.
 FLAG_PASSES = [
     FLAG_ALL,
-    FLAG_NO_STRIP_UNLIKELYS,
-    FLAG_NO_WEIGHT_CLASSES,
-    FLAG_NO_CLEAN_CONDITIONALLY,
+    FLAG_WEIGHT_CLASSES | FLAG_CLEAN_CONDITIONALLY,
+    FLAG_CLEAN_CONDITIONALLY,
+    0,
 ]
 
 

@@ -245,6 +245,12 @@ class _TreeBuilder(HTMLParser):
 def parse_document(html: str) -> list:
     """Parse a full document -> list of top-level nodes (like
     Floki.parse_document!, readability_ex.ex:23)."""
+    import sys
+
+    # deep DOMs + recursive build/traversals; the tokenizer try/except
+    # below would otherwise silently truncate on RecursionError
+    if sys.getrecursionlimit() < 20000:
+        sys.setrecursionlimit(20000)
     builder = _TreeBuilder()
     try:
         builder.feed(html)

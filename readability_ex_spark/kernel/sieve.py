@@ -84,13 +84,18 @@ def grab_article(
     article_title: str,
     opts: dict,
     meta: dict,
+    known_byline: str | None = None,
 ):
     """One flag pass over a pass-private copy of the prepped tree.
-    Returns result dict or None (nothing to extract)."""
+    Returns result dict or None (nothing to extract).
+
+    ``known_byline``: byline found by an earlier pass — Readability.js
+    keeps _articleByline across grabArticle retries, so later passes
+    neither hunt for nor remove byline nodes."""
     roots: list = [
         c.copy_deep() if isinstance(c, Element) else c for c in doc
     ]
-    walker = _GrabWalk(flags, article_title, meta)
+    walker = _GrabWalk(flags, article_title, meta, known_byline)
     roots = walker.walk_list(roots, [])
     byline = walker.byline
     if not any(isinstance(r, Element) for r in roots):
@@ -154,11 +159,12 @@ def grab_article(
 # that are only removed later in the walk.
 
 class _GrabWalk:
-    def __init__(self, flags: int, article_title: str, meta: dict):
+    def __init__(self, flags: int, article_title: str, meta: dict,
+                 known_byline: str | None = None):
         self.strip = has_flag(flags, FLAG_STRIP_UNLIKELYS)
         mb = meta.get("byline")
         self.have_byline = isinstance(mb, str) and mb.strip() != ""
-        self.byline: str | None = None
+        self.byline: str | None = known_byline
         self.title = (article_title or "").strip()
         self.should_remove_title_header = bool(self.title)
 
