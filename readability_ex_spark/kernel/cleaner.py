@@ -1300,7 +1300,80 @@ def _abs_srcset(n: Element, base_uri: str) -> None:
     n.set_attr("srcset", _RE_SRCSET_PART.sub(repl, v))
 
 
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 5.2.4 — preserves empty segments ('//' stays), unlike
+    urljoin's resolver."""
+    out: list[str] = []
+    s = path
+    while s:
+        if s.startswith("../"):
+            s = s[3:]
+        elif s.startswith("./"):
+            s = s[2:]
+        elif s.startswith("/./"):
+            s = "/" + s[3:]
+        elif s == "/.":
+            s = "/"
+        elif s.startswith("/../"):
+            s = "/" + s[4:]
+            if out:
+                out.pop()
+        elif s == "/..":
+            s = "/"
+            if out:
+                out.pop()
+        elif s in (".", ".."):
+            s = ""
+        else:
+            i = s.find("/", 1) if s.startswith("/") else s.find("/")
+            if i == -1:
+                out.append(s)
+                s = ""
+            else:
+                out.append(s[:i])
+                s = s[i:]
+    return "".join(out)
+
+
+_RE_FILE_DRIVE = re.compile(r"^/([A-Za-z])\|(/|$)")
+
+
+def _unsplit_keep_delims(scheme, netloc, path, query, fragment,
+                         had_query, had_fragment) -> str:
+    """Like urlunsplit but keeps empty '?'/'#' delimiters that were
+    present in the input (WHATWG serialization keeps them)."""
+    out = ""
+    if scheme:
+        out += scheme + ":"
+    if netloc or scheme in ("http", "https", "file", "ftp", "ws", "wss"):
+        out += "//" + netloc
+    out += path
+    if query or had_query:
+        out += "?" + query
+    if fragment or had_fragment:
+        out += "#" + fragment
+    return out
+
+
+def _normalize_absolute(parts, url: str) -> str:
+    """WHATWG-ish normalization of an absolute URL: lowercase scheme and
+    host, mandatory '/' path on authority URLs, file drive 'C|' -> 'C:'."""
+    scheme = parts.scheme.lower()
+    netloc = parts.netloc.lower()
+    path = parts.path
+    if scheme == "file":
+        path = _RE_FILE_DRIVE.sub(lambda m: f"/{m.group(1)}:{m.group(2)}", path)
+    if netloc and path == "":
+        path = "/"
+    return _unsplit_keep_delims(
+        scheme, netloc, path, parts.query, parts.fragment,
+        "?" in url, "#" in url,
+    )
+
+
 def _to_abs(url: str, base_uri: str) -> str:
+    """Resolve like the WHATWG URL constructor (JS `new URL(uri, base)`):
+    host lowercasing, '/'-defaulted paths, '//'-preserving path merge."""
     try:
         parts = urlsplit(url)
     except ValueError:
@@ -1308,30 +1381,46 @@ def _to_abs(url: str, base_uri: str) -> str:
     scheme = parts.scheme.lower()
     if scheme in ("mailto", "tel", "data", "javascript", "about"):
         return url
-    if scheme in ("http", "https"):
-        # WHATWG URL: an authority-based URL always has at least "/" as
-        # its path ("http://h?q" -> "http://h/?q")
-        if parts.path in ("", None):
-            from urllib.parse import urlunsplit
-
-            return urlunsplit(
-                (parts.scheme, parts.netloc, "/", parts.query, parts.fragment)
-            )
-        return url
+    if scheme:
+        return _normalize_absolute(parts, url)
     if url.startswith("//"):
         base_scheme = urlsplit(base_uri).scheme or "https"
-        return base_scheme + ":" + url
-    base = base_uri
+        full = base_scheme + ":" + url
+        try:
+            return _normalize_absolute(urlsplit(full), full)
+        except ValueError:
+            return full
     try:
         bp = urlsplit(base_uri)
-        if bp.path in ("", None):
-            base = base_uri + "/"
-    except ValueError:
-        pass
-    try:
-        return urljoin(base, url)
     except ValueError:
         return url
+    # split rel into path / query / fragment manually so the merged path
+    # keeps empty segments (urljoin collapses 'a//b')
+    rest = url
+    had_fragment = "#" in rest
+    fragment = ""
+    if had_fragment:
+        rest, fragment = rest.split("#", 1)
+    had_query = "?" in rest
+    query = ""
+    if had_query:
+        rest, query = rest.split("?", 1)
+    if rest == "":
+        path = bp.path or "/"
+        if not had_query and had_fragment:
+            query = bp.query
+            had_query = bool(bp.query)
+    elif rest.startswith("/"):
+        path = _remove_dot_segments(rest)
+    else:
+        bdir = bp.path[: bp.path.rfind("/") + 1] if "/" in bp.path else "/"
+        if not bdir.startswith("/"):
+            bdir = "/" + bdir
+        path = _remove_dot_segments(bdir + rest)
+    return _unsplit_keep_delims(
+        bp.scheme.lower(), bp.netloc.lower(), path, query, fragment,
+        had_query, had_fragment,
+    )
 
 
 # ---------------------------------------------------------------------------
