@@ -1,0 +1,45 @@
+"""Driver-contract parity: every queries() entry with an oracle must
+match DuckDB on row count, column names, and order-insensitive value
+hash at sf0.001 (the driver runs the same comparison at sf0.01)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+from scripts.check_parity import TABLES, value_hash
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    yield con
+
+
+@pytest.mark.parametrize("name", sorted(E.queries()))
+def test_query_parity(name, spark, duck):
+    fn = E.queries()[name]
+    spd = fn(spark, SF).toPandas()
+    oracle = E.oracle_sql().get(name)
+    if oracle is None:
+        assert len(spd) >= 0  # rows-only contract
+        return
+    opd = duck.execute(oracle).df()
+    assert len(spd) == len(opd)
+    assert sorted(spd.columns) == sorted(opd.columns)
+    assert value_hash(spd) == value_hash(opd)
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    assert {"url", "status", "text"}.issubset({f.name for f in df.schema.fields})
+    assert df.count() > 0
