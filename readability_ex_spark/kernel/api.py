@@ -104,7 +104,7 @@ def _run_attempt(
     best_ok = norm_len >= opts["char_threshold"]
     excerpt = meta.get("excerpt")
     if excerpt is None or (isinstance(excerpt, str) and excerpt.strip() == ""):
-        excerpt = _first_excerpt(grab["content_html"], text)
+        excerpt = _first_excerpt(grab["tree"], text)
     return {
         "title": article_title,
         "content": grab["content_html"],
@@ -125,11 +125,10 @@ def _run_attempt(
     }
 
 
-def _first_excerpt(content_html: str, text: str) -> str:
+def _first_excerpt(tree, text: str) -> str:
     """First non-empty <p> of the output, text without <br> contributions;
     else truncated full text (readability_ex.ex:126-144)."""
-    frag = dom.parse_fragment(content_html)
-    for p in dom.find(frag, "p"):
+    for p in dom.find(tree, "p"):
         if dom.text(p).strip() != "":
             return _text_no_br(p).strip()
     text = text.strip()

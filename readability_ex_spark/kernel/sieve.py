@@ -145,6 +145,7 @@ def grab_article(
     return {
         "content_html": dom.raw_html(cleaned),
         "text": dom.text(cleaned),
+        "tree": cleaned,
         "byline": byline,
         "dir": _get_direction(ps2, top_id),
     }
