@@ -30,10 +30,13 @@ class NotReadable(Exception):
     pass
 
 
-def parse(html: str | bytes, **opts) -> dict:
+def parse(html: str | bytes, doc: list | None = None, **opts) -> dict:
     """Extract the main article. Returns a dict with keys
     title, content (HTML), text_content, length, excerpt, byline, dir,
     site_name, lang, published_time.
+
+    ``doc``: optionally a pre-parsed tree of ``html`` (it is consumed and
+    mutated by the pre-clean phase — do not reuse it afterwards).
 
     Raises NotReadable when no pass produces a candidate.
     """
@@ -45,7 +48,8 @@ def parse(html: str | bytes, **opts) -> dict:
     o.update(opts)
     base_uri = o.get("base_uri") or ""
 
-    doc = dom.parse_document(html)
+    if doc is None:
+        doc = dom.parse_document(html)
     doc = cleaner.unwrap_noscript_images(doc)
     doc = cleaner.remove_scripts(doc)
     doc = cleaner.prep_document(doc)

@@ -32,6 +32,7 @@ EXTRACT_SCHEMA = T.StructType(
         T.StructField("content_html", T.StringType(), True),
         T.StructField("text", T.StringType(), True),
         T.StructField("length", T.IntegerType(), True),
+        T.StructField("readerable", T.BooleanType(), True),
         T.StructField("status", T.StringType(), False),
         T.StructField("error", T.StringType(), True),
     ]
@@ -49,26 +50,31 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     Imports inside the function so the Python workers resolve the kernel
     through --py-files without a driver-side closure.
     """
-    from readability_ex_spark.kernel import parse
+    from readability_ex_spark.kernel import dom, parse
     from readability_ex_spark.kernel.api import NotReadable
+    from readability_ex_spark.kernel.readerable import is_probably_readerable
 
     for pdf in batches:
         out = {k: [] for k in (
             "url", "title", "byline", "dir", "lang", "site_name",
             "published_time", "excerpt", "content_html", "text", "length",
-            "status", "error",
+            "readerable", "status", "error",
         )}
         for url, html in zip(pdf["url"], pdf["html"]):
             row = {
                 "title": None, "byline": None, "dir": None, "lang": None,
                 "site_name": None, "published_time": None, "excerpt": None,
                 "content_html": None, "text": None, "length": 0,
+                "readerable": None,
             }
             if html is None or len(html) == 0:
                 status, error = "error", "empty_html"
             else:
                 try:
-                    r = parse(bytes(html), base_uri=url)
+                    raw = bytes(html).decode("utf-8", errors="replace")
+                    doc = dom.parse_document(raw)
+                    row["readerable"] = is_probably_readerable(doc)
+                    r = parse(raw, doc=doc, base_uri=url)
                     row.update(
                         title=r["title"], byline=r["byline"], dir=r["dir"],
                         lang=r["lang"], site_name=r["site_name"],

@@ -1,0 +1,80 @@
+"""Batch extraction job — the spark-submit entry point.
+
+    spark-submit --py-files readability_ex_spark.zip scripts/run_job.py \
+        --input  /data/pages          # parquet/Iceberg pages table
+        --output /data/extracted      # output table root
+        [--urls  /data/golden_urls]   # optional: restrict to these urls
+        [--partitions 4096]           # repartition width before the UDF
+        [--no-resume]                 # reprocess everything
+        [--run-id crawl-2026-08]
+
+Reads the Common-Crawl-style pages table (url, warc_ts, html, text,
+lang), dedups to the latest crawl per url, anti-joins urls already
+committed (checkpoint resume), repartitions by xxhash64(url), runs the
+readability kernel in Arrow batches, writes the output partitioned by
+status + url bucket, and appends a per-partition metrics rollup.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--urls", default=None, help="semi-join url allowlist")
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--no-dedup", action="store_true")
+    ap.add_argument("--run-id", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from readability_ex_spark.pipeline import metrics_rollup, run_extraction
+    from readability_ex_spark.sinks import (
+        read_done_urls,
+        write_extracted,
+        write_metrics,
+    )
+    from readability_ex_spark.sources.pages import read_pages
+
+    spark = SparkSession.builder.appName("readability_extract").getOrCreate()
+    run_id = args.run_id or f"run-{int(time.time())}"
+
+    pages = read_pages(spark, args.input)
+    if args.urls:
+        allow = spark.read.parquet(args.urls).select("url")
+        pages = pages.join(allow, "url", "left_semi")
+
+    done = None if args.no_resume else read_done_urls(spark, args.output)
+    extracted = run_extraction(
+        pages,
+        n_partitions=args.partitions,
+        dedup=not args.no_dedup,
+        done_urls=done,
+    ).cache()
+
+    write_extracted(extracted, args.output)
+    write_metrics(metrics_rollup(extracted), args.output, run_id)
+
+    by_status = {
+        r["status"]: r["count"]
+        for r in extracted.groupBy("status").count().collect()
+    }
+    print(f"run_id={run_id} processed={sum(by_status.values())} {by_status}")
+    extracted.unpersist()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
