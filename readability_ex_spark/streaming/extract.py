@@ -1,0 +1,81 @@
+"""Streaming extraction: new crawl files -> extracted table, continuously.
+
+The reference is a pure batch library (SURVEY.md §2.B: no streaming in
+the north rule); this is the natural extension for a live crawl feed:
+
+- ``stream_extraction``: ``readStream`` over the pages table ->
+  ``foreachBatch`` running the SAME batch plan (dedup within batch,
+  repartition by url-hash, kernel) and the SAME sink writer — exactly
+  -once per micro-batch via the checkpoint.
+- ``stream_metrics``: event-time windowed counters over the extraction
+  output (watermarked tumbling windows on warc_ts-derived crawl time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readability_ex_spark.pipeline import run_extraction
+from readability_ex_spark.sinks import write_extracted
+from readability_ex_spark.sources.pages import PAGES_SCHEMA
+
+
+def stream_extraction(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint: str,
+    *,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Start the streaming extraction query. Returns the StreamingQuery.
+
+    ``available_now=True`` drains everything currently present then
+    stops (batch-like test/backfill mode); set False for a continuous
+    tail of an arriving crawl."""
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(input_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        extracted = run_extraction(batch_df, dedup=True).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        write_extracted(extracted, output_path)
+
+    writer = (
+        pages.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_metrics(
+    pages_stream: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counters over a streaming pages table:
+    docs and bytes per (crawl-hour, lang). Late rows beyond the watermark
+    are dropped; state stays bounded."""
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), F.col("lang"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.octet_length("html")).alias("n_bytes"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang",
+            "n_docs",
+            "n_bytes",
+        )
+    )
