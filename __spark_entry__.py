@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": T.q_exact_dedup,
         "minhash_sig": T.q_minhash_sig,
         "minhash_band_pairs": T.q_minhash_band_pairs,
+        "simhash": T.q_simhash,
         "ngram_jaccard": T.q_ngram_jaccard,
         "multimodal_meta": T.q_multimodal_meta,
         # -- similarity search --
@@ -199,6 +200,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {sig(0)} AS sig0, {sig(1)} AS sig1,
                    {sig(2)} AS sig2, {sig(3)} AS sig3
             FROM documents ORDER BY doc_id
+        """,
+        "simhash": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE list_distinct({toks}) END AS toks
+              FROM documents)
+            SELECT doc_id,
+                   CAST({' + '.join(
+                       "CASE WHEN list_aggregate(list_transform(toks, t -> "
+                       f"CASE WHEN strpos('13579bdf', substr(md5(t), {i + 1}, 1)) > 0 "
+                       "THEN 1 ELSE -1 END), 'sum') > 0 "
+                       f"THEN {1 << i} ELSE 0 END"
+                       for i in range(16)
+                   )} AS BIGINT) AS simhash
+            FROM t ORDER BY doc_id
         """,
         "minhash_band_pairs": f"""
             WITH s AS (

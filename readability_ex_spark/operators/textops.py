@@ -218,6 +218,40 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SIMHASH_BITS = 16
+_ODD_HEX = "13579bdf"  # hex digits with lsb=1
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document over distinct whitespace tokens.
+
+    Bit i uses the lsb of hex digit i of md5(token) — engine-agnostic
+    (identical md5 hex in Spark and DuckDB), so the oracle can recompute
+    it exactly. Near-dup candidates are docs at small Hamming distance;
+    at 100 TB this joins on simhash bands like MinHash-LSH.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = F.array_distinct(_tokens_col())
+
+    def bit(i: int):
+        def vote(t):
+            d = F.substring(F.md5(t), i + 1, 1)
+            return F.when(F.instr(F.lit(_ODD_HEX), d) > 0, 1).otherwise(-1)
+
+        total = F.aggregate(
+            F.transform(toks, lambda t: vote(t)), F.lit(0), lambda a, v: a + v
+        )
+        return F.when(total > 0, F.lit(1 << i)).otherwise(F.lit(0))
+
+    simhash = bit(0)
+    for i in range(1, N_SIMHASH_BITS):
+        simhash = simhash + bit(i)
+    return (
+        docs.select("doc_id", simhash.cast("long").alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary column plumbing: treat text bytes as a fake payload,
     emit typed metadata (byte length, deterministic fake dims).

@@ -132,16 +132,23 @@ def run_extraction(
         df = df.join(done_urls.select("url"), "url", "left_anti")
     df = df.select("url", "html")
 
-    key = F.xxhash64(F.col("url"))
+    # Partition key: plain url hash-partitioning lines up with the dedup
+    # window's ENSURE_REQUIREMENTS exchange, so when the partition count
+    # matches, Catalyst elides this shuffle entirely (one shuffle for
+    # dedup+layout instead of two). Salting appends a second key column
+    # for skewed inputs (many rows behind one url after e.g. a mirror
+    # explosion) at the cost of the extra shuffle.
     if salt_buckets > 1:
-        key = F.concat(
-            key.cast("string"), F.pmod(F.xxhash64("url", "html"), F.lit(salt_buckets))
-            .cast("string")
-        )
-    if n_partitions:
-        df = df.repartition(n_partitions, key)
+        keys = [
+            F.col("url"),
+            F.pmod(F.xxhash64("url", "html"), F.lit(salt_buckets)),
+        ]
     else:
-        df = df.repartition(key)
+        keys = [F.col("url")]
+    if n_partitions:
+        df = df.repartition(n_partitions, *keys)
+    else:
+        df = df.repartition(*keys)
 
     extracted = df.mapInPandas(extract_batches, EXTRACT_SCHEMA)
     return extracted.withColumns(
