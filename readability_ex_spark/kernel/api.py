@@ -17,7 +17,16 @@ DEFAULT_OPTS = {
     "nb_top_candidates": 5,
     "preserve_classes": frozenset(["page", "caption", "OPEN", "CLOSE", "ORD"]),
     "keep_classes": False,
+    # resource guards (Readability.js maxElemsToParse, plus a depth guard
+    # for pathological nesting): 0 = unlimited. The Spark pipeline sets
+    # both so one adversarial crawl page cannot stall an executor.
+    "max_elems": 0,
+    "max_depth": 0,
 }
+
+
+class TooLarge(Exception):
+    """Document exceeds the configured element/depth guards."""
 
 _RE_NUM_ENTITY = re.compile(r"&#x[0-9a-fA-F]+;|&#\d+;")
 
@@ -50,6 +59,7 @@ def parse(html: str | bytes, doc: list | None = None, **opts) -> dict:
 
     if doc is None:
         doc = dom.parse_document(html)
+    _check_guards(doc, o["max_elems"], o["max_depth"])
     doc = cleaner.unwrap_noscript_images(doc)
     doc = cleaner.remove_scripts(doc)
     doc = cleaner.prep_document(doc)
@@ -89,6 +99,23 @@ def parse(html: str | bytes, doc: list | None = None, **opts) -> dict:
     best.pop("_pass_ok", None)
     best.pop("_norm_length", None)
     return best
+
+
+def _check_guards(doc, max_elems: int, max_depth: int) -> None:
+    if not max_elems and not max_depth:
+        return
+    n = 0
+    stack = [(c, 1) for c in doc if isinstance(c, dom.Element)]
+    while stack:
+        el, depth = stack.pop()
+        n += 1
+        if max_elems and n > max_elems:
+            raise TooLarge(f"more than {max_elems} elements")
+        if max_depth and depth > max_depth:
+            raise TooLarge(f"nesting deeper than {max_depth}")
+        for c in el.children:
+            if isinstance(c, dom.Element):
+                stack.append((c, depth + 1))
 
 
 def _run_attempt(

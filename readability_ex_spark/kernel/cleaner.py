@@ -630,13 +630,49 @@ def _parse_int(value: str, default: int) -> int:
 # C9: clean_conditionally (cleaner.ex:790-1041)
 # ---------------------------------------------------------------------------
 
+class _TextCache:
+    """Bottom-up text cache for one conditional-clean pass: raw subtree
+    text (script-free) and its innerText normalization, keyed by element
+    identity and rebuilt as removals happen (post-order keeps it exact —
+    a parent's text is computed after its children were pruned). Without
+    it, per-node text-density scans make deep trees cubic."""
+
+    __slots__ = ("raw", "norm")
+
+    def __init__(self):
+        self.raw: dict[int, str] = {}
+        self.norm: dict[int, str] = {}
+
+    def set_raw(self, el: Element) -> None:
+        parts = []
+        for c in el.children:
+            if isinstance(c, str):
+                parts.append(c)
+            elif isinstance(c, Element):
+                parts.append(self.raw.get(id(c), ""))
+        self.raw[id(el)] = "" if el.tag == "script" else "".join(parts)
+
+    def inner(self, el: Element) -> str:
+        key = id(el)
+        n = self.norm.get(key)
+        if n is None:
+            raw = self.raw.get(key)
+            if raw is None:  # not built by this pass (shouldn't happen)
+                raw = dom.text(el)
+            n = RE_WS_ASCII.sub(" ", raw.strip())
+            self.norm[key] = n
+        return n
+
+
 def clean_conditionally(node, tags=("form", "fieldset", "table", "ul", "div")):
     for tag in tags:
-        node = _clean_conditionally_tag(node, tag, (False, False, False), True)
+        node = _clean_conditionally_tag(
+            node, tag, (False, False, False), True, _TextCache()
+        )
     return node
 
 
-def _clean_conditionally_tag(node, tag_name, ctx, is_root):
+def _clean_conditionally_tag(node, tag_name, ctx, is_root, cache):
     """Post-order (children evaluated/removed before the parent) —
     equivalent to Readability.js _removeNodes' reverse-document-order
     iteration; a removed inner node changes the stats its ancestors are
@@ -652,29 +688,32 @@ def _clean_conditionally_tag(node, tag_name, ctx, is_root):
 
     new_children = []
     for c in node.children:
-        r = _clean_conditionally_tag(c, tag_name, new_ctx, False)
+        r = _clean_conditionally_tag(c, tag_name, new_ctx, False, cache)
         if r is not None:
             new_children.append(r)
     node.children = new_children
+    cache.set_raw(node)
 
     if tag == tag_name and not is_root and _should_remove_conditionally(
-        node, tag_name, new_ctx
+        node, tag_name, new_ctx, cache
     ):
         return None
     return node
 
 
-def _inner_text(node, normalize_spaces=True) -> str:
+def _inner_text(node, normalize_spaces=True, cache=None) -> str:
+    if cache is not None and isinstance(node, Element):
+        return cache.inner(node)
     t = dom.text(node).strip()
     if normalize_spaces:
         t = RE_WS_ASCII.sub(" ", t)
     return t
 
 
-def _should_remove_conditionally(node: Element, tag_name: str, ctx) -> bool:
+def _should_remove_conditionally(node: Element, tag_name: str, ctx, cache=None) -> bool:
     in_code, in_figure, in_data_table = ctx
     tag = node.tag
-    is_list = tag in ("ul", "ol") or _list_content(node)
+    is_list = tag in ("ul", "ol") or _list_content(node, cache)
 
     if tag_name == "table" and node.attr("data-readability-datatable") == "1":
         return False
@@ -688,27 +727,27 @@ def _should_remove_conditionally(node: Element, tag_name: str, ctx) -> bool:
     weight = metrics.class_weight(node.attr("class"), node.attr("id"))
     if weight < 0:
         return True
-    if _char_count(node, ",") >= 10:
+    if _char_count(node, ",", cache) >= 10:
         return False
 
     p = len(dom.find(node, "p"))
     img = len(dom.find(node, "img"))
     li = len(dom.find(node, "li")) - 100
     input_ = len(dom.find(node, "input"))
-    heading_density = _text_density(node, ["h1", "h2", "h3", "h4", "h5", "h6"])
+    heading_density = _text_density(node, ["h1", "h2", "h3", "h4", "h5", "h6"], cache)
     embed_count, allowed_embed = _count_embeds(node)
     if allowed_embed:
         return False
 
-    inner = _inner_text(node, True)
+    inner = _inner_text(node, True, cache)
     if RE_AD_WORDS.search(inner):
         return True
     if RE_LOADING_WORDS.search(inner):
         return True
 
     content_length = len(inner)
-    link_density = metrics.link_density(node)
-    text_density = _text_density(node, TEXTISH_TAGS)
+    link_density = metrics.link_density(node, cache)
+    text_density = _text_density(node, TEXTISH_TAGS, cache)
     is_figure_child = in_figure
     link_density_modifier = 0.0
 
@@ -739,13 +778,13 @@ TEXTISH_TAGS = ["span", "li", "td", "blockquote", "dl", "div", "img", "ol", "p",
                 "pre", "table", "ul"]
 
 
-def _list_content(node: Element) -> bool:
-    inner = _inner_text(node, True)
+def _list_content(node: Element, cache=None) -> bool:
+    inner = _inner_text(node, True, cache)
     if inner == "":
         return False
     list_length = 0
     for lst in dom.find(node, "ul,ol"):
-        list_length += len(_inner_text(lst, True))
+        list_length += len(_inner_text(lst, True, cache))
     return list_length / len(inner) > 0.9
 
 
@@ -759,12 +798,12 @@ def _remove_list_anyway(node: Element, img_count: int) -> bool:
     return img_count != li_count
 
 
-def _char_count(node, char: str) -> int:
-    return _inner_text(node, True).count(char)
+def _char_count(node, char: str, cache=None) -> int:
+    return _inner_text(node, True, cache).count(char)
 
 
-def _text_density(node, tags) -> float:
-    total = _inner_text(node, True)
+def _text_density(node, tags, cache=None) -> float:
+    total = _inner_text(node, True, cache)
     total_len = len(total)
     if total_len == 0:
         return 0.0
@@ -773,7 +812,7 @@ def _text_density(node, tags) -> float:
     # passing the children list keeps the root out of the match set
     children = node.children if isinstance(node, Element) else node
     for child in dom.find(children, ",".join(tags)):
-        child_len += len(_inner_text(child, True))
+        child_len += len(_inner_text(child, True, cache))
     return child_len / total_len
 
 

@@ -158,6 +158,10 @@ class _TreeBuilder(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.root_children: list = []
         self.stack: list[Element] = []
+        # open-tag counters let the implied-close scans bail in O(1) when
+        # the target tag isn't open at all (deep div chains would
+        # otherwise make parsing quadratic)
+        self._open: dict[str, int] = {}
 
     # -- helpers ---------------------------------------------------------
     def _append(self, node) -> None:
@@ -166,24 +170,29 @@ class _TreeBuilder(HTMLParser):
         else:
             self.root_children.append(node)
 
+    def _pop_to(self, i: int) -> None:
+        for el in self.stack[i:]:
+            self._open[el.tag] -= 1
+        del self.stack[i:]
+
     def _implied_close(self, tag: str) -> None:
         """Pop elements a start-tag of ``tag`` implicitly closes."""
-        if tag in _P_CLOSERS:
+        if tag in _P_CLOSERS and self._open.get("p", 0) > 0:
             # close the nearest <p> unless a scope barrier intervenes
             for i in range(len(self.stack) - 1, -1, -1):
                 t = self.stack[i].tag
                 if t == "p":
-                    del self.stack[i:]
+                    self._pop_to(i)
                     break
                 if t in _SCOPE_BARRIERS:
                     break
         closes = _CLOSES.get(tag)
-        if closes:
+        if closes and any(self._open.get(t, 0) > 0 for t in closes):
             barriers = _TABLE_SECTION_BARRIERS.get(tag, frozenset())
             for i in range(len(self.stack) - 1, -1, -1):
                 t = self.stack[i].tag
                 if t in closes:
-                    del self.stack[i:]
+                    self._pop_to(i)
                     break
                 if t in barriers or t in ("html", "body"):
                     break
@@ -202,6 +211,7 @@ class _TreeBuilder(HTMLParser):
         self._append(el)
         if tag not in VOID_ELEMENTS:
             self.stack.append(el)
+            self._open[tag] = self._open.get(tag, 0) + 1
 
     def handle_startendtag(self, tag, attrs):
         # <tag/> — treat as empty element regardless of voidness
@@ -217,11 +227,12 @@ class _TreeBuilder(HTMLParser):
     def handle_endtag(self, tag):
         if tag in VOID_ELEMENTS:
             return
+        if self._open.get(tag, 0) <= 0:
+            return  # unmatched end tag: ignored
         for i in range(len(self.stack) - 1, -1, -1):
             if self.stack[i].tag == tag:
-                del self.stack[i:]
+                self._pop_to(i)
                 return
-        # unmatched end tag: ignored
 
     def handle_data(self, data):
         if not data:
@@ -429,14 +440,43 @@ def iter_elements(node):
             stack.extend(reversed(cur.children))
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
+def _compile_selector(selector: str):
+    chains = tuple(
+        tuple(_parse_simple(s) for s in p.strip().split())
+        for p in selector.split(",")
+    )
+    # fast path: a union of bare tag names (the overwhelmingly common
+    # call shape — "p", "img", "ul,ol", "span,li,td,...") compiles to a
+    # frozenset lookup instead of the combinator state machine
+    if all(
+        len(c) == 1 and c[0][0] is not None and c[0][1] is None
+        for c in chains
+    ):
+        return frozenset(c[0][0] for c in chains)
+    return chains
+
+
 def find(node, selector: str) -> list[Element]:
     """Document-order matches of a comma-separated selector list."""
     results: list[Element] = []
-    parts = [p.strip() for p in selector.split(",")]
-    compiled = []
-    for p in parts:
-        chain = [_parse_simple(s) for s in p.split()]
-        compiled.append(chain)
+    compiled = _compile_selector(selector)
+
+    if isinstance(compiled, frozenset):
+        tags = compiled
+        stack = [node] if not isinstance(node, list) else list(reversed(node))
+        while stack:
+            cur = stack.pop()
+            if isinstance(cur, Element):
+                if cur.tag in tags:
+                    results.append(cur)
+                stack.extend(reversed(cur.children))
+            elif isinstance(cur, list):
+                stack.extend(reversed(cur))
+        return results
 
     def walk(cur, states):
         # states[i] = set of prefix lengths of chain i satisfied by some

@@ -12,23 +12,31 @@ _RE_NORM = re.compile(r"\s{2,}")
 _RE_HASH_URL = re.compile(r"^#.+")
 
 
-def _inner_len(node) -> int:
+def _inner_len(node, cache=None) -> int:
+    if cache is not None:
+        try:
+            return len(cache.inner(node))
+        except AttributeError:
+            pass
     return len(_RE_NORM.sub(" ", dom.text(node).strip()))
 
 
-def link_density(node) -> float:
+def link_density(node, cache=None) -> float:
     """Readability.js _getLinkDensity: innerText (trim + whitespace
     collapse) lengths; 0.3 coefficient for /^#.+/ hrefs. (The reference,
     metrics.ex:5-23, uses raw Floki.text lengths — indentation inflates
-    the denominator and misclassifies link-heavy wrappers.)"""
-    n = _inner_len(node)
+    the denominator and misclassifies link-heavy wrappers.)
+
+    ``cache``: optional cleaner._TextCache for O(1) text lookups during
+    the conditional-clean pass."""
+    n = _inner_len(node, cache)
     if n == 0:
         return 0.0
     links_text = 0.0
     for link in dom.find(node, "a"):
         href = link.attr("href")
         coef = 0.3 if _RE_HASH_URL.match(href) else 1.0
-        links_text += _inner_len(link) * coef
+        links_text += _inner_len(link, cache) * coef
     return links_text / n
 
 

@@ -96,6 +96,7 @@ def grab_article(
         c.copy_deep() if isinstance(c, Element) else c for c in doc
     ]
     walker = _GrabWalk(flags, article_title, meta, known_byline)
+    walker.stats = _subtree_stats(roots)
     roots = walker.walk_list(roots, [])
     byline = walker.byline
     if not any(isinstance(r, Element) for r in roots):
@@ -159,6 +160,34 @@ def grab_article(
 # like the JS while-loop: a node's conversion decision sees descendants
 # that are only removed later in the walk.
 
+def _subtree_stats(roots: list) -> dict[int, tuple[bool, int]]:
+    """One bottom-up pass: id(element) -> (has_nonws_text, n_br_hr_desc).
+
+    Exact for the walk's visit-time checks (pre-order: a node's own
+    subtree is untouched when it is visited), and turns the per-node
+    empty-container check from O(subtree) into O(1) — pathological deep
+    chains would otherwise make the walk quadratic."""
+    stats: dict[int, tuple[bool, int]] = {}
+
+    def rec(el) -> tuple[bool, int]:
+        has_text = False
+        brhr = 1 if el.tag in ("br", "hr") else 0
+        for c in el.children:
+            if isinstance(c, Element):
+                ct, cb = rec(c)
+                has_text = has_text or ct
+                brhr += cb
+            elif isinstance(c, str) and not has_text and c.strip() != "":
+                has_text = True
+        stats[id(el)] = (has_text, brhr)
+        return has_text, brhr
+
+    for r in roots:
+        if isinstance(r, Element):
+            rec(r)
+    return stats
+
+
 class _GrabWalk:
     def __init__(self, flags: int, article_title: str, meta: dict,
                  known_byline: str | None = None):
@@ -166,6 +195,7 @@ class _GrabWalk:
         mb = meta.get("byline")
         self.have_byline = isinstance(mb, str) and mb.strip() != ""
         self.byline: str | None = known_byline
+        self.stats: dict[int, tuple[bool, int]] = {}
         self.title = (article_title or "").strip()
         self.should_remove_title_header = bool(self.title)
 
@@ -222,8 +252,16 @@ class _GrabWalk:
                 return None
             if el.attr("role") in UNLIKELY_ROLES:
                 return None
-        if el.tag in _EMPTYABLE_TAGS and _element_without_content_el(el):
-            return None
+        if el.tag in _EMPTYABLE_TAGS:
+            stat = self.stats.get(id(el))
+            if stat is not None:
+                has_text, brhr = stat
+                if not has_text:
+                    elements = el.element_children()
+                    if not elements or len(elements) == brhr:
+                        return None
+            elif _element_without_content_el(el):
+                return None
 
         if el.tag == "div":
             el.children = _wrap_phrasing_runs(el.children)

@@ -51,8 +51,11 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     through --py-files without a driver-side closure.
     """
     from readability_ex_spark.kernel import dom, parse
-    from readability_ex_spark.kernel.api import NotReadable
+    from readability_ex_spark.kernel.api import NotReadable, TooLarge
     from readability_ex_spark.kernel.readerable import is_probably_readerable
+
+    # one adversarial page must not stall an executor core
+    guards = {"max_elems": 500_000, "max_depth": 2_000}
 
     for pdf in batches:
         out = {k: [] for k in (
@@ -74,7 +77,7 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     raw = bytes(html).decode("utf-8", errors="replace")
                     doc = dom.parse_document(raw)
                     row["readerable"] = is_probably_readerable(doc)
-                    r = parse(raw, doc=doc, base_uri=url)
+                    r = parse(raw, doc=doc, base_uri=url, **guards)
                     row.update(
                         title=r["title"], byline=r["byline"], dir=r["dir"],
                         lang=r["lang"], site_name=r["site_name"],
@@ -85,6 +88,8 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     status, error = "ok", None
                 except NotReadable:
                     status, error = "not_readable", None
+                except TooLarge as exc:
+                    status, error = "error", f"too_large: {exc}"
                 except Exception as exc:  # noqa: BLE001 — never kill the job
                     status, error = "error", f"{type(exc).__name__}: {exc}"[:500]
             out["url"].append(url)
