@@ -10,12 +10,10 @@ those are top-down there and here).
 from __future__ import annotations
 
 import re
-from urllib.parse import urljoin, urlsplit
+from urllib.parse import urlsplit
 
 from readability_ex_spark.kernel import dom, metrics
 from readability_ex_spark.kernel.constants import (
-    BLOCK_TAGS,
-    LAZY_SRC_ATTRS,
     PHRASING_ELEMS,
     PRESENTATIONAL_ATTRS,
     RE_AD_WORDS,
@@ -23,7 +21,6 @@ from readability_ex_spark.kernel.constants import (
     RE_LOADING_WORDS,
     RE_NONWORD,
     RE_SHARE_ELEMENTS,
-    RE_URLISH_IMAGE,
 )
 from readability_ex_spark.kernel.dom import Comment, Element
 
@@ -177,18 +174,6 @@ def replace_font_tags(doc: list) -> list:  # P6 (cleaner.ex:162-167)
     return dom.traverse_update(doc, fn)
 
 
-def remove_redundant_brs(doc: list) -> list:  # P8 (cleaner.ex:169-187)
-    def fn(node):
-        if isinstance(node, Element) and node.tag in ("div", "section", "article"):
-            if any(isinstance(c, Element) and c.tag == "p" for c in node.children):
-                node.children = [
-                    c for c in node.children
-                    if not (isinstance(c, Element) and c.tag == "br")
-                ]
-        return node
-
-    return dom.traverse_update(doc, fn)
-
 
 def remove_comments(doc: list) -> list:  # P4
     """Delete comment nodes. NB: the text nodes around a removed comment
@@ -206,63 +191,9 @@ def remove_comments(doc: list) -> list:  # P4
 # P5: normalize_text_nodes (cleaner.ex:197-258)
 # ---------------------------------------------------------------------------
 
-_RE_END_WS = re.compile(r"\s\Z", re.A)
-_RE_START_WS = re.compile(r"\A\s", re.A)
-_RE_END_ALPHA = re.compile(r"[A-Za-z]\Z")
-_RE_START_DIGIT = re.compile(r"\A[0-9]")
-_RE_START_ALPHA = re.compile(r"\A[A-Za-z]")
-_RE_START_LOWER = re.compile(r"\A[a-z]")
-_RE_END_ALNUM = re.compile(r"[A-Za-z0-9]\Z")
-_RE_START_ALNUM = re.compile(r"\A[A-Za-z0-9]")
-_RE_END_PUNCT = re.compile(r"[!-/:-@\[-`{-~]\Z")  # POSIX [[:punct:]] ASCII
-_RE_ALPHA_CHAR = re.compile(r"[A-Za-z]")
 
 
-def normalize_text_nodes(doc: list) -> list:
-    def fn(node):
-        if isinstance(node, Element):
-            node.children = _merge_text_children(node.children)
-        return node
 
-    return dom.traverse_update(doc, fn)
-
-
-def _merge_text_children(children: list) -> list:
-    """Plain concatenation of adjacent text nodes (DOM textContent
-    semantics). The reference's language-aware space insertion
-    (cleaner.ex:221-258) compensates for its parser splitting text at
-    entity boundaries; our parser doesn't split, so inserting spaces
-    would corrupt text."""
-    out: list = []
-    for child in children:
-        if isinstance(child, str) and out and isinstance(out[-1], str):
-            out[-1] = out[-1] + child
-        else:
-            out.append(child)
-    return out
-
-
-def _join_text(prev: str, nxt: str) -> str:
-    if prev == "":
-        return nxt
-    if nxt == "":
-        return prev
-    if _RE_END_WS.search(prev) or _RE_START_WS.search(nxt):
-        return prev + nxt
-    if _RE_END_ALPHA.search(prev) and _RE_START_DIGIT.search(nxt):
-        return prev + nxt
-    if _RE_END_ALPHA.search(prev) and _RE_START_ALPHA.search(nxt):
-        second = nxt[1] if len(nxt) > 1 else None
-        if _RE_START_LOWER.search(nxt) and (
-            len(nxt) == 1 or (second is not None and not _RE_ALPHA_CHAR.match(second))
-        ):
-            return prev + nxt
-        return prev + " " + nxt
-    if _RE_END_ALNUM.search(prev) and _RE_START_ALNUM.search(nxt):
-        return prev + " " + nxt
-    if _RE_END_PUNCT.search(prev) and _RE_START_ALNUM.search(nxt):
-        return prev + " " + nxt
-    return prev + nxt
 
 
 # ---------------------------------------------------------------------------
@@ -355,26 +286,6 @@ def _replace_brs_in_children(children: list) -> tuple[list, bool]:
 # P9: convert_divs_to_paragraphs (cleaner.ex:260-371)
 # ---------------------------------------------------------------------------
 
-def convert_divs_to_paragraphs(doc: list) -> list:
-    def fn(node):
-        if not (isinstance(node, Element) and node.tag == "div"):
-            return node
-        children = _wrap_phrasing_children(node.children)
-        node.children = children
-        p_child = _single_p_child(children)
-        if p_child is not None and metrics.link_density(node) < 0.25:
-            merged = _merge_attrs(list(p_child.attrs), node.attrs)
-            return Element("p", merged, p_child.children)
-        if _single_heading_child(children):
-            node.tag = "p"
-            return node
-        if any(isinstance(c, Element) and c.tag in BLOCK_TAGS for c in children):
-            return node
-        node.tag = "p"
-        return node
-
-    return dom.traverse_update(doc, fn)
-
 
 def _phrasing_content(node) -> bool:
     """cleaner.ex:1707-1722."""
@@ -394,88 +305,8 @@ def _is_ws_js(c) -> bool:
     return (isinstance(c, str) and c.strip() == "") or _is_br(c)
 
 
-def _wrap_phrasing_children(children: list) -> list:
-    """Wrap phrasing runs into <p> with Readability.js semantics
-    (00_original_code.js div-handling loop): whitespace/brs before a run
-    stay *outside* the <p> (JS _isWhitespace counts <br>; the reference
-    drops the whitespace instead, cleaner.ex:310-321); trailing
-    whitespace of a run flushed by a block element is dropped; a run at
-    the end keeps its tail."""
-    acc: list = []
-    cur: list | None = None
-    for child in children:
-        if _phrasing_content(child):
-            if cur is not None:
-                cur.append(child)
-            elif not _is_ws_js(child):
-                cur = [child]
-            else:
-                acc.append(child)
-        else:
-            if cur is not None:
-                while cur and _is_ws_js(cur[-1]):
-                    cur.pop()
-                if cur:
-                    acc.append(Element("p", [], cur))
-                cur = None
-            acc.append(child)
-    if cur:
-        acc.append(Element("p", [], cur))
-    return acc
 
 
-def _single_p_child(children: list):
-    elements = [c for c in children if isinstance(c, Element)]
-    if len(elements) == 1 and elements[0].tag == "p":
-        if all(not isinstance(c, str) or c.strip() == "" for c in children):
-            return elements[0]
-    return None
-
-
-def _single_heading_child(children: list) -> bool:
-    elements = [c for c in children if isinstance(c, Element)]
-    return len(elements) == 1 and elements[0].tag in (
-        "h1", "h2", "h3", "h4", "h5", "h6"
-    )
-
-
-def _merge_attrs(child_attrs: list, parent_attrs: list) -> list:
-    """Child wins; parent fills gaps (cleaner.ex:1992-2001)."""
-    acc = list(child_attrs)
-
-    def get(attrs, k):
-        for kk, vv in attrs:
-            if kk == k:
-                return vv
-        return ""
-
-    for k, v in parent_attrs:
-        if get(acc, k) == "" and v != "":
-            replaced = False
-            for i, (kk, _) in enumerate(acc):
-                if kk == k:
-                    acc[i] = (k, v)
-                    replaced = True
-                    break
-            if not replaced:
-                acc.append((k, v))
-    return acc
-
-
-def _merge_attrs_override(child_attrs: list, parent_attrs: list) -> list:
-    """Parent non-empty values override child (cleaner.ex:1608-1617)."""
-    acc = list(child_attrs)
-    for k, v in parent_attrs:
-        if v != "":
-            replaced = False
-            for i, (kk, _) in enumerate(acc):
-                if kk == k:
-                    acc[i] = (k, v)
-                    replaced = True
-                    break
-            if not replaced:
-                acc.append((k, v))
-    return acc
 
 
 # ---------------------------------------------------------------------------
@@ -880,31 +711,6 @@ def _clean_share_descendants(node: Element, threshold: int) -> Element:
 # C7: remove_title_headers (cleaner.ex:1105-1146)
 # ---------------------------------------------------------------------------
 
-def remove_title_headers(node, title: str | None):
-    title = (title or "").strip()
-    if title == "":
-        return node
-    removed = [False]
-
-    def walk(n):
-        if removed[0] or not isinstance(n, Element):
-            return n
-        if n.tag in ("h1", "h2") and text_similarity(title, dom.text(n)) > 0.75:
-            removed[0] = True
-            return None
-        new_children = []
-        for c in n.children:
-            if removed[0]:
-                new_children.append(c)
-                continue
-            r = walk(c)
-            if r is not None:
-                new_children.append(r)
-        n.children = new_children
-        return n
-
-    return walk(node)
-
 
 def text_similarity(text_a: str, text_b: str) -> float:
     """Token-overlap similarity (cleaner.ex:1148-1168, sieve.ex:137-157)."""
@@ -926,88 +732,6 @@ def _tokenize(text: str) -> list[str]:
 # C4: remove_semantic_junk (cleaner.ex:1170-1341) — reference-specific
 # ---------------------------------------------------------------------------
 
-_RE_JUNK_1 = re.compile(
-    r"\barticle__photo\b|photo--opener|article__photo__image|article__photo__desc"
-    r"|content-head|content-bar|author__|author--article|codefragment|recirc"
-    r"|itemendrow|related-articles-module|most-popular-recircs|teads"
-    r"|caption-credit|post-meta|bloc_signature|banner-headline|breadcrumbs"
-    r"|authors-container|modal|dealbook-branding",
-    re.I | re.A,
-)
-_RE_JUNK_TABOOLA = re.compile(r"\btaboola\b", re.I | re.A)
-_RE_JUNK_2 = re.compile(
-    r"\bstory-meta\b|\bstory-header\b|\bstory-ad\b|\bsharetools?\b|\bsharetool\b"
-    r"|\bad-placeholder\b|\breader-satisfaction\b|\bfeedback\b|\bsurvey\b"
-    r"|\bmarginalia\b",
-    re.I | re.A,
-)
-_RE_SUPPLEMENTAL = re.compile(r"\bsupplemental\b", re.I | re.A)
-_RE_STORY_BODY = re.compile(r"\bstory-body\b", re.I | re.A)
-_RE_MEDIA_WRAP = re.compile(
-    r"\bmedia-container\b|\bimage-wrapper\b|\bimage-carousel\b|\bcarousel\b",
-    re.I | re.A,
-)
-_RE_COPY = re.compile(r"\bcopy\b", re.I | re.A)
-_RE_G_CHART = re.compile(r"^g-.*-chart", re.I | re.A)
-_RE_CONTINUE_READING = re.compile(r"^Continue reading", re.I | re.A)
-
-
-def remove_semantic_junk(node):
-    def fn(n):
-        if not isinstance(n, Element):
-            return n
-        if n.tag == "div" and n.attr("id").startswith("FlexAd"):
-            return _maybe_continue_link(n.children)
-        return _remove_semantic_junk_node(n)
-
-    return dom.traverse_update(node, fn)
-
-
-def _remove_semantic_junk_node(n: Element):
-    s = n.attr("class") + " " + n.attr("id")
-    id_attr = n.attr("id")
-    data_component = n.attr("data-component")
-    data_testid = n.attr("data-testid").lower()
-    itemprop = n.attr("itemprop").lower()
-    story_body = bool(_RE_STORY_BODY.search(s))
-    tag = n.tag
-
-    if (
-        _RE_JUNK_1.search(s)
-        or _RE_JUNK_TABOOLA.search(s)
-        or _RE_JUNK_2.search(s)
-        or (_RE_SUPPLEMENTAL.search(s) and not story_body)
-        or data_component == "taboola"
-        or (tag == "div" and _RE_MEDIA_WRAP.search(s))
-        or (tag == "button" and (_RE_COPY.search(s) or _RE_COPY.search(dom.text(n))))
-        or (tag == "a" and "module=RelatedLinks" in n.attr("href"))
-        or data_testid == "share-tools"
-        or (itemprop != "" and "author" in itemprop and tag in ("p", "span"))
-        or id_attr == "bottom-wrapper"
-        or id_attr.startswith("twttr_")
-        or id_attr.startswith("trc_")
-        or (id_attr != "" and _RE_G_CHART.search(id_attr))
-        or id_attr.startswith("story-ad-")
-        or id_attr in (
-            "story-meta", "story-header",
-            "sharetools-story-meta-footer", "sharetools-masthead",
-        )
-    ):
-        return None
-    return n
-
-
-def _maybe_continue_link(children):
-    for a in dom.find(children, "a"):
-        href = a.attr("href")
-        txt = dom.text(a).strip()
-        if href.startswith("#story-continues") and _RE_CONTINUE_READING.search(txt):
-            return Element("p", [], [a])
-    return None
-
-
-# ---------------------------------------------------------------------------
-# C5: clean_tag (cleaner.ex:1189-1220)
 # ---------------------------------------------------------------------------
 
 def clean_tag(node, tag: str):
@@ -1034,27 +758,6 @@ def _allowed_video(n: Element) -> bool:
 # C10: wrap_continue_links (cleaner.ex:1243-1275)
 # ---------------------------------------------------------------------------
 
-def wrap_continue_links(node):
-    def fn(n):
-        if isinstance(n, Element) and n.tag in ("div", "section", "article", "main"):
-            new_children = []
-            for c in n.children:
-                if isinstance(c, Element) and c.tag == "a" and _continue_link(c):
-                    new_children.append(Element("p", [], [c]))
-                else:
-                    new_children.append(c)
-            n.children = new_children
-        return n
-
-    return dom.traverse_update(node, fn)
-
-
-def _continue_link(a: Element) -> bool:
-    href = a.attr("href")
-    txt = dom.text(a).strip()
-    return (
-        href.startswith("#story-continues") or href == "#whats-next"
-    ) and bool(_RE_CONTINUE_READING.search(txt))
 
 
 # ---------------------------------------------------------------------------
@@ -1174,14 +877,6 @@ def simplify_nested_elements(node):
     return simplify(node)
 
 
-def _direct_text(children) -> bool:
-    return any(isinstance(c, str) and c.strip() != "" for c in children)
-
-
-def _only_whitespace_text(children) -> bool:
-    element_count = sum(1 for c in children if isinstance(c, Element))
-    text_ok = all(not isinstance(c, str) or c.strip() == "" for c in children)
-    return element_count == 1 and text_ok
 
 
 def _element_without_content(node: Element) -> bool:
@@ -1195,96 +890,16 @@ def _element_without_content(node: Element) -> bool:
     return len(elements) == br_count + hr_count
 
 
-def _preserve_wrapper(node: Element) -> bool:
-    id_attr = node.attr("id")
-    class_attr = node.attr("class")
-    if id_attr in ("readability-page-1", "content", "article-content"):
-        return True
-    return "page" in RE_WS_ASCII.split(class_attr.strip()) if class_attr.strip() else False
 
 
-_RE_TEXT_WRAPPER = re.compile(r"\b(text|parbase|content)\b", re.I | re.A)
-_RE_CONTENT_BODY_ID = re.compile(r"\b(content|body)\b", re.I | re.A)
-_RE_BIO_PARA = re.compile(r"^[A-Z][^,]+ is a ")
 
 
-def _redundant_div_with_p(n: Element) -> bool:
-    if n.tag != "div" or _preserve_wrapper(n) or not _only_whitespace_text(n.children):
-        return False
-    if not all(
-        k in ("class", "id", "role") or k.startswith("data-") or k.startswith("aria-")
-        for k, _v in n.attrs
-    ):
-        return False
-    elements = n.element_children()
-    if len(elements) != 1 or elements[0].tag != "p":
-        return False
-    p = elements[0]
-    p_text = dom.text(p).strip()
-    unwrap_wrapper = (
-        _text_container_wrapper(n)
-        or _css_wrapper_with_media(n, p.children)
-        or p_text.startswith("A version of this article appears in print")
-    )
-    has_heading = any(
-        isinstance(c, Element) and c.tag in ("h1", "h2", "h3", "h4", "h5", "h6")
-        for c in p.children
-    )
-    return (
-        not has_heading
-        and p_text != ""
-        and unwrap_wrapper
-        and not _keep_bio_wrapper(n, p_text)
-    )
 
-
-def _text_container_wrapper(n: Element) -> bool:
-    class_ = n.attr("class")
-    id_attr = n.attr("id")
-    if class_ == "" and id_attr == "":
-        return True
-    return bool(_RE_TEXT_WRAPPER.search(class_)) or bool(
-        _RE_CONTENT_BODY_ID.search(id_attr)
-    )
-
-
-def _css_wrapper_with_media(n: Element, children) -> bool:
-    return n.attr("class").startswith("css-") and _contains_tag(children, "img")
-
-
-def _contains_tag(children, tag: str) -> bool:
-    for c in children:
-        if isinstance(c, Element):
-            if c.tag == tag:
-                return True
-            if _contains_tag(c.children, tag):
-                return True
-    return False
-
-
-def _keep_bio_wrapper(n: Element, text: str) -> bool:
-    return n.attr("class") == "" and n.attr("id") == "" and bool(
-        _RE_BIO_PARA.match(text)
-    )
 
 
 # ---------------------------------------------------------------------------
 # C14: unwrap_content_main (cleaner.ex:1462-1483)
 # ---------------------------------------------------------------------------
-
-def unwrap_content_main(node):
-    def fn(n):
-        if isinstance(n, Element) and n.tag == "div" and n.attr("id") == "content":
-            for c in n.children:
-                if (
-                    isinstance(c, Element)
-                    and c.tag == "main"
-                    and c.attr("id") == "content-main"
-                ):
-                    return Element("div", list(c.attrs), c.children)
-        return n
-
-    return dom.traverse_update(node, fn)
 
 
 # ---------------------------------------------------------------------------
