@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": S.q_ann_bruteforce,
         "knn_label_pairs": S.q_knn_label_pairs,
         "ann_lsh": S.q_ann_lsh,  # rows-only (driver-side hyperplanes)
+        "ann_lsh_topk": S.q_ann_lsh_topk,  # rows-only (bucket-pruned search)
     }
 
 

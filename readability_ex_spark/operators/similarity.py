@@ -130,3 +130,41 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_vecs"))
         .orderBy("bucket")
     )
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale-path ANN: exact cosine ranking restricted to the query's LSH
+    bucket. The bucket id prunes the scan (at 100 TB: one partition-
+    pruned bucket read instead of a full sweep); recall can be raised by
+    probing neighboring buckets (Hamming-1 on the sign bits)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    dim = len(query_vec)
+    planes = rng.standard_normal((n_planes, dim))
+    q = np.asarray(query_vec, dtype="float64")
+    qbucket = 0
+    for i in range(n_planes):
+        qbucket = qbucket * 2 + (1 if float(planes[i] @ q) >= 0 else 0)
+    bucketed = lsh_bucket(emb, n_planes=n_planes, seed=seed)
+    return cosine_topk(
+        bucketed.filter(F.col("bucket") == qbucket).drop("bucket"),
+        query_vec,
+        k=k,
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-restricted top-5 for the vec_id=0 query (rows-only check)."""
+    emb = _emb(spark, sf_dir)
+    qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
+    qvec = [float(x) for x in qrow[0]]
+    return ann_lsh_topk(
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID), qvec, k=5
+    )
