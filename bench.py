@@ -33,7 +33,13 @@ def main() -> int:
     from readability_ex_spark.session import get_spark
     from readability_ex_spark.sources.pages import synthesize_pages
 
-    spark = get_spark("bench")
+    # the synthetic bench pages are ~3 KB; 512 rows/batch ≈ 1.5 MB — the
+    # same per-batch byte budget the 64-row production default targets on
+    # ~100 KB crawl pages (see BENCH/BASELINE.md)
+    spark = get_spark(
+        "bench",
+        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "512"},
+    )
 
     timings: dict[str, float] = {}
 
