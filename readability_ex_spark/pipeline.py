@@ -52,6 +52,7 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """
     from readability_ex_spark.kernel import dom, parse
     from readability_ex_spark.kernel.api import NotReadable, TooLarge
+    from readability_ex_spark.kernel.encoding import decode_html
     from readability_ex_spark.kernel.readerable import is_probably_readerable
 
     # one adversarial page must not stall an executor core
@@ -74,7 +75,7 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 status, error = "error", "empty_html"
             else:
                 try:
-                    raw = bytes(html).decode("utf-8", errors="replace")
+                    raw = decode_html(bytes(html))
                     doc = dom.parse_document(raw)
                     row["readerable"] = is_probably_readerable(doc)
                     r = parse(raw, doc=doc, base_uri=url, **guards)
