@@ -151,10 +151,13 @@ def run_extraction(
         ]
     else:
         keys = [F.col("url")]
-    if n_partitions:
-        df = df.repartition(n_partitions, *keys)
-    else:
-        df = df.repartition(*keys)
+    if not n_partitions:
+        # an explicit count keeps AQE from coalescing the (byte-small)
+        # shuffle output below the core count — the kernel stage is
+        # CPU-bound, not byte-bound, so advisory-size coalescing would
+        # serialize it onto a handful of cores
+        n_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    df = df.repartition(n_partitions, *keys)
 
     extracted = df.mapInPandas(extract_batches, EXTRACT_SCHEMA)
     return extracted.withColumns(
