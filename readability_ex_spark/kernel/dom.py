@@ -376,14 +376,21 @@ def traverse_update(node, fn):
     """
     if isinstance(node, list):
         out = []
+        append = out.append
         for c in node:
-            r = traverse_update(c, fn)
+            # inline the per-child dispatch: only Elements recurse — text
+            # nodes dominate real documents and need just the fn call
+            if c.__class__ is Element:
+                c.children = traverse_update(c.children, fn)
+                r = fn(c)
+            else:
+                r = fn(c)
             if r is None:
                 continue
-            if isinstance(r, list):
+            if r.__class__ is list:
                 out.extend(x for x in r if x is not None)
             else:
-                out.append(r)
+                append(r)
         return out
     if isinstance(node, Element):
         node.children = traverse_update(node.children, fn)
