@@ -1,0 +1,54 @@
+"""scripts/run_job.py end-to-end in a subprocess (the spark-submit
+surface): fresh run, then resume processing zero rows."""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module")
+def jobdir(spark):
+    from readability_ex_spark.sources.pages import synthesize_pages
+
+    d = Path(tempfile.mkdtemp(prefix="job_test_"))
+    synthesize_pages(spark, "/root/testdata/sf0.001").limit(120).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "pages"))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run(jobdir: Path, run_id: str) -> str:
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "run_job.py"),
+            "--input", str(jobdir / "pages"),
+            "--output", str(jobdir / "out"),
+            "--partitions", "4",
+            "--run-id", run_id,
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    return next(
+        line for line in proc.stdout.splitlines() if line.startswith("run_id=")
+    )
+
+
+def test_job_then_resume(jobdir, spark):
+    first = _run(jobdir, "r0")
+    assert "processed=" in first and "processed=0" not in first
+    second = _run(jobdir, "r1")
+    assert "processed=0" in second
+    out = spark.read.parquet(str(jobdir / "out"))
+    assert out.count() == out.select("url").distinct().count() > 0
+    metrics = spark.read.parquet(str(jobdir / "out" / "_metrics"))
+    assert metrics.filter("run_id = 'r0'").count() > 0

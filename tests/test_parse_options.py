@@ -1,0 +1,50 @@
+"""parse() option surface: keep_classes / preserve_classes /
+nb_top_candidates / char_threshold (the reference's option schema,
+readability_ex.ex:193-205)."""
+
+from __future__ import annotations
+
+from readability_ex_spark.kernel import parse
+
+HTML = """
+<html><body><div id="art" class="content page fancy">
+<p class="lead caption">First paragraph, with commas, and a good amount of
+words to be scored properly by the algorithm, easily enough.</p>
+<p class="body-text">Second paragraph is similarly long, with words, and
+commas, and keeps the candidate selection perfectly stable here.</p>
+<p>Third paragraph continues, because articles have multiple paragraphs,
+and each contributes its score to the shared ancestor element.</p>
+<p>Fourth paragraph adds more characters so that the five hundred char
+threshold is comfortably met by the extracted text content, fine.</p>
+</div></body></html>
+"""
+
+
+def test_default_strips_unlisted_classes():
+    r = parse(HTML)
+    assert 'class="body-text"' not in r["content"]
+    assert 'class="caption"' in r["content"]  # preserved by default set
+    assert 'class="page"' in r["content"]
+
+
+def test_keep_classes_retains_everything():
+    r = parse(HTML, keep_classes=True)
+    assert 'class="lead caption"' in r["content"]
+    assert 'class="body-text"' in r["content"]
+
+
+def test_custom_preserve_classes():
+    r = parse(HTML, preserve_classes=frozenset(["body-text"]))
+    assert 'class="body-text"' in r["content"]
+    assert "caption" not in r["content"]
+
+
+def test_char_threshold_controls_pass_acceptance():
+    short = (
+        "<html><body><div class='content'>"
+        "<p>Small piece, with commas, but short text here.</p>"
+        "<p>Another small piece of text, also short, fine.</p>"
+        "</div></body></html>"
+    )
+    r = parse(short, char_threshold=10)
+    assert r["length"] > 10
