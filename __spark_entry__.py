@@ -52,7 +52,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig": T.q_minhash_sig,
         "minhash_band_pairs": T.q_minhash_band_pairs,
         "simhash": T.q_simhash,
+        "near_dup": T.q_near_dup,
         "ngram_jaccard": T.q_ngram_jaccard,
+        "corpus_stats": T.q_corpus_stats,
         "multimodal_meta": T.q_multimodal_meta,
         # -- similarity search --
         "ann_bruteforce": S.q_ann_bruteforce,
@@ -226,6 +228,33 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b
               ON a.sig0 = b.sig0 AND a.sig1 = b.sig1 AND a.doc_id < b.doc_id
             ORDER BY doc_a, doc_b
+        """,
+        "near_dup": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE list_distinct({toks}) END AS toks,
+                     {sig(0)} AS sig0, {sig(1)} AS sig1
+              FROM documents),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     round(CASE
+                       WHEN len(list_distinct(a.toks || b.toks)) > 0
+                       THEN len(list_intersect(a.toks, b.toks)) /
+                            CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE)
+                       ELSE 0.0 END, 6) AS jaccard
+              FROM s a JOIN s b
+                ON a.sig0 = b.sig0 AND a.sig1 = b.sig1
+                AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, jaccard FROM p
+            WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b
+        """,
+        "corpus_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   count(DISTINCT source) AS n_sources,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   round(avg(n_chars), 2) AS avg_chars
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "ngram_jaccard": f"""
             WITH t AS (

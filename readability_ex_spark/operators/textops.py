@@ -180,6 +180,54 @@ def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: band-bucket candidate join
+    (sig0, sig1) -> exact token-set Jaccard verification >= 0.8.
+
+    The scale shape: candidates come from the band join (no O(n^2)
+    cross), the quadratic verify runs only within candidate pairs."""
+    docs = _docs(spark, sf_dir)
+    sigs = docs.select(
+        "doc_id",
+        F.array_distinct(_tokens_col()).alias("toks"),
+        *minhash_signature(2),
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"),
+        "sig0", "sig1",
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"),
+        "sig0", "sig1",
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        a.join(b, ["sig0", "sig1"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus rollup: docs, distinct sources, char totals —
+    the monitoring-table shape of the extraction job's counters."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard for same-source doc pairs (blocked near-dup).
 
