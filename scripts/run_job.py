@@ -35,6 +35,11 @@ def main() -> int:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--no-dedup", action="store_true")
+    ap.add_argument(
+        "--chain-pages", type=int, default=0, metavar="MAX",
+        help="also emit a multi-page chain table (url -> root_url, "
+        "page_number) via next-link corpus self-joins, up to MAX pages",
+    )
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
 
@@ -66,6 +71,13 @@ def main() -> int:
 
     write_extracted(extracted, args.output)
     write_metrics(metrics_rollup(extracted), args.output, run_id)
+
+    if args.chain_pages > 1:
+        from readability_ex_spark.operators.paging import chain_pages
+
+        chain_pages(pages, max_pages=args.chain_pages).write.mode(
+            "append"
+        ).parquet(f"{args.output}/_page_chains")
 
     by_status = {
         r["status"]: r["count"]
