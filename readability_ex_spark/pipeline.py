@@ -121,6 +121,7 @@ def run_extraction(
     salt_buckets: int = 0,
     dedup: bool = True,
     done_urls: DataFrame | None = None,
+    emit_html: bool = True,
 ) -> DataFrame:
     """Build the extraction plan over a pages DataFrame.
 
@@ -160,6 +161,11 @@ def run_extraction(
     df = df.repartition(n_partitions, *keys)
 
     extracted = df.mapInPandas(extract_batches, EXTRACT_SCHEMA)
+    if not emit_html:
+        # text-only mode: cleaned HTML is usually the largest output
+        # column; dropping it (projection, pushed past the UDF boundary
+        # by us, not Catalyst) halves sink bytes for text pipelines
+        extracted = extracted.drop("content_html")
     return extracted.withColumns(
         {
             "partition_id": F.spark_partition_id(),

@@ -40,6 +40,10 @@ def main() -> int:
         help="also emit a multi-page chain table (url -> root_url, "
         "page_number) via next-link corpus self-joins, up to MAX pages",
     )
+    ap.add_argument(
+        "--no-html", action="store_true",
+        help="omit content_html from the output (text-only pipelines)",
+    )
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
 
@@ -67,6 +71,7 @@ def main() -> int:
         n_partitions=args.partitions,
         dedup=not args.no_dedup,
         done_urls=done,
+        emit_html=not args.no_html,
     ).cache()
 
     write_extracted(extracted, args.output)
