@@ -748,6 +748,23 @@ def clean_tag(node, tag: str):
     return dom.traverse_update(node, fn)
 
 
+def clean_tags(node, tags: frozenset | set, video_exempt: bool = False):
+    """Single-pass removal of a tag group. ONLY valid for groups whose
+    sequential per-tag passes are order-independent: unconditional
+    removals, or removals whose keep-condition (the allowed-video check)
+    doesn't depend on the other tags in the group. object/embed interact
+    through object's serialized-HTML video check and must stay as
+    separate clean_tag passes."""
+    def fn(n):
+        if isinstance(n, Element) and n.tag in tags:
+            if video_exempt and n.tag == "iframe" and _allowed_video(n):
+                return n
+            return None
+        return n
+
+    return dom.traverse_update(node, fn)
+
+
 def _allowed_video(n: Element) -> bool:
     if any(RE_ALLOWED_VIDEO.search(v) for _k, v in n.attrs):
         return True

@@ -125,11 +125,15 @@ def grab_article(
     cleaned = cleaner.fix_lazy_images(cleaned)
     if has_flag(flags, FLAG_CLEAN_CONDITIONALLY):
         cleaned = cleaner.clean_conditionally(cleaned, ("form", "fieldset"))
-    for t in ("object", "embed", "footer", "link", "aside"):
-        cleaned = cleaner.clean_tag(cleaned, t)
+    cleaned = cleaner.clean_tag(cleaned, "object")
+    cleaned = cleaner.clean_tag(cleaned, "embed")
+    cleaned = cleaner.clean_tags(cleaned, frozenset(["footer", "link", "aside"]))
     cleaned = cleaner.clean_share_elements(cleaned, DEFAULT_CHAR_THRESHOLD)
-    for t in ("iframe", "input", "textarea", "select", "button"):
-        cleaned = cleaner.clean_tag(cleaned, t)
+    cleaned = cleaner.clean_tags(
+        cleaned,
+        frozenset(["iframe", "input", "textarea", "select", "button"]),
+        video_exempt=True,
+    )
     cleaned = cleaner.clean_headers(cleaned)
     if has_flag(flags, FLAG_CLEAN_CONDITIONALLY):
         cleaned = cleaner.clean_conditionally(cleaned, ("table", "ul", "div"))
