@@ -137,7 +137,8 @@ def run_extraction(
         df = dedup_latest_crawl(df)
     if done_urls is not None:
         df = df.join(done_urls.select("url"), "url", "left_anti")
-    df = df.select("url", "html")
+    # tolerate string html columns (the contract is binary)
+    df = df.select("url", F.col("html").cast("binary").alias("html"))
 
     # Partition key: plain url hash-partitioning lines up with the dedup
     # window's ENSURE_REQUIREMENTS exchange, so when the partition count
