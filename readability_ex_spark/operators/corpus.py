@@ -55,10 +55,19 @@ def exact_dup_manifest(extracted: DataFrame, text_col: str = "text") -> DataFram
 
 
 def near_dup_pairs(
-    extracted: DataFrame, text_col: str = "text", n_bands: int = 2
+    extracted: DataFrame,
+    text_col: str = "text",
+    n_bands: int = 2,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """MinHash band-bucket candidate pairs over extracted text (seeded
-    md5-min signatures — same construction as operators/textops.py)."""
+    md5-min signatures — same construction as operators/textops.py).
+
+    ``max_bucket`` drops degenerate buckets (identical boilerplate texts
+    put millions of urls behind one signature at crawl scale; the pair
+    join would be quadratic in the bucket size). Members of a dropped
+    bucket are by definition exact-ish duplicates — the exact-dup
+    manifest handles them at linear cost."""
     toks = F.array_distinct(_tokens(text_col))
 
     def sig(i: int):
@@ -68,8 +77,12 @@ def near_dup_pairs(
 
     sigs = extracted.select("url", *[sig(i) for i in range(n_bands)])
     band_cols = [f"sig{i}" for i in range(n_bands)]
-    a = sigs.select(F.col("url").alias("url_a"), *band_cols)
-    b = sigs.select(F.col("url").alias("url_b"), *band_cols)
+    counts = sigs.groupBy(*band_cols).agg(F.count("*").alias("_n"))
+    bounded = sigs.join(counts, band_cols).filter(
+        F.col("_n") <= max_bucket
+    ).drop("_n")
+    a = bounded.select(F.col("url").alias("url_a"), *band_cols)
+    b = bounded.select(F.col("url").alias("url_b"), *band_cols)
     return (
         a.join(b, band_cols)
         .filter(F.col("url_a") < F.col("url_b"))
