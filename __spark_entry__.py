@@ -64,6 +64,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _lsh_ctes(sig) -> str:
+    """Shared DuckDB CTEs mirroring textops.lsh_band_candidates exactly:
+    b=N_LSH_BANDS bands × r=N_LSH_ROWS rows, band hash = md5 of the
+    '|'-joined band signatures, buckets capped at MAX_BAND_BUCKET."""
+    b, r, cap = T.N_LSH_BANDS, T.N_LSH_ROWS, T.MAX_BAND_BUCKET
+    sig_cols = ", ".join(f"{sig(i)} AS sig{i}" for i in range(b * r))
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {j} AS band_id, md5({parts}) AS band_hash FROM s".format(
+            j=j,
+            parts=" || '|' || ".join(f"sig{j * r + k}" for k in range(r)),
+        )
+        for j in range(b)
+    )
+    return f"""s AS (SELECT doc_id, {sig_cols} FROM documents),
+            bands AS (
+              SELECT * FROM ({band_rows}) WHERE band_hash IS NOT NULL),
+            bounded AS (
+              SELECT doc_id, band_id, band_hash FROM (
+                SELECT *, count(*) OVER (PARTITION BY band_id, band_hash)
+                       AS _n
+                FROM bands)
+              WHERE _n <= {cap})"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks = "regexp_split_to_array(trim(text), '\\s+')"
     ntoks = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({toks}) END"
@@ -221,31 +245,35 @@ def oracle_sql() -> dict[str, str]:
             FROM t ORDER BY doc_id
         """,
         "minhash_band_pairs": f"""
-            WITH s AS (
-              SELECT doc_id, {sig(0)} AS sig0, {sig(1)} AS sig1
-              FROM documents)
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM s a JOIN s b
-              ON a.sig0 = b.sig0 AND a.sig1 = b.sig1 AND a.doc_id < b.doc_id
+            WITH {_lsh_ctes(sig)}
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bounded a JOIN bounded b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
             ORDER BY doc_a, doc_b
         """,
         "near_dup": f"""
-            WITH s AS (
+            WITH {_lsh_ctes(sig)},
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bounded a JOIN bounded b
+                ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id),
+            t AS (
               SELECT doc_id,
                      CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                          ELSE list_distinct({toks}) END AS toks,
-                     {sig(0)} AS sig0, {sig(1)} AS sig1
+                          ELSE list_distinct({toks}) END AS toks
               FROM documents),
             p AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              SELECT c.doc_a, c.doc_b,
                      round(CASE
-                       WHEN len(list_distinct(a.toks || b.toks)) > 0
-                       THEN len(list_intersect(a.toks, b.toks)) /
-                            CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE)
+                       WHEN len(list_distinct(ta.toks || tb.toks)) > 0
+                       THEN len(list_intersect(ta.toks, tb.toks)) /
+                            CAST(len(list_distinct(ta.toks || tb.toks)) AS DOUBLE)
                        ELSE 0.0 END, 6) AS jaccard
-              FROM s a JOIN s b
-                ON a.sig0 = b.sig0 AND a.sig1 = b.sig1
-                AND a.doc_id < b.doc_id)
+              FROM cand c
+              JOIN t ta ON ta.doc_id = c.doc_a
+              JOIN t tb ON tb.doc_id = c.doc_b)
             SELECT doc_a, doc_b, jaccard FROM p
             WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b
         """,

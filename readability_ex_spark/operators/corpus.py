@@ -57,37 +57,28 @@ def exact_dup_manifest(extracted: DataFrame, text_col: str = "text") -> DataFram
 def near_dup_pairs(
     extracted: DataFrame,
     text_col: str = "text",
-    n_bands: int = 2,
+    n_bands: int = 3,
+    rows_per_band: int = 2,
     max_bucket: int = 1000,
 ) -> DataFrame:
-    """MinHash band-bucket candidate pairs over extracted text (seeded
-    md5-min signatures — same construction as operators/textops.py).
+    """b-bands × r-rows MinHash-LSH candidate pairs over extracted text.
 
-    ``max_bucket`` drops degenerate buckets (identical boilerplate texts
-    put millions of urls behind one signature at crawl scale; the pair
-    join would be quadratic in the bucket size). Members of a dropped
-    bucket are by definition exact-ish duplicates — the exact-dup
-    manifest handles them at linear cost."""
-    toks = F.array_distinct(_tokens(text_col))
+    Delegates to ``textops.lsh_band_candidates`` (the single candidate
+    path): bands OR-ed for recall 1-(1-j^r)^b, buckets capped at
+    ``max_bucket`` so a degenerate boilerplate bucket (identical texts
+    behind millions of urls at crawl scale) never turns quadratic.
+    Members of a dropped bucket are by definition exact-ish duplicates —
+    the exact-dup manifest handles them at linear cost."""
+    from readability_ex_spark.operators.textops import lsh_band_candidates
 
-    def sig(i: int):
-        return F.array_min(
-            F.transform(toks, lambda t: F.md5(F.concat(F.lit(f"{i}|"), t)))
-        ).alias(f"sig{i}")
-
-    sigs = extracted.select("url", *[sig(i) for i in range(n_bands)])
-    band_cols = [f"sig{i}" for i in range(n_bands)]
-    counts = sigs.groupBy(*band_cols).agg(F.count("*").alias("_n"))
-    bounded = sigs.join(counts, band_cols).filter(
-        F.col("_n") <= max_bucket
-    ).drop("_n")
-    a = bounded.select(F.col("url").alias("url_a"), *band_cols)
-    b = bounded.select(F.col("url").alias("url_b"), *band_cols)
-    return (
-        a.join(b, band_cols)
-        .filter(F.col("url_a") < F.col("url_b"))
-        .select("url_a", "url_b")
-    )
+    return lsh_band_candidates(
+        extracted,
+        id_col="url",
+        text_col=text_col,
+        n_bands=n_bands,
+        rows_per_band=rows_per_band,
+        max_bucket=max_bucket,
+    ).select(F.col("id_a").alias("url_a"), F.col("id_b").alias("url_b"))
 
 
 def prepare_training_corpus(

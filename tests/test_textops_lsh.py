@@ -1,0 +1,78 @@
+"""b×r MinHash-LSH unit tests: multi-band recall beats single-band, the
+bucket cap drops degenerate (boilerplate) buckets, and pairs are
+distinct across bands."""
+
+from __future__ import annotations
+
+from readability_ex_spark.operators.textops import lsh_band_candidates
+
+
+def _doc_pairs_df(spark, n_pairs: int = 30, shared: int = 80, total: int = 100):
+    """n_pairs pairs (2i, 2i+1) sharing `shared` of `total` tokens each —
+    token-set Jaccard = shared / (2*total - shared) per pair."""
+    rows = []
+    for i in range(n_pairs):
+        common = [f"c{i}_{k}" for k in range(shared)]
+        a_only = [f"a{i}_{k}" for k in range(total - shared)]
+        b_only = [f"b{i}_{k}" for k in range(total - shared)]
+        rows.append((2 * i, " ".join(common + a_only)))
+        rows.append((2 * i + 1, " ".join(common + b_only)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pair_set(df):
+    return {(r.id_a, r.id_b) for r in df.collect()}
+
+
+def test_multiband_recall_beats_single_band(spark):
+    docs = _doc_pairs_df(spark)
+    truth = {(2 * i, 2 * i + 1) for i in range(30)}
+    single = _pair_set(
+        lsh_band_candidates(docs, n_bands=1, rows_per_band=2, max_bucket=10**6)
+    )
+    multi = _pair_set(
+        lsh_band_candidates(docs, n_bands=3, rows_per_band=2, max_bucket=10**6)
+    )
+    # band 0 of the multi-band run IS the single band: superset by design
+    assert single <= multi
+    # OR-ing bands strictly improves recall on this corpus (deterministic
+    # md5 permutations, so these counts are stable run to run)
+    assert len(multi & truth) > len(single & truth)
+    # no false candidate pairs across unrelated docs should survive the
+    # verify threshold; candidates themselves stay within constructed pairs
+    # plus possible cross-pair collisions — all real pairs that ARE found
+    # must be the constructed ones at this Jaccard (~0.67) at least 80%:
+    assert len(multi & truth) >= 24  # 1-(1-j^2)^3 ≈ 0.82 expected recall
+
+
+def test_bucket_cap_drops_degenerate_bucket(spark):
+    # 20 identical boilerplate docs (one bucket of 20 in every band) plus
+    # one genuine near-dup pair
+    rows = [(i, "empty parked domain page") for i in range(20)]
+    common = " ".join(f"w{k}" for k in range(90))
+    rows.append((100, common + " x1 x2 x3 x4 x5"))
+    rows.append((101, common + " y1 y2 y3 y4 y5"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = _pair_set(lsh_band_candidates(docs, max_bucket=10))
+    # the boilerplate bucket (size 20 > cap 10) emits nothing
+    assert all(a >= 100 for a, _ in capped)
+    # the real near-dup pair (j ≈ 0.9) is still found
+    assert (100, 101) in capped
+
+    uncapped = _pair_set(lsh_band_candidates(docs, max_bucket=10**6))
+    assert (0, 1) in uncapped and len(uncapped) == 20 * 19 // 2 + 1
+
+
+def test_pairs_distinct_and_ordered(spark):
+    docs = _doc_pairs_df(spark, n_pairs=5)
+    pairs = lsh_band_candidates(docs).collect()
+    assert len(pairs) == len({(r.id_a, r.id_b) for r in pairs})
+    assert all(r.id_a < r.id_b for r in pairs)
+
+
+def test_empty_text_produces_no_bands(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "hello world")], "doc_id long, text string"
+    )
+    assert lsh_band_candidates(docs).count() == 0
