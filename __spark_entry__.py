@@ -52,8 +52,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig": T.q_minhash_sig,
         "minhash_band_pairs": T.q_minhash_band_pairs,
         "simhash": T.q_simhash,
+        "simhash64": T.q_simhash64,
+        "simhash_near_dup": T.q_simhash_near_dup,
         "near_dup": T.q_near_dup,
-        "ngram_jaccard": T.q_ngram_jaccard,
+        "shingle_jaccard": T.q_shingle_jaccard,
         "corpus_stats": T.q_corpus_stats,
         "multimodal_meta": T.q_multimodal_meta,
         # -- similarity search --
@@ -86,6 +88,32 @@ def _lsh_ctes(sig) -> str:
                        AS _n
                 FROM bands)
               WHERE _n <= {cap})"""
+
+
+def _simhash64_ctes(toks: str) -> str:
+    """DuckDB CTE `sims` mirroring textops.simhash64: per-token 64-hex
+    string md5(t)||md5('#'||t), bit g = sign of lsb-votes of digit g,
+    packed into 4 × 16-bit bands."""
+
+    def band(k: int) -> str:
+        bits = " + ".join(
+            "CASE WHEN list_aggregate(list_transform(hx, h -> "
+            f"CASE WHEN strpos('13579bdf', substr(h, {k * 16 + i + 1}, 1)) > 0 "
+            "THEN 1 ELSE -1 END), 'sum') > 0 "
+            f"THEN {1 << i} ELSE 0 END"
+            for i in range(16)
+        )
+        return f"CAST({bits} AS BIGINT) AS band{k}"
+
+    bands = ", ".join(band(k) for k in range(T.N_SIMHASH64_BANDS))
+    return f"""h AS (
+              SELECT doc_id,
+                     list_transform(
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE list_distinct({toks}) END,
+                       t -> md5(t) || md5('#' || t)) AS hx
+              FROM documents),
+            sims AS (SELECT doc_id, {bands} FROM h)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -244,6 +272,46 @@ def oracle_sql() -> dict[str, str]:
                    )} AS BIGINT) AS simhash
             FROM t ORDER BY doc_id
         """,
+        "simhash64": f"""
+            WITH {_simhash64_ctes(toks)}
+            SELECT doc_id, band0, band1, band2, band3
+            FROM sims ORDER BY doc_id
+        """,
+        "simhash_near_dup": f"""
+            WITH {_simhash64_ctes(toks)},
+            bands AS (
+              SELECT doc_id, band_id, band_val FROM (
+                {" UNION ALL ".join(
+                    f"SELECT doc_id, {k} AS band_id, band{k} AS band_val FROM sims"
+                    for k in range(T.N_SIMHASH64_BANDS)
+                )})),
+            bounded AS (
+              SELECT doc_id, band_id, band_val FROM (
+                SELECT *, count(*) OVER (PARTITION BY band_id, band_val)
+                       AS _n
+                FROM bands)
+              WHERE _n <= {T.MAX_BAND_BUCKET}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bounded a JOIN bounded b
+                ON a.band_id = b.band_id AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id)
+            SELECT c.doc_a, c.doc_b,
+                   CAST(bit_count(xor(sa.band0, sb.band0)) +
+                        bit_count(xor(sa.band1, sb.band1)) +
+                        bit_count(xor(sa.band2, sb.band2)) +
+                        bit_count(xor(sa.band3, sb.band3)) AS BIGINT)
+                     AS hamming
+            FROM cand c
+            JOIN sims sa ON sa.doc_id = c.doc_a
+            JOIN sims sb ON sb.doc_id = c.doc_b
+            WHERE bit_count(xor(sa.band0, sb.band0)) +
+                  bit_count(xor(sa.band1, sb.band1)) +
+                  bit_count(xor(sa.band2, sb.band2)) +
+                  bit_count(xor(sa.band3, sb.band3))
+                  <= {T.SIMHASH_MAX_HAMMING}
+            ORDER BY doc_a, doc_b
+        """,
         "minhash_band_pairs": f"""
             WITH {_lsh_ctes(sig)}
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -284,21 +352,30 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_chars), 2) AS avg_chars
             FROM documents GROUP BY lang ORDER BY lang
         """,
-        "ngram_jaccard": f"""
+        "shingle_jaccard": f"""
             WITH t AS (
               SELECT doc_id, source,
-                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                          ELSE list_distinct({toks}) END AS toks
+                     CASE WHEN trim(text) = '' OR len({toks}) < {T.W_SHINGLE}
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE list_distinct(list_transform(
+                            generate_series(1, len({toks}) - {T.W_SHINGLE - 1}),
+                            i -> array_to_string(
+                              list_slice({toks}, i, i + {T.W_SHINGLE - 1}), ' ')))
+                          END AS sh
               FROM documents),
+            c AS (
+              SELECT source FROM t GROUP BY source
+              HAVING count(*) <= {T.MAX_SOURCE_BLOCK}),
+            b AS (SELECT t.* FROM t JOIN c USING (source)),
             p AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              SELECT a.doc_id AS doc_a, x.doc_id AS doc_b,
                      round(CASE
-                       WHEN len(list_distinct(a.toks || b.toks)) > 0
-                       THEN len(list_intersect(a.toks, b.toks)) /
-                            CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE)
+                       WHEN len(list_distinct(a.sh || x.sh)) > 0
+                       THEN len(list_intersect(a.sh, x.sh)) /
+                            CAST(len(list_distinct(a.sh || x.sh)) AS DOUBLE)
                        ELSE 0.0 END, 6) AS jaccard
-              FROM t a JOIN t b
-                ON a.source = b.source AND a.doc_id < b.doc_id)
+              FROM b a JOIN b x
+                ON a.source = x.source AND a.doc_id < x.doc_id)
             SELECT doc_a, doc_b, jaccard FROM p
             WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
         """,

@@ -322,40 +322,86 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-set Jaccard for same-source doc pairs (blocked near-dup).
+W_SHINGLE = 5  # words per shingle for the oracle-checked variant
+MAX_SOURCE_BLOCK = 500  # blocks larger than this are dropped (see docstring)
 
-    Blocking key = source (in the page pipeline: host); within a block the
-    pairwise Jaccard is exact. array_intersect/union stay JVM-side.
+
+def shingle_expr(text_col: str = "text", w: int = W_SHINGLE):
+    """Distinct w-word shingles of the text — the real MinHash input unit.
+
+    Shingle i = tokens[i..i+w-1] joined by one space; docs shorter than
+    w tokens have an empty shingle set (they can't be near-dups of
+    anything at shingle granularity).
     """
-    docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.array_distinct(_tokens_col()).alias("toks"),
+    toks = _text_tokens(text_col)
+    n = F.size(toks)
+    return F.when(
+        n >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (w - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    block_col: str = "source",
+    text_col: str = "text",
+    w: int = W_SHINGLE,
+    threshold: float = 0.5,
+    max_block: int = MAX_SOURCE_BLOCK,
+) -> DataFrame:
+    """w-shingle Jaccard for same-block doc pairs (blocked near-dup).
+
+    Blocking key = ``block_col`` (in the page pipeline: host). The
+    within-block pair join is quadratic in the block size, so blocks
+    larger than ``max_block`` are dropped — at crawl scale one mega-host
+    (e.g. a blog platform) would otherwise put 10^7 docs behind one key
+    and emit 10^13 pairs in a single task. Dropped blocks should be
+    routed through the LSH path (``lsh_band_candidates``), which caps
+    per-bucket work regardless of host size. Shingle intersect/union
+    stay JVM-side (array_intersect/array_union under codegen).
+    """
+    t = df.select(
+        F.col(block_col).alias("_block"),
+        F.col(id_col),
+        shingle_expr(text_col, w).alias("_sh"),
     )
-    a = toks.select(
-        F.col("source"),
-        F.col("doc_id").alias("doc_a"),
-        F.col("toks").alias("toks_a"),
+    counts = t.groupBy("_block").agg(F.count("*").alias("_n"))
+    bounded = (
+        t.join(counts, "_block").filter(F.col("_n") <= max_block).drop("_n")
     )
-    b = toks.select(
-        F.col("source"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("toks").alias("toks_b"),
+    a = bounded.select(
+        "_block", F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a")
     )
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    union = F.size(F.array_union("toks_a", "toks_b"))
+    b = bounded.select(
+        "_block", F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
     return (
-        a.join(b, "source")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        a.join(b, "_block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def q_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-word-shingle Jaccard >= 0.5 for same-source pairs (capped blocks)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        shingle_jaccard_pairs(docs)
         .select(
-            "doc_a",
-            "doc_b",
-            F.round(jac, 6).alias("jaccard"),
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            "jaccard",
         )
-        .filter(F.col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -391,6 +437,151 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", simhash.cast("long").alias("simhash"))
         .orderBy("doc_id")
+    )
+
+
+N_SIMHASH64_BANDS = 4  # 4 × 16-bit bands of the 64-bit simhash
+SIMHASH_MAX_HAMMING = 3  # near-dup verify threshold over all 64 bits
+
+
+def _simhash_hex_col(text_col: str = "text"):
+    """Per-token 64-hex-digit string: md5(t) || md5('#' || t).
+
+    Materialized once per token so the 64 per-bit aggregates below reuse
+    it (one md5 pair per token, not one per bit)."""
+    toks = F.array_distinct(_text_tokens(text_col))
+    return F.transform(
+        toks, lambda t: F.concat(F.md5(t), F.md5(F.concat(F.lit("#"), t)))
+    )
+
+
+def simhash64_band_exprs(hex_col: str = "_hx"):
+    """Four 16-bit band columns of a 64-bit SimHash.
+
+    Bit g (0..63) = sign of the token-vote sum, where token t votes +1
+    if hex digit g of md5(t)||md5('#'||t) has lsb=1 else -1 — the same
+    engine-agnostic md5-digit trick as the 16-bit variant, widened to
+    64 bits. Band k packs bits 16k..16k+15; near-dup candidates join on
+    any equal band (Hamming <= 3 over 64 bits guarantees at least one
+    of 4 bands is identical — pigeonhole)."""
+
+    def band(k: int):
+        val = F.lit(0)
+        for i in range(16):
+            g = k * 16 + i
+
+            def vote(h, g=g):
+                d = F.substring(h, g + 1, 1)
+                return F.when(F.instr(F.lit(_ODD_HEX), d) > 0, 1).otherwise(-1)
+
+            total = F.aggregate(
+                F.transform(F.col(hex_col), lambda h: vote(h)),
+                F.lit(0),
+                lambda a, v: a + v,
+            )
+            val = val + F.when(total > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        return val.cast("long").alias(f"band{k}")
+
+    return [band(k) for k in range(N_SIMHASH64_BANDS)]
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, band0..band3) 64-bit SimHash as 4 × 16-bit band columns."""
+    return df.select(
+        F.col(id_col), _simhash_hex_col(text_col).alias("_hx")
+    ).select(id_col, *simhash64_band_exprs())
+
+
+def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document, emitted as 4 × 16-bit bands."""
+    return simhash64(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    max_bucket: int = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """SimHash near-dup: band-bucket candidates -> Hamming verify.
+
+    Same scale shape as MinHash-LSH: explode each doc to 4 tiny
+    (id, band_id, band_val) rows, cap degenerate buckets (all-identical
+    boilerplate hashes to one simhash — quadratic without the cap),
+    self-join per band, pair-distinct, then verify full 64-bit Hamming
+    distance <= ``max_hamming`` via bit_count(xor) on the 4 bands.
+    With 4 bands, Hamming <= 3 implies at least one band matches
+    (pigeonhole), so — unlike MinHash banding — the candidate stage has
+    perfect recall for the verify predicate, modulo capped buckets
+    (whose members are exact-ish duplicates covered by the linear
+    exact-dup manifest).
+    """
+    sims = simhash64(df, id_col=id_col, text_col=text_col)
+    bands = (
+        sims.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("int").alias("band_id"),
+                            F.col(f"band{k}").alias("band_val"),
+                        )
+                        for k in range(N_SIMHASH64_BANDS)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .select(id_col, "b.band_id", "b.band_val")
+    )
+    counts = bands.groupBy("band_id", "band_val").agg(F.count("*").alias("_n"))
+    bounded = (
+        bands.join(counts, ["band_id", "band_val"])
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+    a = bounded.select(F.col(id_col).alias("id_a"), "band_id", "band_val")
+    b = bounded.select(F.col(id_col).alias("id_b"), "band_id", "band_val")
+    cands = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sims.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"band{k}").alias(f"a{k}") for k in range(N_SIMHASH64_BANDS)],
+    )
+    sb = sims.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"band{k}").alias(f"b{k}") for k in range(N_SIMHASH64_BANDS)],
+    )
+    hamming = sum(
+        (
+            F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}")))
+            for k in range(N_SIMHASH64_BANDS)
+        ),
+        F.lit(0),
+    )
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3 over 64 bits, capped bands)."""
+    return (
+        simhash_near_dup(_docs(spark, sf_dir))
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            "hamming",
+        )
+        .orderBy("doc_a", "doc_b")
     )
 
 

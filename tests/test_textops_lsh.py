@@ -76,3 +76,50 @@ def test_empty_text_produces_no_bands(spark):
         [(1, ""), (2, "   "), (3, "hello world")], "doc_id long, text string"
     )
     assert lsh_band_candidates(docs).count() == 0
+
+
+def test_shingle_jaccard_pairs_semantics(spark):
+    from readability_ex_spark.operators.textops import shingle_jaccard_pairs
+
+    # doc 1/2: same host, one-word prefix difference -> most 5-shingles
+    # shared; doc 3: same host, disjoint text; doc 4: other host, would
+    # pair with 1 but is blocked away
+    t = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, "h1", t),
+            (2, "h1", "x0 " + t),
+            (3, "h1", " ".join(f"z{i}" for i in range(20))),
+            (4, "h2", t),
+        ],
+        "doc_id long, source string, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in shingle_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    # doc1 has 16 shingles, doc2 has 17 (one extra at the front), 16 shared
+    assert abs(pairs[(1, 2)] - 16 / 17) < 1e-6
+    assert pairs[(1, 3)] == 0.0
+    assert (1, 4) not in pairs  # cross-host pairs never compared
+
+    # short docs (< w tokens) have empty shingle sets -> Jaccard 0
+    short = spark.createDataFrame(
+        [(1, "h", "a b c"), (2, "h", "a b c")], "doc_id long, source string, text string"
+    )
+    assert shingle_jaccard_pairs(short, threshold=0.1).count() == 0
+
+
+def test_shingle_block_cap(spark):
+    from readability_ex_spark.operators.textops import shingle_jaccard_pairs
+
+    t = " ".join(f"w{i}" for i in range(10))
+    rows = [(i, "mega", t) for i in range(12)] + [(100, "tiny", t), (101, "tiny", t)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in shingle_jaccard_pairs(docs, max_block=10).collect()
+    }
+    # the 12-doc mega block exceeds the cap and emits nothing; the tiny
+    # block still pairs
+    assert pairs == {(100, 101)}
