@@ -61,8 +61,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- similarity search --
         "ann_bruteforce": S.q_ann_bruteforce,
         "knn_label_pairs": S.q_knn_label_pairs,
-        "ann_lsh": S.q_ann_lsh,  # rows-only (driver-side hyperplanes)
-        "ann_lsh_topk": S.q_ann_lsh_topk,  # rows-only (bucket-pruned search)
+        "ann_lsh": S.q_ann_lsh,
+        "ann_lsh_topk": S.q_ann_lsh_topk,
+        "ann_batch_topk": S.q_ann_batch_topk,
+        "ann_ivf_cells": S.q_ann_ivf_cells,
+        "ann_ivf_topk": S.q_ann_ivf_topk,
     }
 
 
@@ -114,6 +117,63 @@ def _simhash64_ctes(toks: str) -> str:
                        t -> md5(t) || md5('#' || t)) AS hx
               FROM documents),
             sims AS (SELECT doc_id, {bands} FROM h)"""
+
+
+def _sql_floats(vals) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+def _lsh_bucket_sql(emb_expr: str) -> str:
+    """DuckDB expression mirroring similarity.lsh_bucket: sign bit per
+    inlined hyperplane, plane 0 = MSB."""
+    planes = S.hyperplanes(S.EMB_DIM, S.N_PLANES, S.LSH_SEED)
+    n = S.N_PLANES
+    bits = " + ".join(
+        f"CASE WHEN list_sum(list_transform(list_zip({emb_expr}, "
+        f"{_sql_floats(p)}), z -> z[1] * z[2])) >= 0 "
+        f"THEN {1 << (n - 1 - i)} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+_SQL_ED = "CAST(embedding AS DOUBLE[])"
+_SQL_COS = """round(
+          list_sum(list_transform(list_zip(ce.ed, cq.qd),
+                                  z -> z[1] * z[2])) /
+          (sqrt(list_sum(list_transform(ce.ed, x -> x * x))) *
+           sqrt(list_sum(list_transform(cq.qd, x -> x * x)))), 6)"""
+
+
+def _ivf_ctes() -> str:
+    """DuckDB CTEs mirroring similarity's data-seeded IVF: centroids =
+    L2-normalized embeddings of IVF_SEED_IDS, cell = argmin squared L2
+    from the unit vector, ties to the lowest cell id."""
+    lo, hi = min(S.IVF_SEED_IDS), max(S.IVF_SEED_IDS)
+    return f"""cents AS (
+              SELECT vec_id - {lo} AS cid,
+                     list_transform({_SQL_ED}, x -> x /
+                       greatest(sqrt(list_sum(list_transform({_SQL_ED},
+                                y -> y * y))), 1e-12)) AS c
+              FROM embeddings WHERE vec_id BETWEEN {lo} AND {hi}),
+            units AS (
+              SELECT vec_id, label, {_SQL_ED} AS ed,
+                     list_transform({_SQL_ED}, x -> x /
+                       sqrt(list_sum(list_transform({_SQL_ED},
+                            y -> y * y)))) AS u
+              FROM embeddings),
+            dists AS (
+              SELECT e.vec_id, e.label, e.ed, c.cid,
+                     list_sum(list_transform(list_zip(e.u, c.c),
+                              z -> (z[1] - z[2]) *
+                                   (z[1] - z[2]))) AS d
+              FROM units e CROSS JOIN cents c),
+            assigned AS (
+              SELECT vec_id, label, ed, cid AS cell FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d, cid) AS rn
+                FROM dists)
+              WHERE rn = 1)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -427,6 +487,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, vec_a, vec_b, cosine FROM c
             WHERE cosine >= 0.2 ORDER BY label, vec_a, vec_b
         """,
-        # "ann_lsh": intentionally omitted — bucket ids derive from
-        # driver-side seeded hyperplanes (rows-only check).
+        "ann_lsh": f"""
+            SELECT {_lsh_bucket_sql(_SQL_ED)} AS bucket,
+                   count(*) AS n_vecs
+            FROM embeddings GROUP BY 1 ORDER BY bucket
+        """,
+        "ann_lsh_topk": f"""
+            WITH b AS (
+              SELECT vec_id, label, {_SQL_ED} AS ed,
+                     {_lsh_bucket_sql(_SQL_ED)} AS bucket
+              FROM embeddings),
+            q AS (SELECT ed AS qd, bucket AS qb FROM b WHERE vec_id = 0),
+            ce AS (
+              SELECT b.vec_id, b.label, b.ed FROM b, q
+              WHERE b.vec_id <> 0 AND bit_count(xor(b.bucket, q.qb)) <= 1),
+            cq AS (SELECT qd FROM q)
+            SELECT ce.vec_id, ce.label, {_SQL_COS} AS cosine
+            FROM ce CROSS JOIN cq
+            ORDER BY cosine DESC, vec_id ASC LIMIT 5
+        """,
+        "ann_batch_topk": f"""
+            WITH b AS (
+              SELECT vec_id, label, {_SQL_ED} AS ed,
+                     {_lsh_bucket_sql(_SQL_ED)} AS bucket
+              FROM embeddings),
+            qs AS (
+              SELECT vec_id AS query_id, ed AS qd, bucket AS qb
+              FROM b WHERE vec_id < 8),
+            scored AS (
+              SELECT cq.query_id, ce.vec_id, ce.label, {_SQL_COS} AS cosine
+              FROM b ce JOIN qs cq
+                ON bit_count(xor(ce.bucket, cq.qb)) <= 1
+                AND ce.vec_id <> cq.query_id),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id ASC) AS rn
+              FROM scored)
+            SELECT query_id, vec_id, label, cosine FROM ranked
+            WHERE rn <= 3 ORDER BY query_id, cosine DESC, vec_id
+        """,
+        "ann_ivf_cells": f"""
+            WITH {_ivf_ctes()}
+            SELECT cell, count(*) AS n_vecs
+            FROM assigned GROUP BY cell ORDER BY cell
+        """,
+        "ann_ivf_topk": f"""
+            WITH {_ivf_ctes()},
+            qprobe AS (
+              SELECT vec_id AS query_id, ed AS qd, cid AS cell FROM (
+                SELECT d.*, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d.d, d.cid) AS rn
+                FROM dists d WHERE vec_id < 8)
+              WHERE rn <= {S.IVF_NPROBE}),
+            scored AS (
+              SELECT cq.query_id, ce.vec_id, ce.label, {_SQL_COS} AS cosine
+              FROM assigned ce JOIN qprobe cq USING (cell)
+              WHERE ce.vec_id <> cq.query_id),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id ASC) AS rn
+              FROM scored)
+            SELECT query_id, vec_id, label, cosine FROM ranked
+            WHERE rn <= 3 ORDER BY query_id, cosine DESC, vec_id
+        """,
     }

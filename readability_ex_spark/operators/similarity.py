@@ -2,17 +2,33 @@
 
 Baseline: brute-force cosine top-k with JVM-side array expressions
 (`F.zip_with` dot product + `F.aggregate` sum) — no Python in the hot
-path. Scale path: LSH bucketing by random-hyperplane sign bits (SimHash
-for vectors), so at 100 TB the candidate set per query is one bucket
-join, not a full scan.
+path. Scale paths:
+
+- random-hyperplane LSH buckets with Hamming-radius multi-probe (good
+  when near neighbors are close in angle, e.g. near-duplicate
+  embeddings at cosine > 0.9);
+- IVF: a k-means coarse quantizer trained driver-side on a bounded
+  sample, cells assigned JVM-side, queries probing their ``nprobe``
+  nearest cells (adapts to the data's cluster structure — the right
+  index when neighbors are only moderately closer than the bulk).
+
+Both support batch-query joins (query table × bucket/cell join →
+per-query exact cosine top-k window) and a materialized
+bucket-partitioned table so at 100 TB the probe read is partition-
+pruned instead of a full scan.
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 QUERY_VEC_ID = 0  # deterministic query point for the checked top-k
+EMB_DIM = 64  # embeddings-table contract (TESTDATA.md: array<float>[64])
+N_PLANES = 8  # sandbox default; at 10^12 vectors use 16-24 planes
+LSH_SEED = 42
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,30 +115,56 @@ def q_knn_label_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lsh_bucket(emb: DataFrame, n_planes: int = 8, seed: int = 42) -> DataFrame:
+def hyperplanes(dim: int, n_planes: int = N_PLANES, seed: int = LSH_SEED) -> np.ndarray:
+    """Deterministic random hyperplanes — shared by the Spark operator
+    and the DuckDB oracle (which inlines them as literal arrays)."""
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def lsh_bucket(
+    emb: DataFrame,
+    dim: int = EMB_DIM,
+    n_planes: int = N_PLANES,
+    seed: int = LSH_SEED,
+    emb_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector (scale path for ANN).
 
+    ``dim`` is a parameter (the embedding column's contract width), not
+    sniffed from the data — operator construction runs no Spark job.
     Hyperplanes are generated deterministically on the driver (numpy,
     seeded) and inlined as literal arrays; the sign-bit bucket id is
     computed fully JVM-side. At 100 TB: groupBy(bucket) colocates
-    candidates; query vectors hash to the same buckets.
+    candidates; query vectors hash to the same buckets. Plane i maps to
+    bit (n_planes-1-i), i.e. the first plane is the MSB.
     """
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    dim = len(emb.select("embedding").head()[0])
-    planes = rng.standard_normal((n_planes, dim))
+    planes = hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0).cast("long")
     for i in range(n_planes):
         p = F.array(*[F.lit(float(x)) for x in planes[i]])
-        bit = F.when(_dot(F.col("embedding"), p) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bit = F.when(_dot(F.col(emb_col), p) >= 0, F.lit(1)).otherwise(F.lit(0))
         bucket = bucket * 2 + bit
-    return emb.withColumn("bucket", bucket)
+    return emb.withColumn(out_col, bucket)
+
+
+def probe_buckets(bucket: int, n_planes: int, probe_hamming: int = 1) -> list[int]:
+    """All bucket ids within the given Hamming radius of ``bucket``
+    (multi-probe set). Radius 1 => 1 + n_planes buckets."""
+    probes = {bucket}
+    if probe_hamming >= 1:
+        probes |= {bucket ^ (1 << i) for i in range(n_planes)}
+    if probe_hamming >= 2:
+        probes |= {
+            bucket ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        }
+    return sorted(probes)
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: bucket stats (rows-only check — bucket ids depend
-    on driver-generated hyperplanes, not SQL-expressible)."""
+    """LSH-bucketed ANN: per-bucket population (index statistics)."""
     emb = _emb(spark, sf_dir)
     return (
         lsh_bucket(emb)
@@ -136,35 +178,284 @@ def ann_lsh_topk(
     emb: DataFrame,
     query_vec: list[float],
     k: int = 5,
-    n_planes: int = 8,
-    seed: int = 42,
+    n_planes: int = N_PLANES,
+    seed: int = LSH_SEED,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """Scale-path ANN: exact cosine ranking restricted to the query's LSH
-    bucket. The bucket id prunes the scan (at 100 TB: one partition-
-    pruned bucket read instead of a full sweep); recall can be raised by
-    probing neighboring buckets (Hamming-1 on the sign bits)."""
-    import numpy as np
+    """Multi-probe LSH ANN: exact cosine ranking restricted to the
+    query's bucket plus all buckets within ``probe_hamming`` sign flips.
 
-    rng = np.random.default_rng(seed)
-    dim = len(query_vec)
-    planes = rng.standard_normal((n_planes, dim))
+    At 100 TB with a bucket-partitioned table (``materialize_buckets``)
+    the probe set is a partition-pruned read of (1 + n_planes) buckets
+    instead of a full sweep."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
     q = np.asarray(query_vec, dtype="float64")
     qbucket = 0
     for i in range(n_planes):
         qbucket = qbucket * 2 + (1 if float(planes[i] @ q) >= 0 else 0)
-    bucketed = lsh_bucket(emb, n_planes=n_planes, seed=seed)
+    probes = probe_buckets(qbucket, n_planes, probe_hamming)
+    bucketed = lsh_bucket(emb, dim=len(query_vec), n_planes=n_planes, seed=seed)
     return cosine_topk(
-        bucketed.filter(F.col("bucket") == qbucket).drop("bucket"),
+        bucketed.filter(F.col("bucket").isin(probes)).drop("bucket"),
         query_vec,
         k=k,
     )
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucket-restricted top-5 for the vec_id=0 query (rows-only check)."""
+    """Multi-probe (Hamming-1) top-5 for the vec_id=0 query."""
     emb = _emb(spark, sf_dir)
     qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
     qvec = [float(x) for x in qrow[0]]
-    return ann_lsh_topk(
-        emb.filter(F.col("vec_id") != QUERY_VEC_ID), qvec, k=5
+    return ann_lsh_topk(emb.filter(F.col("vec_id") != QUERY_VEC_ID), qvec, k=5)
+
+
+def ann_batch_lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = EMB_DIM,
+    n_planes: int = N_PLANES,
+    seed: int = LSH_SEED,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Batch-query ANN: N queries per run, the shape a training-data
+    pipeline actually needs (dedup-against-index, retrieval scoring).
+
+    queries: DataFrame(query_id long, query_vec array<float>). Both
+    sides are bucketed with the same inlined hyperplanes; the query side
+    explodes its Hamming<=1 probe set, the join is a plain equality join
+    on bucket (shuffle keyed by bucket — at 100 TB the embedding side is
+    pre-partitioned by bucket, so only the tiny query side moves), and a
+    per-query window takes the exact-cosine top-k."""
+    bucketed = lsh_bucket(emb, dim=dim, n_planes=n_planes, seed=seed)
+    qb = lsh_bucket(
+        queries, dim=dim, n_planes=n_planes, seed=seed,
+        emb_col="query_vec", out_col="qbucket",
+    )
+    if probe_hamming >= 1:
+        probe = F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << i)).cast("long")
+                    for i in range(n_planes)
+                ],
+            )
+        )
+    else:
+        probe = F.col("qbucket")
+    probes = qb.select("query_id", "query_vec", probe.alias("bucket"))
+    cos = _dot(F.col("embedding"), F.col("query_vec")) / (
+        _norm(F.col("embedding")) * _norm(F.col("query_vec"))
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        probes.join(bucketed, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "label", F.round(cos, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-probe LSH top-3 for queries vec_id < 8."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ann_batch_lsh_topk(emb, queries, k=3).orderBy(
+        "query_id", F.col("cosine").desc(), "vec_id"
+    )
+
+
+def materialize_buckets(
+    emb: DataFrame,
+    path: str,
+    dim: int = EMB_DIM,
+    n_planes: int = N_PLANES,
+    seed: int = LSH_SEED,
+) -> None:
+    """Write the embedding table partitioned by LSH bucket.
+
+    At 100 TB this is the index build: one pass, one shuffle-free write
+    (partitionBy splits files per bucket within each task). Probe reads
+    against the result hit only the probed bucket directories —
+    partition pruning shows up as PartitionFilters in the scan plan, so
+    a Hamming-1 probe reads (1+n_planes)/2^n_planes of the data."""
+    lsh_bucket(emb, dim=dim, n_planes=n_planes, seed=seed).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# IVF: k-means coarse quantizer — the index of choice when neighbors are
+# only moderately closer than the bulk (hyperplane LSH needs high cosine).
+# ---------------------------------------------------------------------------
+
+
+def train_ivf(
+    sample: np.ndarray, n_cells: int = 16, seed: int = 42, iters: int = 10
+) -> np.ndarray:
+    """Deterministic k-means (Lloyd) on a driver-side sample.
+
+    Index training is the one legitimate driver-side step of an ANN
+    build: at 100 TB you train on a bounded sample
+    (``df.sample(...).limit(50_000).collect()``), never the full table.
+    Normalizes rows first so squared-L2 argmin == cosine argmax."""
+    x = np.asarray(sample, dtype="float64")
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), n_cells, replace=False)].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for j in range(n_cells):
+            if (a == j).any():
+                cents[j] = x[a == j].mean(0)
+    return cents
+
+
+def ivf_cell_expr(centroids, emb_col: str = "embedding"):
+    """0-based nearest-centroid cell id, fully JVM-side.
+
+    Centroids are inlined literal arrays; distance = squared L2 on the
+    L2-normalized vector (== cosine order). Ties resolve to the first
+    (lowest) cell via array_position's first-match semantics."""
+    norm = _norm(F.col(emb_col))
+    unit = F.transform(F.col(emb_col), lambda x: x.cast("double") / norm)
+
+    def sqdist(c):
+        carr = F.array(*[F.lit(float(v)) for v in c])
+        return F.aggregate(
+            F.zip_with(unit, carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    dists = F.array(*[sqdist(c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_assign(
+    emb: DataFrame, centroids, emb_col: str = "embedding", out_col: str = "cell"
+) -> DataFrame:
+    """Tag each vector with its IVF cell (see ivf_cell_expr)."""
+    return emb.withColumn(out_col, ivf_cell_expr(centroids, emb_col))
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids,
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Batch IVF ANN: each query probes its ``nprobe`` nearest cells.
+
+    The query side sorts its (distance, cell) pairs JVM-side
+    (array_sort on structs), explodes the first ``nprobe``, and joins
+    the cell-assigned embedding table on cell — the same
+    shuffle-by-partition-key shape as the LSH batch join, so at 100 TB
+    a cell-partitioned table makes the probe read partition-pruned."""
+    assigned = ivf_assign(emb, centroids)
+
+    qnorm = _norm(F.col("query_vec"))
+    qunit = F.transform(F.col("query_vec"), lambda x: x.cast("double") / qnorm)
+
+    def sqdist(c):
+        carr = F.array(*[F.lit(float(v)) for v in c])
+        return F.aggregate(
+            F.zip_with(qunit, carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cells = F.array(
+        *[
+            F.struct(sqdist(c).alias("d"), F.lit(i).cast("int").alias("c"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probes = (
+        queries.select(
+            "query_id",
+            "query_vec",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(cells), 1, nprobe), lambda s: s["c"]
+                )
+            ).alias("cell"),
+        )
+    )
+    cos = _dot(F.col("embedding"), F.col("query_vec")) / (
+        _norm(F.col("embedding")) * _norm(F.col("query_vec"))
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        probes.join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "label", F.round(cos, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+# Oracle-checkable IVF variant: cells seeded by actual data points picked
+# by a fixed rule (vec_id 100..115) instead of k-means iterations — a
+# k-means|| style init both engines can express over the same table.
+IVF_SEED_IDS = list(range(100, 116))
+IVF_NPROBE = 4
+
+
+def _seed_centroids(emb: DataFrame) -> list[list[float]]:
+    rows = (
+        emb.filter(F.col("vec_id").isin(IVF_SEED_IDS))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    cents = np.array([[float(x) for x in r[0]] for r in rows], dtype="float64")
+    cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    return [list(c) for c in cents]
+
+
+def q_ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment with data-seeded centroids (index stats)."""
+    emb = _emb(spark, sf_dir)
+    cents = _seed_centroids(emb)
+    return (
+        ivf_assign(emb, cents)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vecs"))
+        .orderBy("cell")
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF top-3 (nprobe=4) for queries vec_id < 8, seeded cells."""
+    emb = _emb(spark, sf_dir)
+    cents = _seed_centroids(emb)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ann_ivf_topk(emb, queries, cents, k=3, nprobe=IVF_NPROBE).orderBy(
+        "query_id", F.col("cosine").desc(), "vec_id"
     )

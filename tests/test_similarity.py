@@ -34,3 +34,133 @@ def test_lsh_topk_subset_of_bucket(spark):
     assert 0 < len(rows) <= 5
     # the query itself lives in its own bucket -> rank 1 with cosine 1
     assert rows[0].vec_id == 0 and abs(rows[0].cosine - 1.0) < 1e-6
+
+
+def _planted_df(spark, n_base=100, dim=64, noise=0.02, seed=7):
+    """n_base random unit vectors + one near-duplicate each (cosine
+    ~0.99) — the workload shape of dedup-against-index retrieval."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dup = base + noise * rng.standard_normal((n_base, dim))
+    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+    rows = []
+    for i in range(n_base):
+        rows.append((i, [float(x) for x in base[i]], 0))
+        rows.append((i + n_base, [float(x) for x in dup[i]], 1))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ), n_base
+
+
+def test_multiprobe_lsh_recall_on_planted_neardups(spark):
+    from readability_ex_spark.operators.similarity import ann_batch_lsh_topk
+
+    emb, n_base = _planted_df(spark)
+    queries = emb.filter(F.col("vec_id") >= n_base).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = ann_batch_lsh_topk(emb, queries, k=1, probe_hamming=1).collect()
+    hits = sum(1 for r in got if r.vec_id == r.query_id - n_base)
+    # near-dup partner (cosine ~0.99) retrieved for >=90% of queries
+    assert hits / n_base >= 0.9
+
+
+def test_ivf_recall_on_planted_neardups(spark):
+    import numpy as np
+
+    from readability_ex_spark.operators.similarity import ann_ivf_topk, train_ivf
+
+    emb, n_base = _planted_df(spark)
+    sample = np.array(
+        [r.embedding for r in emb.orderBy("vec_id").collect()], dtype="float64"
+    )
+    cents = train_ivf(sample, n_cells=16)
+    queries = emb.filter(F.col("vec_id") >= n_base).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = ann_ivf_topk(emb, queries, cents, k=1, nprobe=4).collect()
+    hits = sum(1 for r in got if r.vec_id == r.query_id - n_base)
+    assert hits / n_base >= 0.95
+
+
+def test_ivf_beats_random_pruning_on_sf01(spark):
+    """On the weakly-clustered sf0.1 embeddings (top-5 neighbor cosine
+    ~0.37 — near-random data) no sublinear index reaches high recall;
+    the scale claim is that IVF probing beats random pruning of the same
+    candidate volume. nprobe/cells = 4/16 scans ~25% of the table and
+    must recover well over 25% of the true top-5."""
+    import numpy as np
+
+    from readability_ex_spark.operators.similarity import ann_ivf_topk, train_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    X = np.array(
+        [r.embedding for r in emb.orderBy("vec_id").collect()], dtype="float64"
+    )
+    cents = train_ivf(X, n_cells=16)
+    n_queries = 50
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = ann_ivf_topk(emb, queries, cents, k=5, nprobe=4).collect()
+
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    np.fill_diagonal(S, -2)
+    hits = 0
+    for q in range(n_queries):
+        true = set(np.argsort(S[q])[-5:])
+        found = {r.vec_id for r in got if r.query_id == q}
+        hits += len(true & found)
+    recall = hits / (5 * n_queries)
+    assert recall >= 0.5  # measured 0.58 at ~25% scanned: >2x random
+
+
+def test_materialized_buckets_partition_pruned(spark, tmp_path):
+    import io
+    from contextlib import redirect_stdout
+
+    from readability_ex_spark.operators.similarity import (
+        materialize_buckets,
+        probe_buckets,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "emb_by_bucket")
+    materialize_buckets(emb, path)
+    table = spark.read.parquet(path)
+    probes = probe_buckets(37, 8, probe_hamming=1)
+    pruned = table.filter(F.col("bucket").isin(probes))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain(True)
+    plan = buf.getvalue()
+    seg = plan.split("PartitionFilters: [", 1)
+    # the bucket predicate must reach the scan as a partition filter
+    assert len(seg) == 2 and "bucket" in seg[1][:300]
+    assert pruned.count() == emb.count() - table.filter(
+        ~F.col("bucket").isin(probes)
+    ).count()
+
+
+def test_batch_topk_matches_single_query(spark):
+    from readability_ex_spark.operators.similarity import (
+        ann_batch_lsh_topk,
+        ann_lsh_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
+    single = ann_lsh_topk(
+        emb.filter(F.col("vec_id") != 3), qvec, k=5, probe_hamming=1
+    ).collect()
+    queries = emb.filter(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = ann_batch_lsh_topk(emb, queries, k=5, probe_hamming=1).collect()
+    assert [(r.vec_id, r.cosine) for r in single] == [
+        (r.vec_id, r.cosine) for r in sorted(batch, key=lambda r: (-r.cosine, r.vec_id))
+    ]
