@@ -41,6 +41,11 @@ def main() -> int:
         "page_number) via next-link corpus self-joins, up to MAX pages",
     )
     ap.add_argument(
+        "--assemble-chains", action="store_true",
+        help="with --chain-pages: also emit merged multi-page articles "
+        "(reference wrap_page semantics) to <output>/_assembled",
+    )
+    ap.add_argument(
         "--no-html", action="store_true",
         help="omit content_html from the output (text-only pipelines)",
     )
@@ -56,6 +61,10 @@ def main() -> int:
         write_metrics,
     )
     from readability_ex_spark.sources.pages import read_pages
+
+    if args.assemble_chains and (args.no_html or args.chain_pages <= 1):
+        ap.error("--assemble-chains requires --chain-pages >= 2 and html "
+                 "output (incompatible with --no-html)")
 
     spark = SparkSession.builder.appName("readability_extract").getOrCreate()
     run_id = args.run_id or f"run-{int(time.time())}"
@@ -78,11 +87,17 @@ def main() -> int:
     write_metrics(metrics_rollup(extracted), args.output, run_id)
 
     if args.chain_pages > 1:
-        from readability_ex_spark.operators.paging import chain_pages
+        from readability_ex_spark.operators.paging import (
+            assemble_articles,
+            chain_pages,
+        )
 
-        chain_pages(pages, max_pages=args.chain_pages).write.mode(
-            "append"
-        ).parquet(f"{args.output}/_page_chains")
+        chains = chain_pages(pages, max_pages=args.chain_pages)
+        chains.write.mode("append").parquet(f"{args.output}/_page_chains")
+        if args.assemble_chains:
+            assemble_articles(
+                chains, extracted.filter(extracted.status == "ok")
+            ).write.mode("append").parquet(f"{args.output}/_assembled")
 
     by_status = {
         r["status"]: r["count"]

@@ -52,3 +52,46 @@ def test_job_then_resume(jobdir, spark):
     assert out.count() == out.select("url").distinct().count() > 0
     metrics = spark.read.parquet(str(jobdir / "out" / "_metrics"))
     assert metrics.filter("run_id = 'r0'").count() > 0
+
+
+def test_job_assemble_chains(spark):
+    """--chain-pages + --assemble-chains emits merged multi-page articles."""
+    d = Path(tempfile.mkdtemp(prefix="job_chain_"))
+    try:
+        def page(n, total=3):
+            nxt = (
+                f'<a rel="next" href="/art/page/{n + 1}">Next page</a>'
+                if n < total else ""
+            )
+            return (
+                f"<html><body><article><p>page {n} body text, long enough, "
+                f"with commas, to matter.</p>{nxt}</article></body></html>"
+            )
+
+        rows = [
+            (f"http://s.test/art/page/{n}", None, page(n).encode(), "t", "en")
+            for n in (1, 2, 3)
+        ]
+        spark.createDataFrame(
+            rows,
+            schema="url string, warc_ts timestamp, html binary, text string, lang string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(d / "pages"))
+
+        proc = subprocess.run(
+            [
+                sys.executable, str(REPO / "scripts" / "run_job.py"),
+                "--input", str(d / "pages"),
+                "--output", str(d / "out"),
+                "--partitions", "2",
+                "--chain-pages", "5",
+                "--assemble-chains",
+                "--run-id", "chain0",
+            ],
+            capture_output=True, text=True, timeout=420, cwd=str(REPO),
+        )
+        assert proc.returncode == 0, proc.stderr[-1500:]
+        merged = spark.read.parquet(str(d / "out" / "_assembled")).collect()
+        assert len(merged) == 1 and merged[0].n_pages == 3
+        assert 'id="readability-page-3"' in merged[0].content
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
