@@ -26,9 +26,19 @@ PAGES_SCHEMA = T.StructType(
 )
 
 
-def read_pages(spark: SparkSession, path: str) -> DataFrame:
-    """Read a pages table (parquet dev path; swap for
-    spark.read.format('iceberg').load at scale — same schema)."""
+def read_pages(
+    spark: SparkSession, path: str, table_format: str = "parquet"
+) -> DataFrame:
+    """Read a pages table with the input_hint schema.
+
+    ``table_format='iceberg'`` loads an Iceberg table (``path`` is then
+    a catalog table name, e.g. ``crawl.pages``) — snapshot isolation +
+    hidden partitioning at 10^12-doc scale. The parquet path is the
+    dev/test fallback with the identical schema; in this sandbox there
+    are no Iceberg jars, so the iceberg branch is exercised by
+    call-shape tests only (tests/test_iceberg_path.py)."""
+    if table_format == "iceberg":
+        return spark.read.format("iceberg").load(path)
     return spark.read.parquet(path)
 
 

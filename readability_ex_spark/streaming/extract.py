@@ -5,8 +5,10 @@ the north rule); this is the natural extension for a live crawl feed:
 
 - ``stream_extraction``: ``readStream`` over the pages table ->
   ``foreachBatch`` running the SAME batch plan (dedup within batch,
-  repartition by url-hash, kernel) and the SAME sink writer — exactly
-  -once per micro-batch via the checkpoint.
+  repartition by url-hash, kernel). Output is exactly-once per
+  micro-batch: the sink dynamically overwrites the batch's own
+  batch_id partition (sinks.write_extracted_batch), so a batch retried
+  after a partial write replaces its rows instead of duplicating them.
 - ``stream_metrics``: event-time windowed counters over the extraction
   output (watermarked tumbling windows on warc_ts-derived crawl time).
 """
@@ -17,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from readability_ex_spark.pipeline import run_extraction
-from readability_ex_spark.sinks import write_extracted
+from readability_ex_spark.sinks import write_extracted_batch
 from readability_ex_spark.sources.pages import PAGES_SCHEMA
 
 
@@ -41,10 +43,8 @@ def stream_extraction(
     pages = reader.parquet(input_path)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        extracted = run_extraction(batch_df, dedup=True).withColumn(
-            "batch_id", F.lit(batch_id)
-        )
-        write_extracted(extracted, output_path)
+        extracted = run_extraction(batch_df, dedup=True)
+        write_extracted_batch(extracted, output_path, batch_id)
 
     writer = (
         pages.writeStream.foreachBatch(process)

@@ -58,7 +58,10 @@ def main() -> int:
         print(f"  {k:15s} {field_pass.get(k, 0):4d}/{field_total[k]}")
     if "--failing" in flags:
         print(" ".join(failing))
-    return 0
+    # non-zero exit when any fixture regresses or errors, so CI/scripts
+    # gating on the exit code catch it (html_strict excluded as the
+    # documented beautified-goldens comparator gap)
+    return 0 if (all_pass == n and errors == 0) else 1
 
 
 if __name__ == "__main__":

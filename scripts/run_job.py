@@ -49,6 +49,11 @@ def main() -> int:
         "--no-html", action="store_true",
         help="omit content_html from the output (text-only pipelines)",
     )
+    ap.add_argument(
+        "--table-format", choices=("parquet", "iceberg"), default="parquet",
+        help="input/output table format; iceberg treats --input/--output "
+        "as catalog table names (requires an Iceberg-enabled session)",
+    )
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
 
@@ -69,12 +74,16 @@ def main() -> int:
     spark = SparkSession.builder.appName("readability_extract").getOrCreate()
     run_id = args.run_id or f"run-{int(time.time())}"
 
-    pages = read_pages(spark, args.input)
+    pages = read_pages(spark, args.input, table_format=args.table_format)
     if args.urls:
         allow = spark.read.parquet(args.urls).select("url")
         pages = pages.join(allow, "url", "left_semi")
 
-    done = None if args.no_resume else read_done_urls(spark, args.output)
+    done = (
+        None
+        if args.no_resume
+        else read_done_urls(spark, args.output, table_format=args.table_format)
+    )
     extracted = run_extraction(
         pages,
         n_partitions=args.partitions,
@@ -83,8 +92,11 @@ def main() -> int:
         emit_html=not args.no_html,
     ).cache()
 
-    write_extracted(extracted, args.output)
-    write_metrics(metrics_rollup(extracted), args.output, run_id)
+    write_extracted(extracted, args.output, table_format=args.table_format)
+    write_metrics(
+        metrics_rollup(extracted), args.output, run_id,
+        table_format=args.table_format,
+    )
 
     if args.chain_pages > 1:
         from readability_ex_spark.operators.paging import (

@@ -1,0 +1,109 @@
+"""Iceberg-guarded source/sink call shapes.
+
+No Iceberg jars ship in this sandbox, so the iceberg branches are
+exercised with duck-typed fakes recording the v2 writeTo / format-reader
+calls; the parquet fallback is covered by the real-Spark tests
+elsewhere (test_pipeline, test_job_script)."""
+
+from __future__ import annotations
+
+from readability_ex_spark.sinks import (
+    merge_extracted_iceberg,
+    read_done_urls,
+    write_extracted,
+    write_metrics,
+)
+from readability_ex_spark.sources.pages import read_pages
+
+
+class _Recorder:
+    def __init__(self, log, name, fail_on=()):
+        self._log = log
+        self._name = name
+        self._fail_on = fail_on
+
+    def __call__(self, *a, **k):
+        self._log.append((self._name, a))
+        if self._name in self._fail_on:
+            raise RuntimeError(f"{self._name} failed")
+        return self
+
+    def __getattr__(self, item):
+        return _Recorder(self._log, f"{self._name}.{item}", self._fail_on)
+
+
+def _fake_df(log, fail_on=()):
+    return _Recorder(log, "df", fail_on)
+
+
+def test_read_pages_iceberg_uses_format_load():
+    log = []
+    spark = _Recorder(log, "spark")
+    read_pages(spark, "crawl.pages", table_format="iceberg")
+    names = [n for n, _ in log]
+    assert "spark.read.format" in names
+    assert ("spark.read.format", ("iceberg",)) in log
+    assert ("spark.read.format.load", ("crawl.pages",)) in log
+
+
+def test_write_extracted_iceberg_appends(spark):
+    log = []
+    write_extracted(_fake_df(log), "crawl.extracted", table_format="iceberg")
+    assert ("df.withColumn.writeTo", ("crawl.extracted",)) in log
+    assert any(n == "df.withColumn.writeTo.append" for n, _ in log)
+
+
+def test_write_extracted_iceberg_creates_on_missing_table(spark):
+    log = []
+    write_extracted(
+        _fake_df(log, fail_on=("df.withColumn.writeTo.append",)),
+        "crawl.extracted",
+        table_format="iceberg",
+    )
+    # append failed (no table) -> partitionedBy(...).create()
+    assert any(n.endswith("writeTo.partitionedBy.create") for n, _ in log)
+
+
+def test_write_metrics_iceberg_sibling_table(spark):
+    log = []
+    write_metrics(_fake_df(log), "crawl.extracted", "r0", table_format="iceberg")
+    assert ("df.withColumn.writeTo", ("crawl.extracted_metrics",)) in log
+
+
+def test_merge_extracted_iceberg_sql_shape(spark):
+    log = []
+    sqls = []
+
+    class _Spark:
+        def sql(self, q):
+            sqls.append(q)
+
+    merge_extracted_iceberg(_Spark(), _fake_df(log), "crawl.extracted")
+    assert any(n == "df.createOrReplaceTempView" for n, _ in log)
+    assert len(sqls) == 1
+    q = sqls[0]
+    assert q.startswith("MERGE INTO crawl.extracted t USING")
+    assert "t.url = s.url" in q
+    assert "WHEN MATCHED THEN UPDATE SET *" in q
+    assert "WHEN NOT MATCHED THEN INSERT *" in q
+
+
+def test_read_done_urls_missing_output_returns_none(spark, tmp_path):
+    assert read_done_urls(spark, str(tmp_path / "nope")) is None
+
+
+def test_read_done_urls_filters_statuses(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("u1", "ok"), ("u2", "error"), ("u3", "not_readable")],
+        "url string, status string",
+    )
+    out = str(tmp_path / "out")
+    df.write.partitionBy("status").parquet(out)
+    done = {r.url for r in read_done_urls(spark, out).collect()}
+    # error rows are retryable -> not done; ok/not_readable are done
+    assert done == {"u1", "u3"}
+    only_ok = {
+        r.url
+        for r in read_done_urls(spark, out, done_statuses=("ok",)).collect()
+    }
+    assert only_ok == {"u1"}

@@ -95,3 +95,40 @@ def test_job_assemble_chains(spark):
         assert 'id="readability-page-3"' in merged[0].content
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_extract_url_cli():
+    """Single-document CLI (reference scripts/readability_url.sh): html
+    in -> JSON out, --content-only prints the article HTML, non-zero
+    exit when not readable."""
+    import json
+
+    fixture = Path(
+        "/root/reference/test/fixtures/readability-test-pages/001/source.html"
+    )
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "extract_url.py"),
+            str(fixture), "--url", "http://fakehost/test/",
+        ],
+        capture_output=True, text=True, timeout=120, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-500:]
+    out = json.loads(proc.stdout)
+    assert out["title"] and out["content"].startswith("<div id=\"readability-page-1\"")
+    assert out["length"] == len(out["text_content"])
+
+    only = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "extract_url.py"),
+            str(fixture), "--url", "http://fakehost/test/", "--content-only",
+        ],
+        capture_output=True, text=True, timeout=120, cwd=str(REPO),
+    )
+    assert only.returncode == 0 and only.stdout == out["content"]
+
+    empty = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "extract_url.py"), "-"],
+        input="", capture_output=True, text=True, timeout=120, cwd=str(REPO),
+    )
+    assert empty.returncode == 1

@@ -91,3 +91,57 @@ def test_malformed_html_never_kills_job(spark):
     out = run_extraction(df, dedup=False).select("url", "status").collect()
     assert len(out) == 4
     assert all(r.status in ("ok", "not_readable", "error") for r in out)
+
+
+def test_salted_output_equals_unsalted(spark):
+    """run_extraction(salt_buckets=K) must produce the same rows as the
+    unsalted plan — salting only changes the physical layout."""
+    import pyspark.sql.functions as F
+
+    from readability_ex_spark.pipeline import run_extraction
+    from readability_ex_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001").limit(80)
+    cols = ["url", "status", "title", "text", "length"]
+    plain = {
+        tuple(r) for r in run_extraction(pages).select(*cols).collect()
+    }
+    salted = {
+        tuple(r)
+        for r in run_extraction(pages, salt_buckets=8).select(*cols).collect()
+    }
+    assert salted == plain
+
+
+def test_salting_spreads_skewed_url(spark):
+    """1 url x 3k pre-dedup rows: unsalted layout puts every row in one
+    partition, salting spreads them across buckets."""
+    import pyspark.sql.functions as F
+
+    from readability_ex_spark.pipeline import run_extraction
+
+    # distinct html per row so dedup keeps nothing extra to collapse;
+    # dedup off to exercise the raw layout
+    rows = spark.range(3000).select(
+        F.lit("http://skew.test/one").alias("url"),
+        F.to_timestamp(F.lit("2024-06-01 00:00:00")).alias("warc_ts"),
+        F.concat(
+            F.lit("<html><body><p>row "), F.col("id").cast("string"),
+            F.lit(" text</p></body></html>"),
+        ).cast("binary").alias("html"),
+    )
+
+    def hist(salt):
+        df = run_extraction(
+            rows, dedup=False, salt_buckets=salt, n_partitions=16,
+            emit_html=False,
+        )
+        return (
+            df.groupBy("partition_id").count().collect()
+        )
+
+    unsalted = hist(0)
+    assert len(unsalted) == 1  # all rows behind one url-hash partition
+    salted = hist(8)
+    assert len(salted) >= 4  # spread across several partitions
+    assert max(r["count"] for r in salted) <= 3000 * 0.6

@@ -72,3 +72,23 @@ def test_stream_metrics_windows(spark, tmpdir):
     assert {"window_start", "window_end", "lang", "n_docs", "n_bytes"} == set(
         res.columns
     )
+
+
+def test_batch_write_idempotent(spark, tmpdir):
+    """A micro-batch retried with the same batch_id replaces its own
+    partition instead of appending duplicates (exactly-once output)."""
+    from readability_ex_spark.pipeline import run_extraction
+    from readability_ex_spark.sinks import write_extracted_batch
+
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001").limit(30)
+    extracted = run_extraction(pages).cache()
+    out = str(tmpdir / "out_idem")
+    write_extracted_batch(extracted, out, batch_id=0)
+    n1 = spark.read.parquet(out).count()
+    # simulate a retry of the same micro-batch
+    write_extracted_batch(extracted, out, batch_id=0)
+    assert spark.read.parquet(out).count() == n1
+    # a different batch appends alongside
+    write_extracted_batch(extracted.limit(5), out, batch_id=1)
+    assert spark.read.parquet(out).count() == n1 + 5
+    extracted.unpersist()
