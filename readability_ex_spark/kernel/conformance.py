@@ -16,12 +16,20 @@ _RE_INTER_TAG_WS = re.compile(r">\s+<", re.A)
 
 FIXTURES_DIR = Path("/root/reference/test/fixtures/readability-test-pages")
 
-# NB the Mozilla expected.html files are beautified (indentation inserted
-# between block-level tags by the test generator), so byte-level and even
-# whitespace-collapsed comparison sees formatting, not content. We compare
-# (a) html_strict — the reference harness normalizer (helpers_test.exs:30-37),
-# (b) html — additionally canonicalizing inter-tag whitespace,
-# (c) text — block-aware text extraction of both sides, collapsed.
+# NB the Mozilla expected.html files are beautified (4-space indentation,
+# block tags broken onto their own lines — diagnosed fixture-by-fixture:
+# all 121 html_strict deltas are single spaces at block-tag boundaries
+# where the beautifier broke a line, e.g. golden
+# '<div id="readability-page-1" class="page"> <section>' vs our
+# '...page"><section>'), so byte-level and even whitespace-collapsed
+# comparison sees the beautifier, not the extraction. We compare
+# (a) html_strict — the reference harness normalizer (helpers_test.exs:
+#     30-37); structurally CANNOT reach 130/130 without re-implementing
+#     js-beautify's layout, which would add no extraction signal,
+# (b) html_inline_ws — layout-insensitive but strict about whitespace
+#     between inline tags (content-significant); 130/130,
+# (c) html — additionally canonicalizing ALL inter-tag whitespace,
+# (d) text — block-aware text extraction of both sides, collapsed.
 
 _BLOCK_SEPARATED = frozenset(
     [
@@ -47,6 +55,62 @@ def normalize_html(html: str, strict: bool = False) -> str:
 
 def normalize_text(text: str) -> str:
     return _RE_WS.sub(" ", text).strip()
+
+
+# Inline elements per the beautifier's default inline list (whitespace
+# between two inline tags is CONTENT; whitespace touching a block tag
+# boundary is LAYOUT the beautifier freely injects/removes).
+_INLINE_TAGS = frozenset(
+    [
+        "a", "abbr", "area", "audio", "b", "bdi", "bdo", "br", "button",
+        "canvas", "cite", "code", "data", "datalist", "del", "dfn", "em",
+        "embed", "i", "iframe", "img", "input", "ins", "kbd", "keygen",
+        "label", "map", "mark", "math", "meter", "noscript", "object",
+        "output", "progress", "q", "ruby", "s", "samp", "select", "small",
+        "span", "strong", "sub", "sup", "svg", "template", "textarea",
+        "time", "u", "var", "video", "wbr",
+    ]
+)
+
+_RE_TAG_GAP = re.compile(r">(\s+)<", re.A)
+_RE_TAG_NAME = re.compile(r"</?\s*([a-zA-Z0-9-]+)", re.A)
+
+
+def _gap_is_layout(html: str, gt_pos: int, lt_pos: int) -> bool:
+    """True when the inter-tag whitespace at this boundary is beautifier
+    layout (at least one side is a block-level tag)."""
+    i = html.rfind("<", 0, gt_pos + 1)
+    m_before = _RE_TAG_NAME.match(html, i) if i >= 0 else None
+    m_after = _RE_TAG_NAME.match(html, lt_pos)
+    before = m_before.group(1).lower() if m_before else ""
+    after = m_after.group(1).lower() if m_after else ""
+    return before not in _INLINE_TAGS or after not in _INLINE_TAGS
+
+
+def normalize_html_inline_ws(html: str) -> str:
+    """Layout-insensitive but inline-whitespace-STRICT canonical form.
+
+    The Mozilla expected.html files are beautified (block tags broken
+    onto indented lines), so byte-level comparison sees the beautifier,
+    not the extraction. This form removes inter-tag whitespace only at
+    block-tag boundaries — exactly the positions a beautifier may
+    inject/remove layout — while whitespace between two inline tags
+    (content: ``<strong>a</strong> <em>b</em>``) is preserved and
+    compared strictly, which the looser ``html`` check cannot do.
+    """
+    rendered = dom.raw_html(dom.parse_fragment(html))
+    rendered = _RE_WS.sub(" ", rendered)
+    rendered = _RE_WS_CLOSE.sub("</", rendered)
+
+    out = []
+    last = 0
+    for m in _RE_TAG_GAP.finditer(rendered):
+        out.append(rendered[last : m.start() + 1])  # up to and incl '>'
+        if not _gap_is_layout(rendered, m.start(), m.end() - 1):
+            out.append(" ")
+        last = m.end() - 1  # from '<'
+    out.append(rendered[last:])
+    return "".join(out).strip()
 
 
 def html_to_text(html: str) -> str:
@@ -112,6 +176,9 @@ def compare_fixture(result: dict, fix: dict) -> dict:
     checks["html"] = normalize_html(result["content"]) == normalize_html(
         fix["expected_html"]
     )
+    checks["html_inline_ws"] = normalize_html_inline_ws(
+        result["content"]
+    ) == normalize_html_inline_ws(fix["expected_html"])
     checks["text"] = normalize_text(
         html_to_compare_text(result["content"])
     ) == normalize_text(html_to_compare_text(fix["expected_html"]))
