@@ -21,6 +21,7 @@ pruned instead of a full scan.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -325,32 +326,64 @@ def train_ivf(
     return cents
 
 
-def ivf_cell_expr(centroids, emb_col: str = "embedding"):
-    """0-based nearest-centroid cell id, fully JVM-side.
-
-    Centroids are inlined literal arrays; distance = squared L2 on the
-    L2-normalized vector (== cosine order). Ties resolve to the first
-    (lowest) cell via array_position's first-match semantics."""
-    norm = _norm(F.col(emb_col))
-    unit = F.transform(F.col(emb_col), lambda x: x.cast("double") / norm)
-
-    def sqdist(c):
-        carr = F.array(*[F.lit(float(v)) for v in c])
-        return F.aggregate(
-            F.zip_with(unit, carr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    dists = F.array(*[sqdist(c) for c in centroids])
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+def _as_matrix(series) -> np.ndarray:
+    return np.array([np.asarray(v, dtype="float64") for v in series])
 
 
 def ivf_assign(
     emb: DataFrame, centroids, emb_col: str = "embedding", out_col: str = "cell"
 ) -> DataFrame:
-    """Tag each vector with its IVF cell (see ivf_cell_expr)."""
-    return emb.withColumn(out_col, ivf_cell_expr(centroids, emb_col))
+    """Tag each vector with its nearest-centroid IVF cell.
+
+    Arrow-vectorized numpy (pandas_udf), not SQL array expressions:
+    Spark's higher-order functions (transform/aggregate/zip_with) are
+    interpreted, not codegen'd — a 16-centroid × 64-dim assignment via
+    nested lambdas measured ~8 ms/row, vs microseconds for one batched
+    ``U @ C.T`` matmul. Distance = squared L2 on the L2-normalized
+    vector (== cosine order), computed as ``||c||² - 2·u·c`` (the
+    ``||u||²=1`` term is argmin-invariant); ties resolve to the lowest
+    cell id (numpy argmin first-match), matching the DuckDB oracle's
+    ORDER BY (d, cid)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.asarray(centroids, dtype="float64")
+    half_sq = (cents * cents).sum(axis=1) / 2.0
+
+    @pandas_udf("int")
+    def _cell(v: pd.Series) -> pd.Series:
+        x = _as_matrix(v)
+        u = x / np.linalg.norm(x, axis=1, keepdims=True)
+        d = half_sq[None, :] - u @ cents.T
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return emb.withColumn(out_col, _cell(F.col(emb_col)))
+
+
+def ivf_probe_cells(
+    queries: DataFrame,
+    centroids,
+    nprobe: int,
+    vec_col: str = "query_vec",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Explode each query to its ``nprobe`` nearest cells (same batched
+    numpy math as ivf_assign; stable argsort ties to the lowest cell)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.asarray(centroids, dtype="float64")
+    half_sq = (cents * cents).sum(axis=1) / 2.0
+
+    @pandas_udf("array<int>")
+    def _probes(v: pd.Series) -> pd.Series:
+        x = _as_matrix(v)
+        u = x / np.linalg.norm(x, axis=1, keepdims=True)
+        d = half_sq[None, :] - u @ cents.T
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return queries.withColumn("_cells", _probes(F.col(vec_col))).withColumn(
+        out_col, F.explode("_cells")
+    ).drop("_cells")
 
 
 def ann_ivf_topk(
@@ -368,34 +401,8 @@ def ann_ivf_topk(
     shuffle-by-partition-key shape as the LSH batch join, so at 100 TB
     a cell-partitioned table makes the probe read partition-pruned."""
     assigned = ivf_assign(emb, centroids)
-
-    qnorm = _norm(F.col("query_vec"))
-    qunit = F.transform(F.col("query_vec"), lambda x: x.cast("double") / qnorm)
-
-    def sqdist(c):
-        carr = F.array(*[F.lit(float(v)) for v in c])
-        return F.aggregate(
-            F.zip_with(qunit, carr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    cells = F.array(
-        *[
-            F.struct(sqdist(c).alias("d"), F.lit(i).cast("int").alias("c"))
-            for i, c in enumerate(centroids)
-        ]
-    )
-    probes = (
-        queries.select(
-            "query_id",
-            "query_vec",
-            F.explode(
-                F.transform(
-                    F.slice(F.array_sort(cells), 1, nprobe), lambda s: s["c"]
-                )
-            ).alias("cell"),
-        )
+    probes = ivf_probe_cells(
+        queries.select("query_id", "query_vec"), centroids, nprobe
     )
     cos = _dot(F.col("embedding"), F.col("query_vec")) / (
         _norm(F.col("embedding")) * _norm(F.col("query_vec"))

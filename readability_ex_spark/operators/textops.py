@@ -13,6 +13,8 @@ DuckDB's hash() disagree, md5 strings do not).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -366,27 +368,43 @@ def shingle_jaccard_pairs(
     per-bucket work regardless of host size. Shingle intersect/union
     stay JVM-side (array_intersect/array_union under codegen).
     """
+    # localCheckpoint: the shingle construction (interpreted HOF lambdas,
+    # the expensive part) runs once; the bucket-count branch and both
+    # self-join sides reuse the materialized blocks instead of
+    # recomputing it 3-4x. Blocks are freed when the DataFrame is GC'd.
     t = df.select(
         F.col(block_col).alias("_block"),
         F.col(id_col),
         shingle_expr(text_col, w).alias("_sh"),
-    )
+    ).localCheckpoint(eager=False)
     counts = t.groupBy("_block").agg(F.count("*").alias("_n"))
     bounded = (
         t.join(counts, "_block").filter(F.col("_n") <= max_block).drop("_n")
     )
     a = bounded.select(
-        "_block", F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a")
+        "_block",
+        F.col(id_col).alias("id_a"),
+        F.col("_sh").alias("sh_a"),
+        F.size("_sh").alias("_na"),
     )
     b = bounded.select(
-        "_block", F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b")
+        "_block",
+        F.col(id_col).alias("id_b"),
+        F.col("_sh").alias("sh_b"),
+        F.size("_sh").alias("_nb"),
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    # sound size prefilter: J <= min(|A|,|B|)/max(|A|,|B|), so pairs with
+    # mismatched shingle counts can never reach the threshold — drop them
+    # BEFORE the per-pair set operations (integer compare vs array scan)
+    size_ok = F.least("_na", "_nb").cast("double") >= (
+        F.lit(float(threshold)) * F.greatest("_na", "_nb")
+    )
     return (
         a.join(b, "_block")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & size_ok)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -444,52 +462,55 @@ N_SIMHASH64_BANDS = 4  # 4 × 16-bit bands of the 64-bit simhash
 SIMHASH_MAX_HAMMING = 3  # near-dup verify threshold over all 64 bits
 
 
-def _simhash_hex_col(text_col: str = "text"):
-    """Per-token 64-hex-digit string: md5(t) || md5('#' || t).
-
-    Materialized once per token so the 64 per-bit aggregates below reuse
-    it (one md5 pair per token, not one per bit)."""
-    toks = F.array_distinct(_text_tokens(text_col))
-    return F.transform(
-        toks, lambda t: F.concat(F.md5(t), F.md5(F.concat(F.lit("#"), t)))
-    )
-
-
-def simhash64_band_exprs(hex_col: str = "_hx"):
-    """Four 16-bit band columns of a 64-bit SimHash.
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, band0..band3) 64-bit SimHash as 4 × 16-bit band columns.
 
     Bit g (0..63) = sign of the token-vote sum, where token t votes +1
     if hex digit g of md5(t)||md5('#'||t) has lsb=1 else -1 — the same
     engine-agnostic md5-digit trick as the 16-bit variant, widened to
-    64 bits. Band k packs bits 16k..16k+15; near-dup candidates join on
-    any equal band (Hamming <= 3 over 64 bits guarantees at least one
-    of 4 bands is identical — pigeonhole)."""
+    64 bits, so the DuckDB oracle recomputes it exactly. Band k packs
+    bits 16k..16k+15; near-dup candidates join on any equal band
+    (Hamming <= 3 over 64 bits guarantees at least one of 4 bands is
+    identical — pigeonhole).
 
-    def band(k: int):
-        val = F.lit(0)
-        for i in range(16):
-            g = k * 16 + i
+    Tokenization stays JVM-side (codegen'd split/array_distinct, the
+    exact expression the oracle mirrors); the md5 votes run in an
+    Arrow-vectorized pandas UDF — Spark's higher-order functions are
+    interpreted, and 64 per-bit aggregates over the token array
+    measured ~3 ms/doc vs ~0.1 ms for hashlib + one numpy LUT pass.
+    """
+    import numpy as np
+    from hashlib import md5
 
-            def vote(h, g=g):
-                d = F.substring(h, g + 1, 1)
-                return F.when(F.instr(F.lit(_ODD_HEX), d) > 0, 1).otherwise(-1)
+    from pyspark.sql.functions import pandas_udf
 
-            total = F.aggregate(
-                F.transform(F.col(hex_col), lambda h: vote(h)),
-                F.lit(0),
-                lambda a, v: a + v,
-            )
-            val = val + F.when(total > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        return val.cast("long").alias(f"band{k}")
+    lut = np.zeros(256, dtype=np.int32)
+    for ch in _ODD_HEX:
+        lut[ord(ch)] = 1
 
-    return [band(k) for k in range(N_SIMHASH64_BANDS)]
+    @pandas_udf(
+        "struct<band0:bigint,band1:bigint,band2:bigint,band3:bigint>"
+    )
+    def _bands(toks: pd.Series) -> pd.DataFrame:
+        out = {f"band{k}": [] for k in range(N_SIMHASH64_BANDS)}
+        weights = 1 << np.arange(16)
+        for arr in toks:
+            totals = np.zeros(64, dtype=np.int64)
+            for t in arr:
+                tb = t.encode("utf-8")
+                hx = md5(tb).hexdigest() + md5(b"#" + tb).hexdigest()
+                totals += 2 * lut[np.frombuffer(hx.encode(), np.uint8)] - 1
+            bits = totals > 0
+            for k in range(N_SIMHASH64_BANDS):
+                out[f"band{k}"].append(
+                    int((bits[k * 16 : (k + 1) * 16] * weights).sum())
+                )
+        return pd.DataFrame(out)
 
-
-def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, band0..band3) 64-bit SimHash as 4 × 16-bit band columns."""
-    return df.select(
-        F.col(id_col), _simhash_hex_col(text_col).alias("_hx")
-    ).select(id_col, *simhash64_band_exprs())
+    toks = F.array_distinct(_text_tokens(text_col))
+    return df.select(F.col(id_col), _bands(toks).alias("_s")).select(
+        id_col, "_s.band0", "_s.band1", "_s.band2", "_s.band3"
+    )
 
 
 def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -517,7 +538,12 @@ def simhash_near_dup(
     (whose members are exact-ish duplicates covered by the linear
     exact-dup manifest).
     """
-    sims = simhash64(df, id_col=id_col, text_col=text_col)
+    # sims feeds the band explode AND both sides of the verify join —
+    # localCheckpoint materializes the (pandas-UDF) signature pass once;
+    # blocks are freed when the DataFrame is GC'd
+    sims = simhash64(df, id_col=id_col, text_col=text_col).localCheckpoint(
+        eager=False
+    )
     bands = (
         sims.select(
             F.col(id_col),

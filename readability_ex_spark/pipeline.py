@@ -72,7 +72,10 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "readerable": None,
             }
             if html is None or len(html) == 0:
-                status, error = "error", "empty_html"
+                # terminal: the payload itself is missing — retrying can
+                # never change the outcome (distinct from 'error', which
+                # marks unexpected kernel failures worth retrying)
+                status, error = "empty", "empty_html"
             else:
                 try:
                     raw = decode_html(bytes(html))
@@ -90,7 +93,8 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 except NotReadable:
                     status, error = "not_readable", None
                 except TooLarge as exc:
-                    status, error = "error", f"too_large: {exc}"
+                    # terminal: guard trips are deterministic per input
+                    status, error = "too_large", f"too_large: {exc}"
                 except Exception as exc:  # noqa: BLE001 — never kill the job
                     status, error = "error", f"{type(exc).__name__}: {exc}"[:500]
             out["url"].append(url)

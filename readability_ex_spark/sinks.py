@@ -122,16 +122,17 @@ def read_done_urls(
     spark: SparkSession,
     out_path: str,
     *,
-    done_statuses: tuple[str, ...] = ("ok", "not_readable"),
+    done_statuses: tuple[str, ...] = ("ok", "not_readable", "empty", "too_large"),
     table_format: str = "parquet",
 ) -> DataFrame | None:
     """Urls already committed to the output table (checkpoint state for
     anti-join resume). Returns None when no output exists yet.
 
-    Only ``done_statuses`` count as done: 'ok' and 'not_readable' are
-    deterministic outcomes (reprocessing cannot change them), while
-    'error' rows (transient kernel failures) are NOT done, so a resume
-    retries them. NB the sink appends — a retried url that succeeds adds
+    Only ``done_statuses`` count as done: 'ok', 'not_readable', 'empty'
+    (missing payload) and 'too_large' (guard trip) are deterministic
+    outcomes (reprocessing cannot change them), while 'error' rows
+    (unexpected kernel failures, possibly transient at cluster scale)
+    are NOT done, so a resume retries them. NB the sink appends — a retried url that succeeds adds
     a new 'ok' row next to its old 'error' row; readers wanting exactly
     one row per url should prefer status='ok' / latest row
     (operators.relational.q_dedup_latest shape), or use

@@ -42,7 +42,7 @@ def test_extraction_counts_and_errors(extracted, spark):
         extracted.groupBy("status").count().rdd.map(tuple).collect()
     )
     assert by_status.get("ok", 0) > 0.9 * n_urls
-    assert by_status.get("error", 0) >= 1  # null-html rows surface as errors
+    assert by_status.get("empty", 0) >= 1  # null-html rows are terminal 'empty'
 
 
 def test_extraction_fields(extracted):
@@ -90,7 +90,10 @@ def test_malformed_html_never_kills_job(spark):
     df = spark.createDataFrame(rows, schema=PAGES_DDL)
     out = run_extraction(df, dedup=False).select("url", "status").collect()
     assert len(out) == 4
-    assert all(r.status in ("ok", "not_readable", "error") for r in out)
+    assert all(
+        r.status in ("ok", "not_readable", "empty", "too_large", "error")
+        for r in out
+    )
 
 
 def test_salted_output_equals_unsalted(spark):
