@@ -214,6 +214,12 @@ def lsh_band_candidates(
 
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
+    # localCheckpoint: the b*r seeded-md5 signature pass (interpreted
+    # HOF lambdas over every token — the expensive part) runs ONCE; the
+    # bucket-count branch and both self-join sides reuse the tiny
+    # (id, band_id, band_hash) blocks instead of re-scanning the corpus
+    # (without it the plan re-scans the source 8-12x). Blocks are freed
+    # when the DataFrame is GC'd.
     bands = (
         df.select(
             F.col(id_col),
@@ -233,6 +239,7 @@ def lsh_band_candidates(
         )
         .select(id_col, "band.band_id", "band.band_hash")
         .filter(F.col("band_hash").isNotNull())
+        .localCheckpoint(eager=False)
     )
     # Bucket-size cap: one extra agg on the same (band_id, band_hash)
     # keys — AQE reuses the exchange, so the cap costs no extra shuffle.
