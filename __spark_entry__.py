@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": T.q_quality_score,
         "lang_id": T.q_lang_id,
         "fingerprint": T.q_fingerprint,
+        "winnow_fingerprint": T.q_winnow_fingerprint,
         "exact_dedup": T.q_exact_dedup,
         "minhash_sig": T.q_minhash_sig,
         "minhash_band_pairs": T.q_minhash_band_pairs,
@@ -304,6 +305,32 @@ def oracle_sql() -> dict[str, str]:
                      AS fingerprint
             FROM documents ORDER BY doc_id
         """,
+        "winnow_fingerprint": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS tx
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN length(tx) >= {T.K_GRAM + T.WINNOW_WINDOW - 1}
+                          THEN list_transform(
+                            generate_series(1, length(tx) - {T.K_GRAM - 1}),
+                            i -> md5(substr(tx, i, {T.K_GRAM})))
+                          ELSE CAST([] AS VARCHAR[]) END AS gr
+              FROM t),
+            f AS (
+              SELECT doc_id,
+                     CASE WHEN len(gr) >= {T.WINNOW_WINDOW}
+                          THEN list_distinct(list_transform(
+                            generate_series(1, len(gr) - {T.WINNOW_WINDOW - 1}),
+                            j -> list_aggregate(
+                              list_slice(gr, j, j + {T.WINNOW_WINDOW - 1}),
+                              'min')))
+                          ELSE CAST([] AS VARCHAR[]) END AS fps
+              FROM g)
+            SELECT doc_id, unnest(fps) AS fingerprint FROM f
+            ORDER BY doc_id, fingerprint
+        """,
         "exact_dedup": """
             SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
                      AS fingerprint,
@@ -466,12 +493,15 @@ def oracle_sql() -> dict[str, str]:
                    round(dot / (sqrt(ne) * sqrt(nq)), 6) AS cosine
             FROM d ORDER BY cosine DESC, vec_id ASC LIMIT 5
         """,
-        "knn_label_pairs": """
-            WITH e AS (
+        "knn_label_pairs": f"""
+            WITH ok_labels AS (
+              SELECT label FROM embeddings GROUP BY label
+              HAVING count(*) <= {S.MAX_LABEL_BLOCK}),
+            e AS (
               SELECT vec_id, label,
                      generate_subscripts(embedding, 1) AS i,
                      unnest(embedding) AS v
-              FROM embeddings),
+              FROM embeddings WHERE label IN (SELECT label FROM ok_labels)),
             d AS (
               SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
                      sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot,

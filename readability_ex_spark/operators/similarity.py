@@ -86,20 +86,31 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, qvec, k=5, exclude_id=QUERY_VEC_ID)
 
 
+MAX_LABEL_BLOCK = 500  # blocks larger than this are dropped (see docstring)
+
+
 def q_knn_label_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise same-label cosine >= 0.2 (blocked similarity join).
 
     Blocking key = label (stand-in for an IVF cell / LSH bucket): within
     each block the exact cosine runs JVM-side; across blocks nothing is
-    compared — the quadratic term is bounded by the largest block.
+    compared. Blocks above MAX_LABEL_BLOCK are dropped — the quadratic
+    within-block term must stay bounded at any corpus size; oversized
+    blocks belong on the LSH/IVF candidate paths instead.
     """
     emb = _emb(spark, sf_dir)
-    a = emb.select(
+    counts = emb.groupBy("label").agg(F.count("*").alias("_n"))
+    bounded = (
+        emb.join(counts, "label")
+        .filter(F.col("_n") <= MAX_LABEL_BLOCK)
+        .drop("_n")
+    )
+    a = bounded.select(
         F.col("label"),
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
     )
-    b = emb.select(
+    b = bounded.select(
         F.col("label"),
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),

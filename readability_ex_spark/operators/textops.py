@@ -126,6 +126,64 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_GRAM = 8  # winnowing k-gram width (chars)
+WINNOW_WINDOW = 4  # hashes per winnowing window
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al.): rolling
+    k-gram hashes, one selected minimum per window of WINNOW_WINDOW
+    consecutive hashes, distinct per document.
+
+    Unlike the whole-document md5 (``q_fingerprint``), the winnowed set
+    detects PARTIAL overlap: two documents sharing any run of
+    >= k + window - 1 characters share at least one fingerprint. The
+    rolling hash is md5 of the k-gram (engine-portable; the guarantee
+    needs only determinism, not a true incremental hash), the window
+    minimum is the lexicographic md5 min — both exactly reproducible in
+    DuckDB. At 100 TB the exploded (fingerprint, doc) table group-bys
+    on fingerprint for overlap candidates — linear, one shuffle, same
+    shape as exact dedup.
+    """
+    return winnow_fingerprints(_docs(spark, sf_dir)).orderBy(
+        "doc_id", "fingerprint"
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = K_GRAM,
+    window: int = WINNOW_WINDOW,
+) -> DataFrame:
+    """(id, fingerprint) winnowed fingerprint rows — see
+    q_winnow_fingerprint for the guarantee and scale shape."""
+    txt = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    n = F.length(txt)
+    grams = F.when(
+        n >= k + window - 1,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(F.substring(txt, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # materialize the gram-hash array as a column FIRST: referencing it
+    # from inside the window lambda below would re-evaluate the whole
+    # (md5-per-position) array once per window — O(n^2) hashing
+    with_grams = df.select(F.col(id_col), grams.alias("_g"))
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size("_g") - (window - 1)),
+        lambda j: F.array_min(F.slice(F.col("_g"), j, window)),
+    )
+    fps = F.when(
+        F.size("_g") >= window, F.array_distinct(mins)
+    ).otherwise(F.array().cast("array<string>"))
+    return with_grams.select(
+        F.col(id_col), F.explode(fps).alias("fingerprint")
+    )
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via fingerprint group-by: canonical id + dupe count.
 

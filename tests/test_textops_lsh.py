@@ -123,3 +123,30 @@ def test_shingle_block_cap(spark):
     # the 12-doc mega block exceeds the cap and emits nothing; the tiny
     # block still pairs
     assert pairs == {(100, 101)}
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing (k=8, w=4): docs sharing a run of >= k+w-1 chars share
+    at least one fingerprint; disjoint docs share none."""
+    from readability_ex_spark.operators.textops import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 44 chars
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAA " + shared + " BBBB"),
+            (2, "CCCC " + shared + " DDDD"),
+            (3, "zyxw vuts rqpo nmlk jihg fedc 0123 4567 89"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2]  # shared 44-char run >= 8+4-1
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+    # short docs (< k+w-1 chars) produce no fingerprints
+    short = spark.createDataFrame([(1, "tiny text")], "doc_id long, text string")
+    assert winnow_fingerprints(short).count() == 0
