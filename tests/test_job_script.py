@@ -132,3 +132,48 @@ def test_extract_url_cli():
         input="", capture_output=True, text=True, timeout=120, cwd=str(REPO),
     )
     assert empty.returncode == 1
+
+
+def test_spark_submit_pyfiles(jobdir):
+    """The north-rule submission surface: package.sh builds the zip and
+    spark-submit --py-files runs the batch job with the library imported
+    from the artifact (run_job.py is copied to an empty dir so nothing
+    resolves from the repo checkout)."""
+    import os
+
+    pkg = subprocess.run(
+        ["sh", str(REPO / "scripts" / "package.sh")],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert pkg.returncode == 0, pkg.stderr[-500:]
+    zip_path = REPO / "readability_ex_spark.zip"
+    assert zip_path.exists()
+
+    d = Path(tempfile.mkdtemp(prefix="submit_test_"))
+    try:
+        shutil.copy(REPO / "scripts" / "run_job.py", d / "run_job.py")
+        env = dict(os.environ)
+        env.pop("PYTHONPATH", None)
+        proc = subprocess.run(
+            [
+                "/opt/spark/bin/spark-submit",
+                "--master", "local[4]",
+                "--py-files", str(zip_path),
+                "--conf", f"spark.sql.warehouse.dir={d / 'wh'}",
+                str(d / "run_job.py"),
+                "--input", str(jobdir / "pages"),
+                "--output", str(d / "out"),
+                "--partitions", "4",
+                "--run-id", "submit0",
+            ],
+            capture_output=True, text=True, timeout=600, cwd=str(d), env=env,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert any(
+            line.startswith("run_id=submit0") and "processed=" in line
+            for line in proc.stdout.splitlines()
+        ), proc.stdout[-1000:]
+        files = list((d / "out").rglob("*.parquet"))
+        assert files, "no parquet output written by spark-submit job"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
