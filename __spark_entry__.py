@@ -446,8 +446,9 @@ def oracle_sql() -> dict[str, str]:
                           THEN CAST([] AS VARCHAR[])
                           ELSE list_distinct(list_transform(
                             generate_series(1, len({toks}) - {T.W_SHINGLE - 1}),
-                            i -> array_to_string(
-                              list_slice({toks}, i, i + {T.W_SHINGLE - 1}), ' ')))
+                            i -> substr(md5(array_to_string(
+                              list_slice({toks}, i, i + {T.W_SHINGLE - 1}),
+                              ' ')), 1, 16)))
                           END AS sh
               FROM documents),
             c AS (
