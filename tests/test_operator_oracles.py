@@ -1,0 +1,132 @@
+"""Pure-Python reference oracles for the dedup/fingerprint operators:
+recompute the exact same md5-based constructions row-by-row in Python
+and compare with the distributed results on randomized inputs. Guards
+the operators against refactoring regressions independently of the
+DuckDB parity harness."""
+
+from __future__ import annotations
+
+import random
+import re
+from hashlib import md5
+
+from readability_ex_spark.operators.textops import (
+    MAX_BAND_BUCKET,
+    N_LSH_BANDS,
+    N_LSH_ROWS,
+    K_GRAM,
+    WINNOW_WINDOW,
+    lsh_band_candidates,
+    simhash64,
+    winnow_fingerprints,
+)
+
+_WORDS = [f"w{i}" for i in range(60)]
+
+
+def _random_docs(seed: int, n: int = 40):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        k = rng.randint(0, 30)
+        rows.append((i, " ".join(rng.choice(_WORDS) for _ in range(k))))
+    return rows
+
+
+def _tokens(text: str) -> list[str]:
+    t = text.strip(" ")
+    if t == "":
+        return []
+    # mirror F.trim (spaces only) + split(\s+)
+    out, seen = [], set()
+    for tok in re.split(r"\s+", t):
+        if tok not in seen:
+            seen.add(tok)
+            out.append(tok)
+    return out
+
+
+def _py_band_candidates(rows, n_bands=N_LSH_BANDS, rows_per_band=N_LSH_ROWS,
+                        max_bucket=MAX_BAND_BUCKET):
+    buckets = {}
+    for doc_id, text in rows:
+        toks = _tokens(text)
+        if not toks:
+            continue
+        sigs = [
+            min(md5(f"{s}|{t}".encode()).hexdigest() for t in toks)
+            for s in range(n_bands * rows_per_band)
+        ]
+        for b in range(n_bands):
+            h = md5(
+                "|".join(sigs[b * rows_per_band + k] for k in range(rows_per_band))
+                .encode()
+            ).hexdigest()
+            buckets.setdefault((b, h), []).append(doc_id)
+    pairs = set()
+    for members in buckets.values():
+        if len(members) > max_bucket:
+            continue
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pairs.add((ms[i], ms[j]))
+    return pairs
+
+
+def _py_simhash64(text: str):
+    toks = _tokens(text)
+    totals = [0] * 64
+    for t in toks:
+        tb = t.encode()
+        hx = md5(tb).hexdigest() + md5(b"#" + tb).hexdigest()
+        for g, ch in enumerate(hx):
+            totals[g] += 1 if ch in "13579bdf" else -1
+    bands = []
+    for k in range(4):
+        v = 0
+        for i in range(16):
+            if totals[k * 16 + i] > 0:
+                v |= 1 << i
+        bands.append(v)
+    return tuple(bands)
+
+
+def _py_winnow(text: str, k=K_GRAM, w=WINNOW_WINDOW):
+    tx = re.sub(r"\s+", " ", text.strip(" ")).lower()
+    if len(tx) < k + w - 1:
+        return set()
+    grams = [md5(tx[i : i + k].encode()).hexdigest() for i in range(len(tx) - k + 1)]
+    return {min(grams[j : j + w]) for j in range(len(grams) - w + 1)}
+
+
+def test_lsh_band_candidates_matches_python_oracle(spark):
+    rows = _random_docs(seed=11)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in lsh_band_candidates(df).collect()}
+    assert got == _py_band_candidates(rows)
+
+
+def test_simhash64_matches_python_oracle(spark):
+    rows = _random_docs(seed=13, n=25)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.band0, r.band1, r.band2, r.band3)
+        for r in simhash64(df).collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == _py_simhash64(text), doc_id
+
+
+def test_winnow_matches_python_oracle(spark):
+    rng = random.Random(17)
+    rows = [
+        (i, " ".join(rng.choice(_WORDS) for _ in range(rng.randint(0, 20))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r.doc_id, set()).add(r.fingerprint)
+    for doc_id, text in rows:
+        assert got.get(doc_id, set()) == _py_winnow(text), doc_id
