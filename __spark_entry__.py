@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": R.q_events_window,
         # -- text analysis / training-data ops --
         "token_count": T.q_token_count,
+        "bpe_token_count": T.q_bpe_token_count,
         "quality_score": T.q_quality_score,
         "lang_id": T.q_lang_id,
         "fingerprint": T.q_fingerprint,
@@ -264,6 +265,20 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(list_distinct({toks})) END AS BIGINT)
                      AS n_distinct_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "bpe_token_count": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text,
+                       '{T.BPE_TOKEN_RE.replace("'", "''")}')) AS BIGINT)
+                       AS n_bpe_tokens,
+                     CAST({ntoks} AS BIGINT) AS n_ws_tokens
+              FROM documents)
+            SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+                   round(CASE WHEN n_ws_tokens > 0
+                         THEN n_bpe_tokens / CAST(n_ws_tokens AS DOUBLE)
+                         ELSE 0.0 END, 6) AS bpe_per_ws
+            FROM t ORDER BY doc_id
         """,
         "quality_score": f"""
             WITH t AS (

@@ -32,19 +32,43 @@ MEDIA_META_SCHEMA = T.StructType(
     ]
 )
 
-_FORMAT_MAGIC = {
-    b"\x89PNG": "png",
-    b"\xff\xd8\xff": "jpeg",
-    b"GIF8": "gif",
-    b"RIFF": "webp",
-}
+def sniff_media(payload: bytes) -> tuple[str, str] | None:
+    """(kind, format) from magic bytes — image/audio/video containers.
+
+    RIFF is a shared container: bytes 8..12 disambiguate WebP images,
+    WAV audio, and AVI video."""
+    if payload.startswith(b"\x89PNG"):
+        return ("image", "png")
+    if payload.startswith(b"\xff\xd8\xff"):
+        return ("image", "jpeg")
+    if payload.startswith(b"GIF8"):
+        return ("image", "gif")
+    if payload.startswith(b"RIFF"):
+        sub = payload[8:12]
+        if sub == b"WEBP":
+            return ("image", "webp")
+        if sub == b"WAVE":
+            return ("audio", "wav")
+        if sub == b"AVI ":
+            return ("video", "avi")
+        return None
+    if payload.startswith(b"ID3") or payload[:2] in (
+        b"\xff\xfb", b"\xff\xf3", b"\xff\xf2"
+    ):
+        return ("audio", "mp3")
+    if payload.startswith(b"OggS"):
+        return ("audio", "ogg")
+    if payload[4:8] == b"ftyp":
+        return ("video", "mp4")
+    if payload.startswith(b"\x1a\x45\xdf\xa3"):
+        return ("video", "webm")
+    return None
 
 
 def _sniff_format(payload: bytes) -> str | None:
-    for magic, fmt in _FORMAT_MAGIC.items():
-        if payload.startswith(magic):
-            return fmt
-    return None
+    """Image-format sniff (the contract of decode_image_header)."""
+    km = sniff_media(payload)
+    return km[1] if km is not None and km[0] == "image" else None
 
 
 # JPEG start-of-frame markers carrying dimensions (C4/C8/CC are
@@ -183,6 +207,199 @@ def media_metadata(media: DataFrame) -> DataFrame:
     """
     df = media.select("media_id", "payload").repartition(F.col("media_id"))
     return df.mapInPandas(extract_media_meta, MEDIA_META_SCHEMA)
+
+
+def decode_wav_header(b: bytes) -> tuple[int, int, float]:
+    """(sample_rate, channels, duration_ms) from RIFF/WAVE chunks —
+    pure stdlib byte parsing, like the image headers."""
+    if len(b) < 12 or b[8:12] != b"WAVE":
+        raise ValueError("not a WAVE payload")
+    pos = 12
+    rate = channels = bits = None
+    data_size = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = pos + 8
+        if cid == b"fmt " and body + 16 <= len(b):
+            channels = int.from_bytes(b[body + 2 : body + 4], "little")
+            rate = int.from_bytes(b[body + 4 : body + 8], "little")
+            bits = int.from_bytes(b[body + 14 : body + 16], "little")
+        elif cid == b"data":
+            data_size = size
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if not rate or not channels or not bits or data_size is None:
+        raise ValueError("truncated WAVE header")
+    n_samples = data_size // (channels * max(bits // 8, 1))
+    return rate, channels, n_samples / rate * 1000.0
+
+
+def decode_mp4_duration(b: bytes) -> float:
+    """duration_ms from the ISO-BMFF moov/mvhd box (v0 and v1)."""
+
+    def boxes(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            size = int.from_bytes(buf[pos : pos + 4], "big")
+            typ = buf[pos + 4 : pos + 8]
+            if size < 8:
+                return
+            yield typ, pos + 8, min(pos + size, end)
+            pos += size
+
+    for typ, body, end in boxes(b, 0, len(b)):
+        if typ != b"moov":
+            continue
+        for t2, b2, _e2 in boxes(b, body, end):
+            if t2 != b"mvhd":
+                continue
+            version = b[b2]
+            if version == 1:
+                scale = int.from_bytes(b[b2 + 20 : b2 + 24], "big")
+                dur = int.from_bytes(b[b2 + 24 : b2 + 32], "big")
+            else:
+                scale = int.from_bytes(b[b2 + 12 : b2 + 16], "big")
+                dur = int.from_bytes(b[b2 + 16 : b2 + 20], "big")
+            if not scale:
+                raise ValueError("mvhd timescale is zero")
+            return dur / scale * 1000.0
+    raise ValueError("no moov/mvhd box found")
+
+
+MEDIA_PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("content_hash", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.DoubleType(), True),
+        T.StructField("status", T.StringType(), False),
+    ]
+)
+
+_PROFILE_COLS = [f.name for f in MEDIA_PROFILE_SCHEMA.fields]
+
+
+def profile_media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: typed per-kind metadata from container
+    headers — image dims, WAV sample rate/channels/duration, MP4
+    duration. All stdlib byte parsing; decode failures are status rows."""
+    for pdf in batches:
+        out = {k: [] for k in _PROFILE_COLS}
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            row = dict.fromkeys(_PROFILE_COLS)
+            row["media_id"] = mid
+            if payload is None:
+                row["status"] = "error"
+            else:
+                payload = bytes(payload)
+                row["n_bytes"] = len(payload)
+                row["content_hash"] = hashlib.md5(payload).hexdigest()
+                km = sniff_media(payload)
+                if km is None:
+                    row["status"] = "unsupported"
+                else:
+                    row["kind"], row["format"] = km
+                    try:
+                        if row["kind"] == "image":
+                            row["width"], row["height"] = decode_image_header(
+                                payload
+                            )
+                        elif row["format"] == "wav":
+                            (
+                                row["sample_rate"],
+                                row["channels"],
+                                row["duration_ms"],
+                            ) = decode_wav_header(payload)
+                        elif row["format"] == "mp4":
+                            row["duration_ms"] = decode_mp4_duration(payload)
+                        # mp3/ogg/webm/avi: kind+format sniff only (frame
+                        # headers need a codec library)
+                        row["status"] = "ok"
+                    except Exception:  # truncated/corrupt payload
+                        row["status"] = "error"
+            for k, v in row.items():
+                out[k].append(v)
+        yield pd.DataFrame(out)
+
+
+def media_profile(media: DataFrame) -> DataFrame:
+    """Distributed multimodal profiling over (media_id, payload) —
+    same layout strategy as media_metadata."""
+    df = media.select("media_id", "payload").repartition(F.col("media_id"))
+    return df.mapInPandas(profile_media_batches, MEDIA_PROFILE_SCHEMA)
+
+
+def frame_sample_plan(profile: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Uniform frame-sample timestamps for video rows: frame i of n is
+    at duration * (i + 0.5)/n. Pure JVM explode — the PLAN is data, the
+    decode is a separate (stubbed) stage. Videos without a known
+    duration are skipped (no timestamp to seek to)."""
+    vids = profile.filter(
+        (F.col("kind") == "video") & F.col("duration_ms").isNotNull()
+    )
+    return vids.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_no"),
+        "duration_ms",
+    ).select(
+        "media_id",
+        "frame_no",
+        F.round(
+            F.col("duration_ms") * (F.col("frame_no") + 0.5) / n_frames, 3
+        ).alias("ts_ms"),
+    )
+
+
+def decode_frames(plan_with_payload: DataFrame) -> DataFrame:
+    """Frame decode stage — STUB: the container has no video codecs
+    (cv2/ffmpeg), so every row comes back frame_bytes=NULL with
+    status='decoder_unavailable'. The Spark-side contract (schema,
+    Arrow batching, (media_id, frame_no, ts_ms, payload) input shape)
+    is real; swap _decode_one for a cv2.VideoCapture seek+grab in
+    production."""
+    schema = (
+        "media_id string, frame_no int, ts_ms double, "
+        "frame_bytes binary, status string"
+    )
+
+    def _decode_one(payload: bytes, ts_ms: float):
+        try:
+            import cv2  # noqa: F401 — not present in this container
+        except ImportError:
+            raise NotImplementedError("no video codec library available")
+        raise NotImplementedError("unreachable in this container")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            frames, statuses = [], []
+            for payload, ts in zip(pdf["payload"], pdf["ts_ms"]):
+                try:
+                    frames.append(_decode_one(bytes(payload), float(ts)))
+                    statuses.append("ok")
+                except NotImplementedError:
+                    frames.append(None)
+                    statuses.append("decoder_unavailable")
+                except Exception:  # noqa: BLE001
+                    frames.append(None)
+                    statuses.append("error")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_no": pdf["frame_no"],
+                    "ts_ms": pdf["ts_ms"],
+                    "frame_bytes": frames,
+                    "status": statuses,
+                }
+            )
+
+    return plan_with_payload.select(
+        "media_id", "frame_no", "ts_ms", "payload"
+    ).mapInPandas(batches, schema)
 
 
 def media_dedup(meta: DataFrame) -> DataFrame:

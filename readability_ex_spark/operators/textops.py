@@ -65,6 +65,34 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-style pre-tokenizer regex (GPT-2 shape, ASCII classes, NO
+# lookahead — RE2 (DuckDB) has no lookahead, and ASCII classes dodge
+# Java-vs-RE2 unicode-property differences, keeping the oracle exact):
+# contractions | space?letters | space?digits | space?other-punct-run
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token count: matches of the GPT-2-style pre-tokenizer
+    regex — the unit LLM training budgets are priced in (whitespace
+    tokens undercount punctuation-heavy text badly). Pure
+    ``regexp_count``: JVM-side, codegen, one scan."""
+    docs = _docs(spark, sf_dir)
+    n_ws = F.size(_tokens_col()).cast("long")
+    n_bpe = F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_RE)).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            n_bpe.alias("n_bpe_tokens"),
+            n_ws.alias("n_ws_tokens"),
+            F.round(
+                F.when(n_ws > 0, n_bpe.cast("double") / n_ws).otherwise(0.0), 6
+            ).alias("bpe_per_ws"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cheap quality signals: length, mean token length, stopword ratio.
 

@@ -84,3 +84,96 @@ def test_media_metadata_plumbing(spark):
     dd = media_dedup(meta)
     dup = dd.filter(F.col("n_copies") > 1).collect()
     assert len(dup) == 1 and dup[0].canonical_id == "m1"
+
+
+def _wav(rate=44100, channels=2, bits=16, n_samples=44100) -> bytes:
+    fmt = (
+        b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+                      channels * bits // 8, bits)
+    )
+    data_size = n_samples * channels * bits // 8
+    data = b"data" + struct.pack("<I", data_size) + b"\x00" * min(data_size, 64)
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _mp4(duration_ms=12000, timescale=1000) -> bytes:
+    mvhd_body = (
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">II", timescale, duration_ms * timescale // 1000)
+        + b"\x00" * 80
+    )
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
+    return ftyp + moov
+
+
+def test_sniff_media_riff_disambiguation():
+    from readability_ex_spark.operators.multimodal import sniff_media
+
+    assert sniff_media(_wav()) == ("audio", "wav")
+    assert sniff_media(_webp_lossless(3, 3)) == ("image", "webp")
+    assert sniff_media(b"RIFF\x00\x00\x00\x00AVI LIST") == ("video", "avi")
+    assert sniff_media(_mp4()) == ("video", "mp4")
+    assert sniff_media(b"ID3\x04rest") == ("audio", "mp3")
+    assert sniff_media(b"OggS junk") == ("audio", "ogg")
+    assert sniff_media(b"\x1a\x45\xdf\xa3 ebml") == ("video", "webm")
+    assert sniff_media(b"plain text") is None
+
+
+def test_wav_and_mp4_header_decode():
+    from readability_ex_spark.operators.multimodal import (
+        decode_mp4_duration,
+        decode_wav_header,
+    )
+
+    rate, ch, dur = decode_wav_header(_wav(rate=22050, channels=1,
+                                           n_samples=22050))
+    assert (rate, ch) == (22050, 1) and abs(dur - 1000.0) < 1e-6
+    assert abs(decode_mp4_duration(_mp4(duration_ms=12000)) - 12000.0) < 1e-6
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_wav_header(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_media_profile_and_frame_sampling(spark):
+    import pyspark.sql.functions as F
+
+    from readability_ex_spark.operators.multimodal import (
+        decode_frames,
+        frame_sample_plan,
+        media_profile,
+    )
+
+    media = spark.createDataFrame(
+        [
+            ("img", _png(640, 480)),
+            ("aud", _wav(rate=8000, channels=1, n_samples=16000)),
+            ("vid", _mp4(duration_ms=10000)),
+            ("bad", b"???"),
+        ],
+        "media_id string, payload binary",
+    )
+    prof = media_profile(media).cache()
+    rows = {r.media_id: r for r in prof.collect()}
+    assert rows["img"].kind == "image" and rows["img"].width == 640
+    assert rows["aud"].kind == "audio" and rows["aud"].sample_rate == 8000
+    assert abs(rows["aud"].duration_ms - 2000.0) < 1e-6
+    assert rows["vid"].kind == "video" and abs(rows["vid"].duration_ms - 10000) < 1e-6
+    assert rows["bad"].status == "unsupported"
+
+    plan = frame_sample_plan(prof, n_frames=4).orderBy("frame_no")
+    ts = [r.ts_ms for r in plan.collect()]
+    assert ts == [1250.0, 3750.0, 6250.0, 8750.0]  # uniform mid-bins
+
+    decoded = decode_frames(plan.join(media, "media_id")).collect()
+    assert len(decoded) == 4
+    assert all(
+        r.status == "decoder_unavailable" and r.frame_bytes is None
+        for r in decoded
+    )
