@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": S.q_ann_lsh,
         "ann_lsh_topk": S.q_ann_lsh_topk,
         "ann_batch_topk": S.q_ann_batch_topk,
+        "emb_near_dup": S.q_emb_near_dup,
         "ann_ivf_cells": S.q_ann_ivf_cells,
         "ann_ivf_topk": S.q_ann_ivf_topk,
     }
@@ -572,6 +573,26 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, vec_id, label, cosine FROM ranked
             WHERE rn <= 3 ORDER BY query_id, cosine DESC, vec_id
+        """,
+        "emb_near_dup": f"""
+            WITH b AS (
+              SELECT vec_id, {_SQL_ED} AS ed,
+                     {_lsh_bucket_sql(_SQL_ED)} AS bucket
+              FROM embeddings),
+            p AS (
+              SELECT ce.vec_id AS vec_a, cq.vec_id AS vec_b,
+                     round(
+                       list_sum(list_transform(list_zip(ce.ed, cq.ed),
+                                               z -> z[1] * z[2])) /
+                       (sqrt(list_sum(list_transform(ce.ed, x -> x * x))) *
+                        sqrt(list_sum(list_transform(cq.ed, x -> x * x)))),
+                       6) AS cosine
+              FROM b ce JOIN b cq
+                ON ce.vec_id < cq.vec_id
+                AND bit_count(xor(ce.bucket, cq.bucket)) <= 1)
+            SELECT vec_a, vec_b, cosine FROM p
+            WHERE cosine >= {S.EMB_NEAR_DUP_THRESHOLD}
+            ORDER BY vec_a, vec_b
         """,
         "ann_ivf_cells": f"""
             WITH {_ivf_ctes()}

@@ -290,6 +290,68 @@ def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    dim: int = EMB_DIM,
+    n_planes: int = N_PLANES,
+    seed: int = LSH_SEED,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket candidates
+    (pairs whose sign-bit buckets are within ``probe_hamming`` flips),
+    then exact cosine verify >= threshold.
+
+    Same scale shape as text near-dedup: candidates come from an
+    equality join on exploded probe buckets (the a-side explodes its
+    Hamming ball — (1 + n_planes) rows per vector at radius 1), never a
+    cross join; the quadratic cosine verify runs only inside candidate
+    pairs. Returns (vec_a, vec_b, cosine) with vec_a < vec_b."""
+    b = lsh_bucket(emb, dim=dim, n_planes=n_planes, seed=seed)
+    probes = F.array(
+        F.col("bucket"),
+        *(
+            [
+                F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long")
+                for i in range(n_planes)
+            ]
+            if probe_hamming >= 1
+            else []
+        ),
+    )
+    a = b.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.explode(probes).alias("bucket"),
+    )
+    bb = b.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        "bucket",
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+    )
+    return (
+        a.join(bb, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
+EMB_NEAR_DUP_THRESHOLD = 0.4
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (Hamming-1 LSH candidates,
+    cosine >= 0.4)."""
+    return embedding_near_dup(
+        _emb(spark, sf_dir), threshold=EMB_NEAR_DUP_THRESHOLD
+    ).orderBy("vec_a", "vec_b")
+
+
 def materialize_buckets(
     emb: DataFrame,
     path: str,

@@ -164,3 +164,19 @@ def test_batch_topk_matches_single_query(spark):
     assert [(r.vec_id, r.cosine) for r in single] == [
         (r.vec_id, r.cosine) for r in sorted(batch, key=lambda r: (-r.cosine, r.vec_id))
     ]
+
+
+def test_embedding_near_dup_on_planted_pairs(spark):
+    from readability_ex_spark.operators.similarity import embedding_near_dup
+
+    emb, n_base = _planted_df(spark)
+    pairs = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup(emb, threshold=0.9).collect()
+    }
+    truth = {(i, i + n_base) for i in range(n_base)}
+    # every emitted pair is a real planted duplicate (cosine >= 0.9 on
+    # random unit vectors essentially never happens by chance)
+    assert pairs <= truth
+    # Hamming-1 multi-probe recovers >= 90% of the planted pairs
+    assert len(pairs) / n_base >= 0.9
