@@ -575,10 +575,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 3 ORDER BY query_id, cosine DESC, vec_id
         """,
         "emb_near_dup": f"""
-            WITH b AS (
+            WITH b0 AS (
               SELECT vec_id, {_SQL_ED} AS ed,
                      {_lsh_bucket_sql(_SQL_ED)} AS bucket
               FROM embeddings),
+            b AS (
+              SELECT vec_id, ed, bucket FROM (
+                SELECT *, count(*) OVER (PARTITION BY bucket) AS _n
+                FROM b0)
+              WHERE _n <= {S.EMB_MAX_BUCKET}),
             p AS (
               SELECT ce.vec_id AS vec_a, cq.vec_id AS vec_b,
                      round(

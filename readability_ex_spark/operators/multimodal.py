@@ -241,9 +241,19 @@ def decode_mp4_duration(b: bytes) -> float:
         while pos + 8 <= end:
             size = int.from_bytes(buf[pos : pos + 4], "big")
             typ = buf[pos + 4 : pos + 8]
-            if size < 8:
+            body = pos + 8
+            if size == 1:  # 64-bit largesize (boxes > 4 GB, e.g. mdat)
+                if pos + 16 > end:
+                    return
+                size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+                body = pos + 16
+                if size < 16:
+                    return
+            elif size == 0:  # box extends to end of file
+                size = end - pos
+            elif size < 8:
                 return
-            yield typ, pos + 8, min(pos + size, end)
+            yield typ, body, min(pos + size, end)
             pos += size
 
     for typ, body, end in boxes(b, 0, len(b)):

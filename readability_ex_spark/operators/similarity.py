@@ -157,7 +157,18 @@ def lsh_bucket(
         p = F.array(*[F.lit(float(x)) for x in planes[i]])
         bit = F.when(_dot(F.col(emb_col), p) >= 0, F.lit(1)).otherwise(F.lit(0))
         bucket = bucket * 2 + bit
-    return emb.withColumn(out_col, bucket)
+    # fail loudly on a dim mismatch: zip_with pads the shorter array with
+    # NULLs, the dot goes NULL, every sign bit falls to 0 and ALL vectors
+    # silently land in bucket 0 — degrading the index into a cross join
+    guarded = F.when(F.size(F.col(emb_col)) == dim, bucket).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh_bucket: expected {dim}-dim embedding, got "),
+                F.size(F.col(emb_col)).cast("string"),
+            )
+        )
+    )
+    return emb.withColumn(out_col, guarded)
 
 
 def probe_buckets(bucket: int, n_planes: int, probe_hamming: int = 1) -> list[int]:
@@ -201,10 +212,17 @@ def ann_lsh_topk(
     the probe set is a partition-pruned read of (1 + n_planes) buckets
     instead of a full sweep."""
     planes = hyperplanes(len(query_vec), n_planes, seed)
-    q = np.asarray(query_vec, dtype="float64")
+    q = [float(x) for x in query_vec]
     qbucket = 0
     for i in range(n_planes):
-        qbucket = qbucket * 2 + (1 if float(planes[i] @ q) >= 0 else 0)
+        # sequential left-to-right sum to match the JVM fold (and the
+        # DuckDB oracle) bit-exactly — a BLAS dot's pairwise summation
+        # could flip the sign of a near-zero plane dot and desync the
+        # probe set from the SQL-computed bucket
+        dot = 0.0
+        for pj, qj in zip(planes[i], q):
+            dot += float(pj) * qj
+        qbucket = qbucket * 2 + (1 if dot >= 0 else 0)
     probes = probe_buckets(qbucket, n_planes, probe_hamming)
     bucketed = lsh_bucket(emb, dim=len(query_vec), n_planes=n_planes, seed=seed)
     return cosine_topk(
@@ -290,6 +308,9 @@ def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_MAX_BUCKET = 1000  # degenerate-bucket cap (see docstring)
+
+
 def embedding_near_dup(
     emb: DataFrame,
     threshold: float = 0.4,
@@ -297,6 +318,7 @@ def embedding_near_dup(
     n_planes: int = N_PLANES,
     seed: int = LSH_SEED,
     probe_hamming: int = 1,
+    max_bucket: int = EMB_MAX_BUCKET,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket candidates
     (pairs whose sign-bit buckets are within ``probe_hamming`` flips),
@@ -305,9 +327,18 @@ def embedding_near_dup(
     Same scale shape as text near-dedup: candidates come from an
     equality join on exploded probe buckets (the a-side explodes its
     Hamming ball — (1 + n_planes) rows per vector at radius 1), never a
-    cross join; the quadratic cosine verify runs only inside candidate
-    pairs. Returns (vec_a, vec_b, cosine) with vec_a < vec_b."""
-    b = lsh_bucket(emb, dim=dim, n_planes=n_planes, seed=seed)
+    cross join, and — like the text paths — vectors in buckets larger
+    than ``max_bucket`` are dropped before the join (10^6 boilerplate
+    near-zero embeddings behind one bucket would otherwise emit
+    ~5·10^11 pairs in one task; exact content-hash dedup covers them at
+    linear cost). Returns (vec_a, vec_b, cosine) with vec_a < vec_b."""
+    bucketed = lsh_bucket(emb, dim=dim, n_planes=n_planes, seed=seed)
+    counts = bucketed.groupBy("bucket").agg(F.count("*").alias("_n"))
+    b = (
+        bucketed.join(counts, "bucket")
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
     probes = F.array(
         F.col("bucket"),
         *(

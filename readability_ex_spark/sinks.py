@@ -9,8 +9,26 @@ output's urls and anti-joins them against the source (SURVEY.md §2.B).
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# terminal statuses: reprocessing cannot change these outcomes
+RETRYABLE_DONE = ("ok", "not_readable", "empty", "too_large")
+
+_MISSING_TABLE_MARKERS = (
+    "TABLE_OR_VIEW_NOT_FOUND",
+    "NoSuchTableException",
+    "Table or view not found",
+    "cannot be found",
+    "not found",
+)
+
+
+def _is_missing_table(exc: Exception) -> bool:
+    msg = f"{type(exc).__name__}: {exc}"
+    return any(m.lower() in msg.lower() for m in _MISSING_TABLE_MARKERS)
 
 
 def write_extracted(
@@ -41,7 +59,12 @@ def write_extracted(
     if table_format == "iceberg":
         try:
             bucketed.writeTo(out_path).append()
-        except Exception:  # first write: table does not exist yet
+        except Exception as exc:
+            # create only on a genuine missing-table error; anything
+            # else (schema drift, catalog outage) must surface — a blind
+            # create() would mask it behind 'table already exists'
+            if not _is_missing_table(exc):
+                raise
             bucketed.writeTo(out_path).partitionedBy(
                 F.col("status"), F.col(bucket_col)
             ).create()
@@ -63,14 +86,23 @@ def merge_extracted_iceberg(
     a retried batch updates its matched urls instead of appending
     duplicate rows — the Iceberg-native alternative to the anti-join
     resume for re-runs that must repair partial output."""
-    view = "_readability_merge_src"
+    # unique view name: a fixed one would let concurrent merges in the
+    # same session clobber each other's source between the
+    # createOrReplaceTempView and the MERGE resolving it
+    view = f"_readability_merge_src_{uuid.uuid4().hex}"
     extracted.createOrReplaceTempView(view)
-    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-    spark.sql(
-        f"MERGE INTO {table} t USING {view} s ON {on} "
-        "WHEN MATCHED THEN UPDATE SET * "
-        "WHEN NOT MATCHED THEN INSERT *"
-    )
+    try:
+        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        spark.sql(
+            f"MERGE INTO {table} t USING {view} s ON {on} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    finally:
+        try:
+            spark.catalog.dropTempView(view)
+        except Exception:  # noqa: BLE001 — view cleanup is best-effort
+            pass
 
 
 def write_extracted_batch(
@@ -83,19 +115,27 @@ def write_extracted_batch(
 ) -> None:
     """Idempotent per-micro-batch write for streaming foreachBatch.
 
-    Partitions by (batch_id, status, url_bucket) and dynamically
-    OVERWRITES — a micro-batch retried after a partial write replaces
-    exactly its own batch_id partitions instead of appending duplicates,
-    which together with the streaming checkpoint gives exactly-once
-    output per batch."""
+    Deletes the batch's entire ``batch_id=N`` subtree first, then
+    appends it fresh — a micro-batch retried after a partial write
+    replaces ALL of its previous rows, including ones whose
+    (status, bucket) sub-partitions the retry no longer produces
+    (dynamic partition overwrite alone would leave those stale).
+    Together with the streaming checkpoint this gives exactly-once
+    output per batch. NB on eventually-consistent object stores the
+    delete-then-write pair is not atomic — use the Iceberg sink there.
+    """
+    df = extracted.withColumn("batch_id", F.lit(int(batch_id))).withColumn(
+        bucket_col, F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    )
+    spark = df.sparkSession
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{out_path}/batch_id={int(batch_id)}")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
     (
-        extracted.withColumn("batch_id", F.lit(int(batch_id)))
-        .withColumn(
-            bucket_col, F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
-        )
-        .write.partitionBy("batch_id", "status", bucket_col)
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
+        df.write.partitionBy("batch_id", "status", bucket_col)
+        .mode("append")
         .parquet(out_path)
     )
 
@@ -112,7 +152,9 @@ def write_metrics(
     if table_format == "iceberg":
         try:
             df.writeTo(f"{out_path}_metrics").append()
-        except Exception:  # first write: table does not exist yet
+        except Exception as exc:
+            if not _is_missing_table(exc):
+                raise
             df.writeTo(f"{out_path}_metrics").create()
         return
     df.write.mode("append").parquet(f"{out_path}/_metrics")
@@ -122,27 +164,29 @@ def read_done_urls(
     spark: SparkSession,
     out_path: str,
     *,
-    done_statuses: tuple[str, ...] = ("ok", "not_readable", "empty", "too_large"),
+    done_statuses: tuple[str, ...] | None = None,
     table_format: str = "parquet",
 ) -> DataFrame | None:
     """Urls already committed to the output table (checkpoint state for
     anti-join resume). Returns None when no output exists yet.
 
-    Only ``done_statuses`` count as done: 'ok', 'not_readable', 'empty'
-    (missing payload) and 'too_large' (guard trip) are deterministic
-    outcomes (reprocessing cannot change them), while 'error' rows
-    (unexpected kernel failures, possibly transient at cluster scale)
-    are NOT done, so a resume retries them. NB the sink appends — a retried url that succeeds adds
-    a new 'ok' row next to its old 'error' row; readers wanting exactly
-    one row per url should prefer status='ok' / latest row
-    (operators.relational.q_dedup_latest shape), or use
-    merge_extracted_iceberg which upserts in place. The status filter
+    By default every written url counts as done (``done_statuses=None``)
+    — with the append-mode parquet sink, retrying is what must be opted
+    INTO: a url that fails deterministically would otherwise gain one
+    duplicate row per resume, forever. To retry the transient class,
+    pass ``done_statuses=RETRYABLE_DONE`` ('ok', 'not_readable', 'empty'
+    and 'too_large' are deterministic outcomes; 'error' rows get
+    re-extracted), accepting the duplicate rows on the parquet sink
+    (dedup at read via the q_dedup_latest shape) — or use
+    merge_extracted_iceberg, which upserts in place. The status filter
     partition-prunes (the output is partitioned by status)."""
     try:
         if table_format == "iceberg":
             out = spark.read.format("iceberg").load(out_path)
         else:
             out = spark.read.parquet(out_path)
-        return out.filter(F.col("status").isin(list(done_statuses))).select("url")
+        if done_statuses is not None:
+            out = out.filter(F.col("status").isin(list(done_statuses)))
+        return out.select("url")
     except Exception:  # noqa: BLE001 — first run: nothing committed yet
         return None

@@ -34,6 +34,13 @@ def main() -> int:
     ap.add_argument("--urls", default=None, help="semi-join url allowlist")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--retry-errors", action="store_true",
+        help="on resume, re-extract urls whose last status was 'error' "
+        "(transient failures); with the append-mode parquet sink this "
+        "adds a new row per retry — dedup at read or use the iceberg "
+        "MERGE path",
+    )
     ap.add_argument("--no-dedup", action="store_true")
     ap.add_argument(
         "--chain-pages", type=int, default=0, metavar="MAX",
@@ -70,6 +77,10 @@ def main() -> int:
     if args.assemble_chains and (args.no_html or args.chain_pages <= 1):
         ap.error("--assemble-chains requires --chain-pages >= 2 and html "
                  "output (incompatible with --no-html)")
+    if args.chain_pages > 1 and args.table_format == "iceberg":
+        ap.error("--chain-pages emits parquet artifacts under --output, "
+                 "which is a catalog table name with --table-format "
+                 "iceberg; run the chain pass with parquet output")
 
     spark = SparkSession.builder.appName("readability_extract").getOrCreate()
     run_id = args.run_id or f"run-{int(time.time())}"
@@ -79,10 +90,17 @@ def main() -> int:
         allow = spark.read.parquet(args.urls).select("url")
         pages = pages.join(allow, "url", "left_semi")
 
+    from readability_ex_spark.sinks import RETRYABLE_DONE
+
     done = (
         None
         if args.no_resume
-        else read_done_urls(spark, args.output, table_format=args.table_format)
+        else read_done_urls(
+            spark,
+            args.output,
+            done_statuses=RETRYABLE_DONE if args.retry_errors else None,
+            table_format=args.table_format,
+        )
     )
     extracted = run_extraction(
         pages,

@@ -17,23 +17,26 @@ from readability_ex_spark.sources.pages import read_pages
 
 
 class _Recorder:
-    def __init__(self, log, name, fail_on=()):
+    def __init__(self, log, name, fail_on=(), fail_msg="NoSuchTableException"):
         self._log = log
         self._name = name
         self._fail_on = fail_on
+        self._fail_msg = fail_msg
 
     def __call__(self, *a, **k):
         self._log.append((self._name, a))
         if self._name in self._fail_on:
-            raise RuntimeError(f"{self._name} failed")
+            raise RuntimeError(f"{self._fail_msg}: {self._name}")
         return self
 
     def __getattr__(self, item):
-        return _Recorder(self._log, f"{self._name}.{item}", self._fail_on)
+        return _Recorder(
+            self._log, f"{self._name}.{item}", self._fail_on, self._fail_msg
+        )
 
 
-def _fake_df(log, fail_on=()):
-    return _Recorder(log, "df", fail_on)
+def _fake_df(log, fail_on=(), fail_msg="NoSuchTableException"):
+    return _Recorder(log, "df", fail_on, fail_msg)
 
 
 def test_read_pages_iceberg_uses_format_load():
@@ -62,6 +65,24 @@ def test_write_extracted_iceberg_creates_on_missing_table(spark):
     )
     # append failed (no table) -> partitionedBy(...).create()
     assert any(n.endswith("writeTo.partitionedBy.create") for n, _ in log)
+
+
+def test_write_extracted_iceberg_surfaces_real_append_errors(spark):
+    import pytest
+
+    log = []
+    with pytest.raises(RuntimeError, match="SCHEMA_MISMATCH"):
+        write_extracted(
+            _fake_df(
+                log,
+                fail_on=("df.withColumn.writeTo.append",),
+                fail_msg="SCHEMA_MISMATCH",
+            ),
+            "crawl.extracted",
+            table_format="iceberg",
+        )
+    # no create() attempted: the non-missing-table error propagated
+    assert not any(n.endswith(".create") for n, _ in log)
 
 
 def test_write_metrics_iceberg_sibling_table(spark):
@@ -93,15 +114,25 @@ def test_read_done_urls_missing_output_returns_none(spark, tmp_path):
 
 
 def test_read_done_urls_filters_statuses(spark, tmp_path):
+    from readability_ex_spark.sinks import RETRYABLE_DONE
+
     df = spark.createDataFrame(
         [("u1", "ok"), ("u2", "error"), ("u3", "not_readable")],
         "url string, status string",
     )
     out = str(tmp_path / "out")
     df.write.partitionBy("status").parquet(out)
-    done = {r.url for r in read_done_urls(spark, out).collect()}
-    # error rows are retryable -> not done; ok/not_readable are done
-    assert done == {"u1", "u3"}
+    # default: every written url is done (the append sink must not
+    # re-append deterministically failing urls on every resume)
+    assert {r.url for r in read_done_urls(spark, out).collect()} == {
+        "u1", "u2", "u3"
+    }
+    # opt-in retry of transient errors
+    retry = {
+        r.url
+        for r in read_done_urls(spark, out, done_statuses=RETRYABLE_DONE).collect()
+    }
+    assert retry == {"u1", "u3"}
     only_ok = {
         r.url
         for r in read_done_urls(spark, out, done_statuses=("ok",)).collect()

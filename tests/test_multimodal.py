@@ -177,3 +177,16 @@ def test_media_profile_and_frame_sampling(spark):
         r.status == "decoder_unavailable" and r.frame_bytes is None
         for r in decoded
     )
+
+
+def test_mp4_largesize_and_eof_boxes():
+    from readability_ex_spark.operators.multimodal import decode_mp4_duration
+
+    # >4GB-style mdat encoded with size=1 + 64-bit largesize BEFORE moov
+    mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16)
+    base = _mp4(duration_ms=7000)
+    ftyp, moov = base[:16], base[16:]
+    assert abs(decode_mp4_duration(ftyp + mdat + moov) - 7000.0) < 1e-6
+    # trailing size=0 box (extends to EOF) before moov is skipped over
+    free = struct.pack(">I", 12) + b"free" + b"\x00" * 4
+    assert abs(decode_mp4_duration(ftyp + free + moov) - 7000.0) < 1e-6

@@ -180,3 +180,28 @@ def test_embedding_near_dup_on_planted_pairs(spark):
     assert pairs <= truth
     # Hamming-1 multi-probe recovers >= 90% of the planted pairs
     assert len(pairs) / n_base >= 0.9
+
+
+def test_lsh_bucket_rejects_dim_mismatch(spark):
+    import pytest
+
+    from readability_ex_spark.operators.similarity import lsh_bucket
+
+    bad = spark.createDataFrame(
+        [(1, [0.1] * 8)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="expected 64-dim"):
+        lsh_bucket(bad).collect()
+
+
+def test_embedding_near_dup_bucket_cap(spark):
+    from readability_ex_spark.operators.similarity import embedding_near_dup
+
+    # 30 identical vectors: one degenerate bucket; cap drops them all
+    rows = [(i, [1.0] + [0.0] * 63) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assert embedding_near_dup(emb, threshold=0.9, max_bucket=10).count() == 0
+    assert (
+        embedding_near_dup(emb, threshold=0.9, max_bucket=100).count()
+        == 30 * 29 // 2
+    )

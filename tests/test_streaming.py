@@ -92,3 +92,19 @@ def test_batch_write_idempotent(spark, tmpdir):
     write_extracted_batch(extracted.limit(5), out, batch_id=1)
     assert spark.read.parquet(out).count() == n1 + 5
     extracted.unpersist()
+
+
+def test_batch_retry_replaces_drifted_partitions(spark, tmpdir):
+    """A retry whose rows land in different (status, bucket) partitions
+    must still fully replace the failed attempt's batch output."""
+    from readability_ex_spark.pipeline import run_extraction
+    from readability_ex_spark.sinks import write_extracted_batch
+
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001").limit(20)
+    extracted = run_extraction(pages).cache()
+    out = str(tmpdir / "out_drift")
+    write_extracted_batch(extracted, out, batch_id=0)  # "partial" attempt
+    retry = extracted.limit(5)  # retry produces fewer rows/partitions
+    write_extracted_batch(retry, out, batch_id=0)
+    assert spark.read.parquet(out).count() == 5
+    extracted.unpersist()
