@@ -40,6 +40,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_resume": R.q_anti_join_resume,
         "semi_join": R.q_semi_join,
         "broadcast_join": R.q_broadcast_join,
+        "part_brand_stats": R.q_part_brand_stats,
+        "supplier_balance": R.q_supplier_balance,
         "topk_docs": R.q_topk_docs,
         "set_diff": R.q_set_diff,
         "events_window": R.q_events_window,
@@ -242,6 +244,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY r_name ORDER BY r_name
+        """,
+        "part_brand_stats": """
+            SELECT p_brand, count(*) AS n_parts,
+                   round(avg(p_retailprice), 2) AS avg_price,
+                   max(p_size) AS max_size
+            FROM part GROUP BY p_brand
+            HAVING count(*) >= 2 ORDER BY p_brand
+        """,
+        "supplier_balance": """
+            SELECT n_name, count(*) AS n_suppliers,
+                   round(sum(s_acctbal), 2) AS sum_acctbal
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n_name ORDER BY n_name
         """,
         "topk_docs": """
             SELECT doc_id, n_chars, lang FROM documents

@@ -139,6 +139,36 @@ def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregation with a HAVING-style post-filter over part."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+            F.max("p_size").alias("max_size"),
+        )
+        .filter(F.col("n_parts") >= 2)
+        .orderBy("p_brand")
+    )
+
+
+def q_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + rollup over supplier (balance per nation)."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
 def q_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort / top-k report: largest documents (largest-page report)."""
     docs = _t(spark, sf_dir, "documents")
