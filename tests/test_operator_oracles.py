@@ -37,9 +37,11 @@ def _tokens(text: str) -> list[str]:
     t = text.strip(" ")
     if t == "":
         return []
-    # mirror F.trim (spaces only) + split(\s+)
+    # mirror F.trim (spaces only) + split(\s+) — re.A because Java's
+    # and RE2's \s are ASCII-classed (unicode \xa0 is NOT whitespace
+    # there, unlike Python's default unicode \s)
     out, seen = [], set()
-    for tok in re.split(r"\s+", t):
+    for tok in re.split(r"\s+", t, flags=re.A):
         if tok not in seen:
             seen.add(tok)
             out.append(tok)
@@ -93,7 +95,7 @@ def _py_simhash64(text: str):
 
 
 def _py_winnow(text: str, k=K_GRAM, w=WINNOW_WINDOW):
-    tx = re.sub(r"\s+", " ", text.strip(" ")).lower()
+    tx = re.sub(r"\s+", " ", text.strip(" "), flags=re.A).lower()
     if len(tx) < k + w - 1:
         return set()
     grams = [md5(tx[i : i + k].encode()).hexdigest() for i in range(len(tx) - k + 1)]
@@ -130,3 +132,29 @@ def test_winnow_matches_python_oracle(spark):
         got.setdefault(r.doc_id, set()).add(r.fingerprint)
     for doc_id, text in rows:
         assert got.get(doc_id, set()) == _py_winnow(text), doc_id
+
+
+def test_oracles_agree_on_unicode_whitespace_and_text(spark):
+    """\xa0 is NOT whitespace to Spark/DuckDB (ASCII-classed \s) —
+    tokens joined by it stay one token; accents survive md5 utf-8."""
+    rows = [
+        (1, "caf\u00e9 ni\u00f1o caf\u00e9"),
+        (2, "a\u00a0b c"),  # \xa0 glues 'a\xa0b' into one token
+        (3, "\u00fcber str\u00e4\u00dfe " * 4),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_pairs = {
+        (r.id_a, r.id_b) for r in lsh_band_candidates(df).collect()
+    }
+    assert got_pairs == _py_band_candidates(rows)
+    got_sim = {
+        r.doc_id: (r.band0, r.band1, r.band2, r.band3)
+        for r in simhash64(df).collect()
+    }
+    for doc_id, text in rows:
+        assert got_sim[doc_id] == _py_simhash64(text), doc_id
+    got_w = {}
+    for r in winnow_fingerprints(df).collect():
+        got_w.setdefault(r.doc_id, set()).add(r.fingerprint)
+    for doc_id, text in rows:
+        assert got_w.get(doc_id, set()) == _py_winnow(text), doc_id
