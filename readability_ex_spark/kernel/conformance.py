@@ -76,15 +76,28 @@ _RE_TAG_GAP = re.compile(r">(\s+)<", re.A)
 _RE_TAG_NAME = re.compile(r"</?\s*([a-zA-Z0-9-]+)", re.A)
 
 
+def _is_non_element(html: str, i: int) -> bool:
+    """Comment / doctype / processing-instruction markup at position i."""
+    return html.startswith("<!", i) or html.startswith("<?", i)
+
+
 def _gap_is_layout(html: str, gt_pos: int, lt_pos: int) -> bool:
     """True when the inter-tag whitespace at this boundary is beautifier
-    layout (at least one side is a block-level tag)."""
-    i = html.rfind("<", 0, gt_pos + 1)
-    m_before = _RE_TAG_NAME.match(html, i) if i >= 0 else None
-    m_after = _RE_TAG_NAME.match(html, lt_pos)
-    before = m_before.group(1).lower() if m_before else ""
-    after = m_after.group(1).lower() if m_after else ""
-    return before not in _INLINE_TAGS or after not in _INLINE_TAGS
+    layout (at least one side is a block-level tag).
+
+    Comments / doctypes / PIs are content-level nodes a beautifier does
+    not break lines around the way it does block tags, so they count as
+    inline — whitespace between an inline tag and a comment stays
+    content-significant instead of being silently normalized away."""
+
+    def _inline(i: int) -> bool:
+        if i >= 0 and _is_non_element(html, i):
+            return True
+        m = _RE_TAG_NAME.match(html, i) if i >= 0 else None
+        return bool(m) and m.group(1).lower() in _INLINE_TAGS
+
+    before = html.rfind("<", 0, gt_pos + 1)
+    return not (_inline(before) and _inline(lt_pos))
 
 
 def normalize_html_inline_ws(html: str) -> str:

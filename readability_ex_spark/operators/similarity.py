@@ -536,13 +536,25 @@ IVF_NPROBE = 4
 
 
 def _seed_centroids(emb: DataFrame) -> list[list[float]]:
+    # cell id is keyed by vec_id - min(IVF_SEED_IDS) — the same rule the
+    # DuckDB oracle uses — so a missing seed row raises instead of
+    # silently renumbering every cell after it (positional numbering
+    # would desync Spark and oracle cell ids)
     rows = (
         emb.filter(F.col("vec_id").isin(IVF_SEED_IDS))
-        .orderBy("vec_id")
-        .select("embedding")
+        .select("vec_id", "embedding")
         .collect()
     )
-    cents = np.array([[float(x) for x in r[0]] for r in rows], dtype="float64")
+    found = {r[0] for r in rows}
+    if found != set(IVF_SEED_IDS):
+        missing = sorted(set(IVF_SEED_IDS) - found)
+        raise ValueError(f"IVF seed vec_ids missing from table: {missing}")
+    by_id = {r[0]: r[1] for r in rows}
+    lo = min(IVF_SEED_IDS)
+    cents = np.array(
+        [[float(x) for x in by_id[lo + c]] for c in range(len(IVF_SEED_IDS))],
+        dtype="float64",
+    )
     cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
     return [list(c) for c in cents]
 

@@ -14,21 +14,25 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# terminal statuses: reprocessing cannot change these outcomes
-RETRYABLE_DONE = ("ok", "not_readable", "empty", "too_large")
+# terminal statuses: reprocessing cannot change these outcomes; pass as
+# done_statuses when error retry is wanted (everything NOT in this tuple
+# — i.e. 'error' — gets re-extracted)
+TERMINAL_STATUSES = ("ok", "not_readable", "empty", "too_large")
 
-_MISSING_TABLE_MARKERS = (
-    "TABLE_OR_VIEW_NOT_FOUND",
-    "NoSuchTableException",
-    "Table or view not found",
-    "cannot be found",
-    "not found",
+# Specific error classes / exception types only: a generic 'not found'
+# substring would misclassify missing catalogs/namespaces/functions as a
+# missing table and trigger a create() whose secondary failure masks the
+# root cause.
+_MISSING_TARGET_MARKERS = (
+    "TABLE_OR_VIEW_NOT_FOUND",  # Spark errorClass (iceberg table)
+    "NoSuchTableException",  # Iceberg catalog exception type
+    "PATH_NOT_FOUND",  # Spark errorClass (parquet path)
 )
 
 
 def _is_missing_table(exc: Exception) -> bool:
     msg = f"{type(exc).__name__}: {exc}"
-    return any(m.lower() in msg.lower() for m in _MISSING_TABLE_MARKERS)
+    return any(m in msg for m in _MISSING_TARGET_MARKERS)
 
 
 def write_extracted(
@@ -174,12 +178,17 @@ def read_done_urls(
     — with the append-mode parquet sink, retrying is what must be opted
     INTO: a url that fails deterministically would otherwise gain one
     duplicate row per resume, forever. To retry the transient class,
-    pass ``done_statuses=RETRYABLE_DONE`` ('ok', 'not_readable', 'empty'
-    and 'too_large' are deterministic outcomes; 'error' rows get
+    pass ``done_statuses=TERMINAL_STATUSES`` ('ok', 'not_readable',
+    'empty' and 'too_large' are deterministic outcomes; 'error' rows get
     re-extracted), accepting the duplicate rows on the parquet sink
     (dedup at read via the q_dedup_latest shape) — or use
     merge_extracted_iceberg, which upserts in place. The status filter
-    partition-prunes (the output is partitioned by status)."""
+    partition-prunes (the output is partitioned by status).
+
+    Only a genuinely-missing output (first run) returns None; any other
+    read failure (catalog outage, permissions, corrupt footer)
+    propagates — silently treating it as a first run would disable
+    resume and re-append the entire committed output as duplicates."""
     try:
         if table_format == "iceberg":
             out = spark.read.format("iceberg").load(out_path)
@@ -188,5 +197,7 @@ def read_done_urls(
         if done_statuses is not None:
             out = out.filter(F.col("status").isin(list(done_statuses)))
         return out.select("url")
-    except Exception:  # noqa: BLE001 — first run: nothing committed yet
-        return None
+    except Exception as exc:
+        if _is_missing_table(exc):
+            return None  # first run: nothing committed yet
+        raise

@@ -90,7 +90,7 @@ def main() -> int:
         allow = spark.read.parquet(args.urls).select("url")
         pages = pages.join(allow, "url", "left_semi")
 
-    from readability_ex_spark.sinks import RETRYABLE_DONE
+    from readability_ex_spark.sinks import TERMINAL_STATUSES
 
     done = (
         None
@@ -98,7 +98,7 @@ def main() -> int:
         else read_done_urls(
             spark,
             args.output,
-            done_statuses=RETRYABLE_DONE if args.retry_errors else None,
+            done_statuses=TERMINAL_STATUSES if args.retry_errors else None,
             table_format=args.table_format,
         )
     )

@@ -113,8 +113,20 @@ def test_read_done_urls_missing_output_returns_none(spark, tmp_path):
     assert read_done_urls(spark, str(tmp_path / "nope")) is None
 
 
+def test_read_done_urls_propagates_corrupt_output(spark, tmp_path):
+    # a transient/corrupt read must NOT be treated as 'first run' — that
+    # would silently disable resume and duplicate the committed output
+    import pytest
+
+    out = tmp_path / "out"
+    out.mkdir()
+    (out / "part-00000.parquet").write_text("this is not parquet")
+    with pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
+        read_done_urls(spark, str(out))
+
+
 def test_read_done_urls_filters_statuses(spark, tmp_path):
-    from readability_ex_spark.sinks import RETRYABLE_DONE
+    from readability_ex_spark.sinks import TERMINAL_STATUSES as RETRYABLE_DONE
 
     df = spark.createDataFrame(
         [("u1", "ok"), ("u2", "error"), ("u3", "not_readable")],
