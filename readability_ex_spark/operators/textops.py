@@ -186,29 +186,48 @@ def winnow_fingerprints(
     window: int = WINNOW_WINDOW,
 ) -> DataFrame:
     """(id, fingerprint) winnowed fingerprint rows — see
-    q_winnow_fingerprint for the guarantee and scale shape."""
+    q_winnow_fingerprint for the guarantee and scale shape.
+
+    Normalization stays JVM-side (the exact lower/collapse expression
+    the DuckDB oracle mirrors — Python's str.lower/\\s would diverge on
+    unicode); the per-position md5 + sliding-window minimum runs in an
+    Arrow-vectorized pandas UDF. Spark's higher-order functions are
+    interpreted, so an md5 lambda per character position (~3,000/doc at
+    sf0.1 doc sizes) carried a ~100× constant over hashlib in a plain
+    loop (BENCH/BASELINE.md HOF rule); the window minimum is a monotonic
+    deque — O(n), not O(n·window)."""
+    from collections import deque
+    from hashlib import md5 as _md5
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _winnow(norm: pd.Series) -> pd.Series:
+        out = []
+        for tx in norm:
+            if tx is None or len(tx) < k + window - 1:
+                out.append([])
+                continue
+            grams = [
+                _md5(tx[i : i + k].encode("utf-8")).hexdigest()
+                for i in range(len(tx) - k + 1)
+            ]
+            fps = set()
+            dq: deque[int] = deque()  # indices of a rising-min run
+            for i, g in enumerate(grams):
+                while dq and grams[dq[-1]] >= g:
+                    dq.pop()
+                dq.append(i)
+                if dq[0] <= i - window:
+                    dq.popleft()
+                if i >= window - 1:
+                    fps.add(grams[dq[0]])
+            out.append(sorted(fps))
+        return pd.Series(out)
+
     txt = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    n = F.length(txt)
-    grams = F.when(
-        n >= k + window - 1,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.md5(F.substring(txt, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    # materialize the gram-hash array as a column FIRST: referencing it
-    # from inside the window lambda below would re-evaluate the whole
-    # (md5-per-position) array once per window — O(n^2) hashing
-    with_grams = df.select(F.col(id_col), grams.alias("_g"))
-    mins = F.transform(
-        F.sequence(F.lit(1), F.size("_g") - (window - 1)),
-        lambda j: F.array_min(F.slice(F.col("_g"), j, window)),
-    )
-    fps = F.when(
-        F.size("_g") >= window, F.array_distinct(mins)
-    ).otherwise(F.array().cast("array<string>"))
-    return with_grams.select(
-        F.col(id_col), F.explode(fps).alias("fingerprint")
+    return df.select(F.col(id_col), _winnow(txt).alias("_fps")).select(
+        F.col(id_col), F.explode("_fps").alias("fingerprint")
     )
 
 
@@ -457,18 +476,34 @@ def shingle_jaccard_pairs(
 ) -> DataFrame:
     """w-shingle Jaccard for same-block doc pairs (blocked near-dup).
 
+    Verify plan = inverted-index count join: explode each doc's shingle
+    set to (block, shingle, id) rows, self-join on (block, shingle), and
+    count shared shingles per pair => |A∩B|; |A∪B| = n_a + n_b − |A∩B|
+    from the pre-computed set sizes. Work is proportional to
+    CO-OCCURRING shingles instead of pairs × array length — the previous
+    per-pair array_intersect/array_union over ~450-element arrays
+    measured ~10× slower at sf0.1 (18 s vs the pack). Requires
+    ``threshold > 0``: the index only surfaces pairs sharing at least
+    one shingle, and J >= threshold > 0 implies a shared shingle, so no
+    pair at or above any positive threshold is missed.
+
     Blocking key = ``block_col`` (in the page pipeline: host). The
-    within-block pair join is quadratic in the block size, so blocks
-    larger than ``max_block`` are dropped — at crawl scale one mega-host
-    (e.g. a blog platform) would otherwise put 10^7 docs behind one key
-    and emit 10^13 pairs in a single task. Dropped blocks should be
-    routed through the LSH path (``lsh_band_candidates``), which caps
-    per-bucket work regardless of host size. Shingle intersect/union
-    stay JVM-side (array_intersect/array_union under codegen).
+    within-block shingle join is quadratic in a shingle's block
+    frequency, so blocks larger than ``max_block`` are dropped — at
+    crawl scale one mega-host (e.g. a blog platform) would otherwise put
+    10^7 docs behind one key and emit 10^13 pairs. Dropped blocks are
+    routed through the LSH path by ``corpus.dedup_keep_manifest`` /
+    ``near_dup_pairs_with_fallback`` (``lsh_band_candidates`` caps
+    per-bucket work regardless of host size).
     """
+    if threshold <= 0:
+        raise ValueError(
+            "shingle_jaccard_pairs requires threshold > 0 (the inverted "
+            "index only surfaces pairs sharing at least one shingle)"
+        )
     # localCheckpoint: the shingle construction (interpreted HOF lambdas,
-    # the expensive part) runs once; the bucket-count branch and both
-    # self-join sides reuse the materialized blocks instead of
+    # the expensive part) runs once; the block-count branch and the
+    # inverted-index explode reuse the materialized blocks instead of
     # recomputing it 3-4x. Blocks are freed when the DataFrame is GC'd.
     t = df.select(
         F.col(block_col).alias("_block"),
@@ -479,31 +514,41 @@ def shingle_jaccard_pairs(
     bounded = (
         t.join(counts, "_block").filter(F.col("_n") <= max_block).drop("_n")
     )
-    a = bounded.select(
+    inv = bounded.select(
         "_block",
-        F.col(id_col).alias("id_a"),
-        F.col("_sh").alias("sh_a"),
-        F.size("_sh").alias("_na"),
+        F.col(id_col).alias("_id"),
+        F.size("_sh").alias("_sz"),
+        F.explode("_sh").alias("_shingle"),
     )
-    b = bounded.select(
+    a = inv.select(
         "_block",
-        F.col(id_col).alias("id_b"),
-        F.col("_sh").alias("sh_b"),
-        F.size("_sh").alias("_nb"),
+        "_shingle",
+        F.col("_id").alias("id_a"),
+        F.col("_sz").alias("_na"),
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    b = inv.select(
+        "_block",
+        "_shingle",
+        F.col("_id").alias("id_b"),
+        F.col("_sz").alias("_nb"),
+    )
     # sound size prefilter: J <= min(|A|,|B|)/max(|A|,|B|), so pairs with
     # mismatched shingle counts can never reach the threshold — drop them
-    # BEFORE the per-pair set operations (integer compare vs array scan)
+    # AT the shingle join, before the pair aggregation sees them
     size_ok = F.least("_na", "_nb").cast("double") >= (
         F.lit(float(threshold)) * F.greatest("_na", "_nb")
     )
-    return (
-        a.join(b, "_block")
+    inter = (
+        a.join(b, ["_block", "_shingle"])
         .filter((F.col("id_a") < F.col("id_b")) & size_ok)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .groupBy("id_a", "id_b", "_na", "_nb")
+        .agg(F.count("*").alias("_inter"))
+    )
+    jac = F.col("_inter").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_inter")
+    )
+    return (
+        inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -531,29 +576,37 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bit i uses the lsb of hex digit i of md5(token) — engine-agnostic
     (identical md5 hex in Spark and DuckDB), so the oracle can recompute
-    it exactly. Near-dup candidates are docs at small Hamming distance;
-    at 100 TB this joins on simhash bands like MinHash-LSH.
+    it exactly. The legacy narrow variant of ``simhash64`` (kept for the
+    16-bit column contract); like simhash64, the votes run in an
+    Arrow-vectorized pandas UDF — 16 interpreted ``F.aggregate`` passes
+    per doc measured ~3 ms/doc vs ~0.1 ms for hashlib + one numpy LUT
+    pass (BENCH/BASELINE.md HOF rule). Tokenization stays JVM-side (the
+    expression the oracle mirrors).
     """
+    import numpy as np
+    from hashlib import md5 as _md5
+
+    from pyspark.sql.functions import pandas_udf
+
+    lut = np.zeros(256, dtype=np.int32)
+    for ch in _ODD_HEX:
+        lut[ord(ch)] = 1
+
+    @pandas_udf("long")
+    def _sim(toks: pd.Series) -> pd.Series:
+        weights = 1 << np.arange(N_SIMHASH_BITS)
+        out = []
+        for arr in toks:
+            totals = np.zeros(N_SIMHASH_BITS, dtype=np.int64)
+            for t in arr:
+                hx = _md5(t.encode("utf-8")).hexdigest()[:N_SIMHASH_BITS]
+                totals += 2 * lut[np.frombuffer(hx.encode(), np.uint8)] - 1
+            out.append(int(((totals > 0) * weights).sum()))
+        return pd.Series(out)
+
     docs = _docs(spark, sf_dir)
     toks = F.array_distinct(_tokens_col())
-
-    def bit(i: int):
-        def vote(t):
-            d = F.substring(F.md5(t), i + 1, 1)
-            return F.when(F.instr(F.lit(_ODD_HEX), d) > 0, 1).otherwise(-1)
-
-        total = F.aggregate(
-            F.transform(toks, lambda t: vote(t)), F.lit(0), lambda a, v: a + v
-        )
-        return F.when(total > 0, F.lit(1 << i)).otherwise(F.lit(0))
-
-    simhash = bit(0)
-    for i in range(1, N_SIMHASH_BITS):
-        simhash = simhash + bit(i)
-    return (
-        docs.select("doc_id", simhash.cast("long").alias("simhash"))
-        .orderBy("doc_id")
-    )
+    return docs.select("doc_id", _sim(toks).alias("simhash")).orderBy("doc_id")
 
 
 N_SIMHASH64_BANDS = 4  # 4 × 16-bit bands of the 64-bit simhash

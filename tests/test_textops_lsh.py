@@ -96,12 +96,18 @@ def test_shingle_jaccard_pairs_semantics(spark):
     )
     pairs = {
         (r.id_a, r.id_b): r.jaccard
-        for r in shingle_jaccard_pairs(docs, threshold=0.0).collect()
+        for r in shingle_jaccard_pairs(docs, threshold=0.1).collect()
     }
     # doc1 has 16 shingles, doc2 has 17 (one extra at the front), 16 shared
     assert abs(pairs[(1, 2)] - 16 / 17) < 1e-6
-    assert pairs[(1, 3)] == 0.0
+    assert (1, 3) not in pairs  # disjoint shingle sets never pair
     assert (1, 4) not in pairs  # cross-host pairs never compared
+
+    # the inverted-index plan is sound only for positive thresholds
+    import pytest
+
+    with pytest.raises(ValueError, match="threshold > 0"):
+        shingle_jaccard_pairs(docs, threshold=0.0)
 
     # short docs (< w tokens) have empty shingle sets -> Jaccard 0
     short = spark.createDataFrame(
