@@ -18,6 +18,7 @@ _REPO = Path(__file__).resolve().parent
 if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
+from readability_ex_spark.operators import clusters as C  # noqa: E402
 from readability_ex_spark.operators import relational as R  # noqa: E402
 from readability_ex_spark.operators import similarity as S  # noqa: E402
 from readability_ex_spark.operators import textops as T  # noqa: E402
@@ -59,8 +60,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": T.q_simhash64,
         "simhash_near_dup": T.q_simhash_near_dup,
         "near_dup": T.q_near_dup,
+        "near_dup_clusters": C.q_near_dup_clusters,
         "shingle_jaccard": T.q_shingle_jaccard,
         "corpus_stats": T.q_corpus_stats,
+        "corpus_cardinality": T.q_corpus_cardinality,
         "multimodal_meta": T.q_multimodal_meta,
         # -- similarity search --
         "ann_bruteforce": S.q_ann_bruteforce,
@@ -96,6 +99,33 @@ def _lsh_ctes(sig) -> str:
                        AS _n
                 FROM bands)
               WHERE _n <= {cap})"""
+
+
+def _near_dup_ctes(sig, toks: str) -> str:
+    """LSH CTEs + candidate pairs + token-Jaccard verify, ending in
+    ``p(doc_a, doc_b, jaccard)`` — mirrors textops.near_dup_verified_pairs
+    (shared by the near_dup and near_dup_clusters oracles)."""
+    return f"""{_lsh_ctes(sig)},
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bounded a JOIN bounded b
+                ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id),
+            t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE list_distinct({toks}) END AS toks
+              FROM documents),
+            p AS (
+              SELECT c.doc_a, c.doc_b,
+                     round(CASE
+                       WHEN len(list_distinct(ta.toks || tb.toks)) > 0
+                       THEN len(list_intersect(ta.toks, tb.toks)) /
+                            CAST(len(list_distinct(ta.toks || tb.toks)) AS DOUBLE)
+                       ELSE 0.0 END, 6) AS jaccard
+              FROM cand c
+              JOIN t ta ON ta.doc_id = c.doc_a
+              JOIN t tb ON tb.doc_id = c.doc_b)"""
 
 
 def _simhash64_ctes(toks: str) -> str:
@@ -439,35 +469,40 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_a, doc_b
         """,
         "near_dup": f"""
-            WITH {_lsh_ctes(sig)},
-            cand AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bounded a JOIN bounded b
-                ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-                AND a.doc_id < b.doc_id),
-            t AS (
-              SELECT doc_id,
-                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                          ELSE list_distinct({toks}) END AS toks
-              FROM documents),
-            p AS (
-              SELECT c.doc_a, c.doc_b,
-                     round(CASE
-                       WHEN len(list_distinct(ta.toks || tb.toks)) > 0
-                       THEN len(list_intersect(ta.toks, tb.toks)) /
-                            CAST(len(list_distinct(ta.toks || tb.toks)) AS DOUBLE)
-                       ELSE 0.0 END, 6) AS jaccard
-              FROM cand c
-              JOIN t ta ON ta.doc_id = c.doc_a
-              JOIN t tb ON tb.doc_id = c.doc_b)
+            WITH {_near_dup_ctes(sig, toks)}
             SELECT doc_a, doc_b, jaccard FROM p
             WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b
+        """,
+        "near_dup_clusters": f"""
+            WITH RECURSIVE {_near_dup_ctes(sig, toks)},
+            nd AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.8),
+            e AS (
+              SELECT doc_a AS src, doc_b AS dst FROM nd
+              UNION
+              SELECT doc_b, doc_a FROM nd),
+            reach(src, dst) AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+            SELECT src AS doc_id,
+                   least(src, min(dst)) AS cluster_id,
+                   src = least(src, min(dst)) AS is_canonical
+            FROM reach GROUP BY src ORDER BY doc_id
         """,
         "corpus_stats": """
             SELECT lang, count(*) AS n_docs,
                    count(DISTINCT source) AS n_sources,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    round(avg(n_chars), 2) AS avg_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "corpus_cardinality": f"""
+            SELECT lang, count(*) AS n_docs,
+                   count(DISTINCT source) AS n_sources_exact,
+                   abs(CAST(approx_count_distinct(source) AS DOUBLE) -
+                       count(DISTINCT source))
+                     <= {T.APPROX_TOL} * count(DISTINCT source)
+                     AS approx_within_tol
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "shingle_jaccard": f"""

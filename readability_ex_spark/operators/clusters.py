@@ -1,0 +1,119 @@
+"""Near-dup cluster resolution: pair graph -> connected components ->
+keep manifest.
+
+All three near-dup families (MinHash-LSH, SimHash, embedding-cosine)
+emit verified PAIRS; a training-data pipeline must turn A–B, B–C into
+"keep one of {A, B, C}". Components of a near-dup graph are tiny
+(boilerplate families of a handful of documents — anything bigger is an
+exact-dup family that collapsed at linear cost before the LSH pass), so
+bounded iterative min-label propagation with pointer jumping resolves
+them in a fixed number of url-keyed hash joins — no graph framework, no
+driver-side iteration over rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# propagate+jump covers components of diameter ~2^rounds; 10 rounds
+# handles ~1000-deep chains (the sf corpora contain multi-hundred-doc
+# sequential near-dup chains) at the cost of 2 tiny joins per round
+CLUSTER_MAX_ROUNDS = 10
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = CLUSTER_MAX_ROUNDS,
+    strict: bool = True,
+) -> DataFrame:
+    """(id, cluster_id) for every id in ``pairs``; cluster_id = min id of
+    the connected component (min over the natural column ordering —
+    numeric ids cluster to the smallest id, url ids to the
+    lexicographically first url).
+
+    Each round is two url-keyed hash joins: (1) label <- min(label,
+    min neighbor label), (2) pointer jump (label <- label(label)), so
+    ``max_rounds`` rounds cover components of diameter ~2^max_rounds.
+    Every round ends in an eager localCheckpoint: the label table is
+    tiny (ids appearing in pairs only) and truncating the lineage keeps
+    round r+1's plan from re-running rounds 1..r.
+
+    ``strict=True`` (default) runs one extra count to verify the
+    fixpoint (every edge's endpoints share a label) and raises if any
+    edge is still split — an unconverged component silently splitting a
+    cluster would under-deduplicate without a trace. Pass strict=False
+    to skip the check on graphs known to be shallow.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).distinct()
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        sym.select("src")
+        .distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("label"))
+    )
+    for _ in range(max_rounds):
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nl"))
+            .select(F.col("src").alias("id"), "nl")
+        )
+        labels = labels.join(nbr, "id", "left").select(
+            "id", F.least("label", F.coalesce("nl", "label")).alias("label")
+        )
+        # pointer jump: label <- label(label) compresses chains so the
+        # round count covers exponentially deeper components
+        jump = labels.select(
+            F.col("id").alias("label"), F.col("label").alias("l2")
+        )
+        labels = labels.join(jump, "label", "left").select(
+            "id", F.coalesce("l2", "label").alias("label")
+        )
+        labels = labels.localCheckpoint(eager=True)
+    if strict:
+        la = labels.select(F.col("id").alias("src"), F.col("label").alias("la"))
+        lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("lb"))
+        split = (
+            edges.join(la, "src")
+            .join(lb, "dst")
+            .filter(F.col("la") != F.col("lb"))
+            .count()
+        )
+        if split:
+            raise RuntimeError(
+                f"near_dup_clusters: {split} edges unconverged after "
+                f"{max_rounds} rounds — raise max_rounds"
+            )
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def q_near_dup_clusters(spark, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (capped b×r LSH, Jaccard >= 0.8) resolved into
+    connected-component clusters: (doc_id, cluster_id, is_canonical)."""
+    from readability_ex_spark.operators.textops import (
+        _docs,
+        near_dup_verified_pairs,
+    )
+
+    pairs = near_dup_verified_pairs(_docs(spark, sf_dir))
+    clusters = near_dup_clusters(pairs)
+    return (
+        clusters.select(
+            F.col("id").alias("doc_id"),
+            "cluster_id",
+            (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )

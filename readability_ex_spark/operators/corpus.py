@@ -81,23 +81,102 @@ def near_dup_pairs(
     ).select(F.col("id_a").alias("url_a"), F.col("id_b").alias("url_b"))
 
 
+def dedup_keep_manifest(
+    extracted: DataFrame,
+    text_col: str = "text",
+    near_dup_threshold: float = 0.8,
+    n_bands: int = 3,
+    rows_per_band: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """url -> (fingerprint, n_copies, canonical_url, keep): the complete
+    dedup decision combining exact groups and near-dup clusters, with no
+    document silently falling out of coverage.
+
+    Stage order IS the dropped-bucket fallback the LSH cap relies on:
+
+    1. exact groups collapse first (one linear md5 shuffle). Members of
+       a boilerplate bucket that would exceed the LSH cap are exact-ish
+       duplicates — their group already collapsed to one survivor here,
+       so the bucket the LSH pass later sees is below cap (or the
+       residual members genuinely differ and belong in the verify);
+    2. the capped b×r LSH candidate join + token-Jaccard verify runs on
+       the exact SURVIVORS only;
+    3. verified pairs resolve into connected components (bounded
+       min-label propagation, ``clusters.near_dup_clusters``) and each
+       component keeps its min url.
+
+    canonical_url composes both stages: url -> exact canonical ->
+    near-dup cluster canonical. keep = (url == canonical_url).
+    """
+    from readability_ex_spark.operators.clusters import near_dup_clusters
+    from readability_ex_spark.operators.textops import near_dup_verified_pairs
+
+    exact = exact_dup_manifest(extracted, text_col=text_col)
+    survivors = extracted.join(
+        exact.filter(F.col("url") == F.col("canonical_url")).select("url"),
+        "url",
+        "left_semi",
+    )
+    pairs = near_dup_verified_pairs(
+        survivors,
+        id_col="url",
+        text_col=text_col,
+        threshold=near_dup_threshold,
+        n_bands=n_bands,
+        rows_per_band=rows_per_band,
+        max_bucket=max_bucket,
+    )
+    nd = near_dup_clusters(pairs, "id_a", "id_b").select(
+        F.col("id").alias("_exact_canonical"),
+        F.col("cluster_id").alias("_nd_canonical"),
+    )
+    return (
+        exact.select(
+            "url",
+            "fingerprint",
+            "n_copies",
+            F.col("canonical_url").alias("_exact_canonical"),
+        )
+        .join(nd, "_exact_canonical", "left")
+        .select(
+            "url",
+            "fingerprint",
+            "n_copies",
+            F.coalesce("_nd_canonical", "_exact_canonical").alias(
+                "canonical_url"
+            ),
+        )
+        .withColumn("keep", F.col("url") == F.col("canonical_url"))
+    )
+
+
 def prepare_training_corpus(
     pages: DataFrame,
     *,
     min_quality: float = 0.0,
+    near_dup_threshold: float | None = 0.8,
     **extraction_kwargs,
 ) -> DataFrame:
     """pages -> deduped, quality-annotated text corpus.
 
-    Keeps one url per exact-duplicate group, annotates quality signals,
-    and filters by ``min_quality``. Near-dup pairs are left as a separate
-    artifact (near_dup_pairs) since the keep-policy is application
-    specific."""
+    Keeps one url per exact-duplicate group AND one per verified
+    near-dup cluster (``dedup_keep_manifest``: A–B, B–C chains keep
+    exactly one of {A, B, C}), annotates quality signals, and filters by
+    ``min_quality``. Pass ``near_dup_threshold=None`` to collapse exact
+    duplicates only."""
     extracted = run_extraction(pages, **extraction_kwargs).filter(
         F.col("status") == "ok"
     )
-    manifest = exact_dup_manifest(extracted)
-    keep = manifest.filter(F.col("url") == F.col("canonical_url")).select(
+    if near_dup_threshold is None:
+        manifest = exact_dup_manifest(extracted).withColumn(
+            "keep", F.col("url") == F.col("canonical_url")
+        )
+    else:
+        manifest = dedup_keep_manifest(
+            extracted, near_dup_threshold=near_dup_threshold
+        )
+    keep = manifest.filter(F.col("keep")).select(
         "url", "fingerprint", "n_copies"
     )
     corpus = with_quality_signals(extracted.join(keep, "url"))

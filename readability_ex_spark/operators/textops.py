@@ -312,7 +312,9 @@ def lsh_band_candidates(
       its size — at crawl scale one bucket of 10^6 urls would emit
       5·10^11 pairs in a single task. Dropped-bucket members are
       near-identical by construction, so the linear-cost exact-dup
-      manifest (``exact_dup_manifest``) covers them;
+      manifest covers them — ``corpus.dedup_keep_manifest`` composes the
+      two stages in that order (exact collapse first, LSH on survivors),
+      so the fallback is code, not a caller obligation;
     - self-join per (band_id, band_hash) bucket, OR the bands together
       with a pair-distinct. Recall at Jaccard j is 1-(1-j^r)^b vs j^r
       for a single band.
@@ -382,40 +384,65 @@ def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def near_dup_verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_bands: int = N_LSH_BANDS,
+    rows_per_band: int = N_LSH_ROWS,
+    max_bucket: int = MAX_BAND_BUCKET,
+) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: b×r capped band candidates ->
-    exact token-set Jaccard verification >= 0.8.
+    exact token-set Jaccard verification >= ``threshold``. Returns
+    (id_a, id_b, jaccard) with id_a < id_b.
 
     The scale shape: candidates come from the capped band join (never
     O(n^2), never quadratic in a boilerplate bucket), the exact verify
     runs only within candidate pairs."""
-    docs = _docs(spark, sf_dir)
-    cands = lsh_band_candidates(docs).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    cands = lsh_band_candidates(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        n_bands=n_bands,
+        rows_per_band=rows_per_band,
+        max_bucket=max_bucket,
     )
-    toks = docs.select(
-        "doc_id", F.array_distinct(_tokens_col()).alias("toks")
+    toks = df.select(
+        F.col(id_col), F.array_distinct(_text_tokens(text_col)).alias("toks")
     )
     pairs = (
         cands.join(
             toks.select(
-                F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")
+                F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a")
             ),
-            "doc_a",
+            "id_a",
         )
         .join(
             toks.select(
-                F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")
+                F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b")
             ),
-            "doc_b",
+            "id_b",
         )
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size(F.array_union("toks_a", "toks_b"))
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
     return (
-        pairs.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.8)
+        pairs.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (capped b×r bands, Jaccard >= 0.8)."""
+    return (
+        near_dup_verified_pairs(_docs(spark, sf_dir))
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            "jaccard",
+        )
         .orderBy("doc_a", "doc_b")
     )
 
@@ -431,6 +458,39 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("source").alias("n_sources"),
             F.sum("n_chars").alias("total_chars"),
             F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+APPROX_TOL = 0.05  # documented relative tolerance for the HLL sketch
+
+
+def q_corpus_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-scale cardinality rollup: per-language doc counts with
+    ``approx_count_distinct`` (HLL++) source cardinality.
+
+    At 10^12 rows an exact countDistinct shuffles every distinct value;
+    the HLL sketch aggregates in fixed memory with map-side combine —
+    the SURVEY §2.B shape for monitoring-table cardinalities. The raw
+    sketch estimate is engine-specific (Spark HLL++ vs DuckDB HLL), so
+    the checked contract is the exact count plus a boolean asserting the
+    sketch landed within APPROX_TOL of it — the tolerance is the
+    documented hash strategy for the approx column (rsd=0.02 keeps the
+    estimator well inside 5% at any cardinality the sf tables reach).
+    """
+    docs = _docs(spark, sf_dir)
+    ex = F.countDistinct("source")
+    ap = F.approx_count_distinct("source", rsd=0.02)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            ex.alias("n_sources_exact"),
+            (
+                F.abs(ap.cast("double") - ex.cast("double"))
+                <= F.lit(APPROX_TOL) * ex.cast("double")
+            ).alias("approx_within_tol"),
         )
         .orderBy("lang")
     )
