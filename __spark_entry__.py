@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_pairs": S.q_knn_label_pairs,
         "ann_lsh": S.q_ann_lsh,
         "ann_lsh_topk": S.q_ann_lsh_topk,
+        "ann_materialized_topk": S.q_ann_materialized_topk,
         "ann_batch_topk": S.q_ann_batch_topk,
         "emb_near_dup": S.q_emb_near_dup,
         "ann_ivf_cells": S.q_ann_ivf_cells,
@@ -227,7 +228,7 @@ def oracle_sql() -> dict[str, str]:
         f"t -> md5('{i}|' || t)), 'min') END"
     )
 
-    return {
+    sqls = {
         "filter_project": """
             SELECT doc_id, md5(text) AS text_md5, n_chars,
                    CAST(strlen(text) AS BIGINT) AS n_bytes
@@ -675,3 +676,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 3 ORDER BY query_id, cosine DESC, vec_id
         """,
     }
+    # the materialized-index probe must return EXACTLY what the in-flight
+    # multi-probe returns — same oracle, different physical read path
+    sqls["ann_materialized_topk"] = sqls["ann_lsh_topk"]
+    return sqls

@@ -37,21 +37,31 @@ def next_page_edges(pages: DataFrame) -> DataFrame:
     )
 
 
-def chain_pages(pages: DataFrame, max_pages: int = 3) -> DataFrame:
+def chain_pages(
+    pages: DataFrame, max_pages: int = 3, edges: DataFrame | None = None
+) -> DataFrame:
     """Assemble multi-page chains: returns (root_url, url, page_number)
     rows for every page reachable from a chain root within max_pages.
 
     A root is a page that no other page points to. Each iteration is one
     url-keyed join — max_pages is small and fixed, so the plan stays a
-    bounded chain of hash joins rather than a graph iteration."""
+    bounded chain of hash joins rather than a graph iteration.
+
+    ``edges``: optional pre-computed (url, next_url) table. The
+    extraction kernel already emits ``next_url`` (the DOM is built
+    anyway), so passing ``extracted.select('url', 'next_url')`` avoids a
+    second full-corpus Python parse; when omitted, the edges are derived
+    from the raw pages here."""
     # localCheckpoint (lazy) instead of cache(): the edge derivation runs
     # its Python next-link extraction once, the blocks are reused by the
     # max_pages-1 joins below, and — unlike a cache this operator could
     # never safely unpersist (its output is lazy) — the blocks are freed
     # by the ContextCleaner as soon as the DataFrame is garbage
     # collected, so repeated calls in a long-lived driver don't leak.
+    if edges is None:
+        edges = next_page_edges(pages)
     edges = (
-        next_page_edges(pages)
+        edges.select("url", "next_url")
         .filter(F.col("next_url").isNotNull() & (F.col("next_url") != F.col("url")))
         .localCheckpoint(eager=False)
     )

@@ -197,6 +197,22 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def query_bucket(query_vec: list[float], n_planes: int = N_PLANES, seed: int = LSH_SEED) -> int:
+    """Driver-side bucket id of a query vector — bit-exact twin of the
+    SQL-computed ``lsh_bucket``: sequential left-to-right dot sums (a
+    BLAS dot's pairwise summation could flip the sign of a near-zero
+    plane dot and desync the probe set from the SQL bucket)."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    q = [float(x) for x in query_vec]
+    bucket = 0
+    for i in range(n_planes):
+        dot = 0.0
+        for pj, qj in zip(planes[i], q):
+            dot += float(pj) * qj
+        bucket = bucket * 2 + (1 if dot >= 0 else 0)
+    return bucket
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -210,19 +226,8 @@ def ann_lsh_topk(
 
     At 100 TB with a bucket-partitioned table (``materialize_buckets``)
     the probe set is a partition-pruned read of (1 + n_planes) buckets
-    instead of a full sweep."""
-    planes = hyperplanes(len(query_vec), n_planes, seed)
-    q = [float(x) for x in query_vec]
-    qbucket = 0
-    for i in range(n_planes):
-        # sequential left-to-right sum to match the JVM fold (and the
-        # DuckDB oracle) bit-exactly — a BLAS dot's pairwise summation
-        # could flip the sign of a near-zero plane dot and desync the
-        # probe set from the SQL-computed bucket
-        dot = 0.0
-        for pj, qj in zip(planes[i], q):
-            dot += float(pj) * qj
-        qbucket = qbucket * 2 + (1 if dot >= 0 else 0)
+    instead of a full sweep — ``ann_materialized_topk`` is that path."""
+    qbucket = query_bucket(query_vec, n_planes, seed)
     probes = probe_buckets(qbucket, n_planes, probe_hamming)
     bucketed = lsh_bucket(emb, dim=len(query_vec), n_planes=n_planes, seed=seed)
     return cosine_topk(
@@ -400,6 +405,66 @@ def materialize_buckets(
     lsh_bucket(emb, dim=dim, n_planes=n_planes, seed=seed).write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(path)
+
+
+def ann_materialized_topk(
+    spark: SparkSession,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 5,
+    n_planes: int = N_PLANES,
+    seed: int = LSH_SEED,
+    probe_hamming: int = 1,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Probe a ``materialize_buckets`` index — the 100 TB read path.
+
+    The probe set is computed driver-side from the same inlined
+    hyperplanes, so the read touches only the (1 + n_planes) probed
+    bucket directories. Construction VERIFIES the pruning: it raises if
+    the bucket predicate did not reach the scan as a PartitionFilter —
+    a probe that silently full-scans the index is a broken index, not a
+    slow query."""
+    import io
+    from contextlib import redirect_stdout
+
+    probes = probe_buckets(query_bucket(query_vec, n_planes, seed), n_planes, probe_hamming)
+    pruned = spark.read.parquet(index_path).filter(F.col("bucket").isin(probes))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain(True)
+    seg = buf.getvalue().split("PartitionFilters: [", 1)
+    if len(seg) != 2 or "bucket" not in seg[1][:300]:
+        raise RuntimeError(
+            "ann_materialized_topk: bucket probe did not partition-prune "
+            f"the index scan at {index_path}"
+        )
+    return cosine_topk(pruned.drop("bucket"), query_vec, k=k, exclude_id=exclude_id)
+
+
+def q_ann_materialized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe top-5 for the vec_id=0 query served from a
+    materialized bucket-partitioned index (same result contract as
+    ann_lsh_topk — the oracle is identical — but the read path is the
+    partition-pruned probe, asserted at construction)."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
+    qvec = [float(x) for x in qrow[0]]
+    # deterministic scratch path per sf table; overwritten each call
+    # (the returned DataFrame reads it lazily, so it must outlive this
+    # function — a cached index, not a leak)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "readability_ann_index_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    materialize_buckets(emb, path)
+    return ann_materialized_topk(
+        spark, path, qvec, k=5, exclude_id=QUERY_VEC_ID
+    )
 
 
 # ---------------------------------------------------------------------------

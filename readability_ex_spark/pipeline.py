@@ -33,6 +33,10 @@ EXTRACT_SCHEMA = T.StructType(
         T.StructField("text", T.StringType(), True),
         T.StructField("length", T.IntegerType(), True),
         T.StructField("readerable", T.BooleanType(), True),
+        # best next-page link candidate (kernel/paging.py scoring) — the
+        # DOM is already built for extraction, so emitting the edge here
+        # saves the chain pass a second full-corpus parse
+        T.StructField("next_url", T.StringType(), True),
         T.StructField("status", T.StringType(), False),
         T.StructField("error", T.StringType(), True),
     ]
@@ -53,6 +57,7 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from readability_ex_spark.kernel import dom, parse
     from readability_ex_spark.kernel.api import NotReadable, TooLarge
     from readability_ex_spark.kernel.encoding import decode_html
+    from readability_ex_spark.kernel.paging import find_next_page_link
     from readability_ex_spark.kernel.readerable import is_probably_readerable
 
     # one adversarial page must not stall an executor core
@@ -62,14 +67,14 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out = {k: [] for k in (
             "url", "title", "byline", "dir", "lang", "site_name",
             "published_time", "excerpt", "content_html", "text", "length",
-            "readerable", "status", "error",
+            "readerable", "next_url", "status", "error",
         )}
         for url, html in zip(pdf["url"], pdf["html"]):
             row = {
                 "title": None, "byline": None, "dir": None, "lang": None,
                 "site_name": None, "published_time": None, "excerpt": None,
                 "content_html": None, "text": None, "length": 0,
-                "readerable": None,
+                "readerable": None, "next_url": None,
             }
             if html is None or len(html) == 0:
                 # terminal: the payload itself is missing — retrying can
@@ -81,6 +86,12 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     raw = decode_html(bytes(html))
                     doc = dom.parse_document(raw)
                     row["readerable"] = is_probably_readerable(doc)
+                    try:
+                        # before parse(): extraction mutates the DOM and
+                        # may strip the pagination links
+                        row["next_url"] = find_next_page_link(doc, url)
+                    except Exception:  # noqa: BLE001 — scoring is advisory
+                        row["next_url"] = None
                     r = parse(raw, doc=doc, base_uri=url, **guards)
                     row.update(
                         title=r["title"], byline=r["byline"], dir=r["dir"],

@@ -122,7 +122,13 @@ def main() -> int:
             chain_pages,
         )
 
-        chains = chain_pages(pages, max_pages=args.chain_pages)
+        # fresh runs reuse the kernel-emitted next_url edges (one less
+        # full-corpus parse); resumed runs re-derive from the raw pages
+        # because `extracted` only covers this run's residual urls
+        edges = (
+            extracted.select("url", "next_url") if done is None else None
+        )
+        chains = chain_pages(pages, max_pages=args.chain_pages, edges=edges)
         chains.write.mode("append").parquet(f"{args.output}/_page_chains")
         if args.assemble_chains:
             assemble_articles(

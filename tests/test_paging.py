@@ -72,6 +72,42 @@ def test_chain_pages_self_join(spark):
     ]
 
 
+def test_kernel_emits_next_url_edges(spark):
+    """The extraction kernel's next_url column matches the standalone
+    edge derivation, and chain_pages accepts it directly (no second
+    full-corpus parse)."""
+    import pyspark.sql.functions as F
+
+    from readability_ex_spark.pipeline import run_extraction
+
+    rows = [
+        (f"http://s.test/art/page/{n}", None, _page(n).encode(), "t", "en")
+        for n in (1, 2, 3)
+    ] + [("http://s.test/other", None, _page(1, total=1).encode(), "t", "en")]
+    pages = spark.createDataFrame(
+        rows, schema="url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    extracted = run_extraction(pages).cache()
+    kernel_edges = {r.url: r.next_url for r in extracted.select("url", "next_url").collect()}
+    derived = {r.url: r.next_url for r in next_page_edges(pages).collect()}
+    assert kernel_edges == derived
+
+    chains = chain_pages(
+        pages, max_pages=5, edges=extracted.select("url", "next_url")
+    ).collect()
+    art = sorted(
+        (r.page_number, r.url)
+        for r in chains
+        if r.root_url == "http://s.test/art/page/1"
+    )
+    assert [u for _n, u in art] == [
+        "http://s.test/art/page/1",
+        "http://s.test/art/page/2",
+        "http://s.test/art/page/3",
+    ]
+    extracted.unpersist()
+
+
 def test_assemble_articles_reference_semantics(spark):
     """3-page chain merges into one article with the reference's
     wrap_page/update_result semantics (paging.ex:119-156): numbered

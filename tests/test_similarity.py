@@ -146,6 +146,26 @@ def test_materialized_buckets_partition_pruned(spark, tmp_path):
     ).count()
 
 
+def test_ann_materialized_topk_matches_inflight(spark, tmp_path):
+    from readability_ex_spark.operators.similarity import (
+        ann_lsh_topk,
+        ann_materialized_topk,
+        materialize_buckets,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    path = str(tmp_path / "ann_index")
+    materialize_buckets(emb, path)
+    mat = ann_materialized_topk(spark, path, qvec, k=5, exclude_id=0).collect()
+    inflight = ann_lsh_topk(
+        emb.filter(F.col("vec_id") != 0), qvec, k=5
+    ).collect()
+    assert [(r.vec_id, r.cosine) for r in mat] == [
+        (r.vec_id, r.cosine) for r in inflight
+    ]
+
+
 def test_batch_topk_matches_single_query(spark):
     from readability_ex_spark.operators.similarity import (
         ann_batch_lsh_topk,
