@@ -52,6 +52,87 @@ def test_readerable_never_crashes(soup):
     assert is_probably_readerable(soup) in (True, False)
 
 
+# -- attribute soup: malformed/duplicated/unterminated attributes --------
+
+_ATTR_NAMES = st.sampled_from(
+    ["class", "id", "CLASS", "href", "style", "onload", "data-x", "x-y", "="]
+)
+_ATTR_VALS = st.text(alphabet="ab <>\"'=&;#\n\t", max_size=10)
+
+
+@st.composite
+def _attr_soup_tag(draw):
+    tag = draw(st.sampled_from(["div", "p", "a", "span", "img", "table", "li"]))
+    parts = [f"<{tag}"]
+    for _ in range(draw(st.integers(0, 4))):
+        name = draw(_ATTR_NAMES)
+        if draw(st.booleans()):
+            q = draw(st.sampled_from(['"', "'", ""]))
+            # values may contain quotes / '>' / '=' — unterminated and
+            # early-closed attributes are the point
+            parts.append(f" {name}={q}{draw(_ATTR_VALS)}{q}")
+        else:
+            parts.append(f" {name}")
+    if draw(st.booleans()):
+        parts.append(" /")
+    parts.append(">")
+    return "".join(parts)
+
+
+_attr_soup = st.lists(
+    st.one_of(_attr_soup_tag(), st.sampled_from(["</div>", "</a>", "</p>"]),
+              st.text(max_size=20)),
+    max_size=40,
+).map("".join)
+
+
+@settings(max_examples=30, deadline=None)
+@given(_attr_soup)
+def test_attribute_soup_parse_deterministic(soup):
+    html = f"<html><body>{soup}</body></html>"
+    try:
+        assert parse(html)["content"] == parse(html)["content"]
+    except NotReadable:
+        pass
+    t1 = dom.parse_document(soup)
+    h1 = dom.raw_html(t1)
+    assert dom.raw_html(dom.parse_document(h1)) == h1
+
+
+# -- mis-nested table/list/select soup: the implied-end-tag rules --------
+# (kernel/dom.py _CLOSES/_SCOPE_BARRIERS) must never raise and must be a
+# serialize -> reparse fixpoint on arbitrary open/close interleavings
+
+_NEST_TAGS = [
+    "table", "tr", "td", "th", "thead", "tbody", "tfoot", "caption",
+    "colgroup", "ul", "ol", "li", "dl", "dt", "dd", "select", "option",
+    "optgroup", "ruby", "rt", "rp", "p", "div",
+]
+_misnested = st.lists(
+    st.one_of(
+        st.sampled_from(
+            [f"<{t}>" for t in _NEST_TAGS] + [f"</{t}>" for t in _NEST_TAGS]
+        ),
+        st.text(alphabet="ab c,", max_size=8),
+    ),
+    max_size=80,
+).map("".join)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_misnested)
+def test_misnested_structure_parse_deterministic(soup):
+    html = f"<html><body>{soup}</body></html>"
+    try:
+        r1, r2 = parse(html), parse(html)
+        assert r1["text_content"] == r2["text_content"]
+    except NotReadable:
+        pass
+    t1 = dom.parse_document(soup)
+    h1 = dom.raw_html(t1)
+    assert dom.raw_html(dom.parse_document(h1)) == h1
+
+
 def test_pathological_nesting_guard():
     from readability_ex_spark.kernel.api import TooLarge
 
