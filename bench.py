@@ -79,12 +79,18 @@ def main() -> int:
     run("token_count", lambda: T.q_token_count(spark, sf_dir).count())
     run("exact_dedup", lambda: T.q_exact_dedup(spark, sf_dir).count())
     run("minhash_sig", lambda: T.q_minhash_sig(spark, sf_dir).count())
+    run("winnow_fingerprint", lambda: T.q_winnow_fingerprint(spark, sf_dir).count())
     run("near_dup", lambda: T.q_near_dup(spark, sf_dir).count())
     run("simhash_near_dup", lambda: T.q_simhash_near_dup(spark, sf_dir).count())
     run("shingle_jaccard", lambda: T.q_shingle_jaccard(spark, sf_dir).count())
     run("ann_bruteforce", lambda: S.q_ann_bruteforce(spark, sf_dir).count())
     run("ann_batch_topk", lambda: S.q_ann_batch_topk(spark, sf_dir).count())
     run("ann_ivf_topk", lambda: S.q_ann_ivf_topk(spark, sf_dir).count())
+    run("ann_materialized_topk", lambda: S.q_ann_materialized_topk(spark, sf_dir).count())
+
+    from readability_ex_spark.operators import clusters as C
+
+    run("near_dup_clusters", lambda: C.q_near_dup_clusters(spark, sf_dir).count())
 
     print(
         json.dumps(

@@ -187,14 +187,25 @@ class _TreeBuilder(HTMLParser):
                 if t in _SCOPE_BARRIERS:
                     break
         closes = _CLOSES.get(tag)
-        if closes and any(self._open.get(t, 0) > 0 for t in closes):
+        if closes:
             barriers = _TABLE_SECTION_BARRIERS.get(tag, frozenset())
-            for i in range(len(self.stack) - 1, -1, -1):
-                t = self.stack[i].tag
-                if t in closes:
-                    self._pop_to(i)
-                    break
-                if t in barriers or t in ("html", "body"):
+            # repeat while the new top is still a closer: <tr> after
+            # [tr, td] must end the CELL and then the ROW (HTML5 "in
+            # cell" -> close the cell, reprocess -> end the row); a
+            # single pop would nest the new row inside the old one and
+            # break the serialize -> reparse fixpoint (found by fuzz:
+            # '<tr><td><tr>')
+            while any(self._open.get(t, 0) > 0 for t in closes):
+                popped = False
+                for i in range(len(self.stack) - 1, -1, -1):
+                    t = self.stack[i].tag
+                    if t in closes:
+                        self._pop_to(i)
+                        popped = True
+                        break
+                    if t in barriers or t in ("html", "body"):
+                        break
+                if not popped:
                     break
 
     # -- HTMLParser callbacks --------------------------------------------
@@ -214,7 +225,11 @@ class _TreeBuilder(HTMLParser):
             self._open[tag] = self._open.get(tag, 0) + 1
 
     def handle_startendtag(self, tag, attrs):
-        # <tag/> — treat as empty element regardless of voidness
+        # <tag/> — treat as empty element regardless of voidness, but
+        # run the same implied closes as a start tag: '<p><div/>' must
+        # close the p exactly like '<p><div>' would, or the serialized
+        # '<div></div>' re-parses to a different tree (fuzz-found)
+        self._implied_close(tag)
         seen = set()
         alist = []
         for k, v in attrs:

@@ -28,7 +28,13 @@ from pyspark.sql import functions as F
 
 QUERY_VEC_ID = 0  # deterministic query point for the checked top-k
 EMB_DIM = 64  # embeddings-table contract (TESTDATA.md: array<float>[64])
-N_PLANES = 8  # sandbox default; at 10^12 vectors use 16-24 planes
+# Sandbox default. At 10^12 vectors use 16-24 planes (2^16-2^24 buckets
+# keep expected bucket sizes in the 10^5-10^7 range a capped verify can
+# handle); the 16-plane materialize/probe path is exercised by
+# test_materialized_index_16_planes_prunes_finer. 8 planes here because
+# the sf tables hold 500-5,000 vectors — more planes leave every bucket
+# a singleton (index still correct, recall pointless).
+N_PLANES = 8
 LSH_SEED = 42
 
 

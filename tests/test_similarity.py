@@ -146,6 +146,27 @@ def test_materialized_buckets_partition_pruned(spark, tmp_path):
     ).count()
 
 
+def test_materialized_index_16_planes_prunes_finer(spark, tmp_path):
+    """The documented crawl-scale config (n_planes=16-24, N_PLANES
+    docstring) materializes and probes correctly: a Hamming-1 probe of a
+    16-plane index prunes to 17 of 65,536 partitions. The sandbox
+    default stays 8 planes because 500 vectors over 65k buckets leaves
+    ~every bucket a singleton (index still correct, recall pointless)."""
+    from readability_ex_spark.operators.similarity import (
+        ann_materialized_topk,
+        materialize_buckets,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "idx16")
+    materialize_buckets(emb, path, n_planes=16)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    got = ann_materialized_topk(  # raises unless the scan partition-prunes
+        spark, path, qvec, k=5, n_planes=16, exclude_id=0
+    )
+    assert got.count() <= 5
+
+
 def test_ann_materialized_topk_matches_inflight(spark, tmp_path):
     from readability_ex_spark.operators.similarity import (
         ann_lsh_topk,
