@@ -403,12 +403,17 @@ def materialize_buckets(
 ) -> None:
     """Write the embedding table partitioned by LSH bucket.
 
-    At 100 TB this is the index build: one pass, one shuffle-free write
-    (partitionBy splits files per bucket within each task). Probe reads
-    against the result hit only the probed bucket directories —
-    partition pruning shows up as PartitionFilters in the scan plan, so
-    a Hamming-1 probe reads (1+n_planes)/2^n_planes of the data."""
-    lsh_bucket(emb, dim=dim, n_planes=n_planes, seed=seed).write.mode(
+    At 100 TB this is the index build: one pass + one shuffle that
+    CLUSTERS rows by bucket before the partitioned write — without it
+    every task holds rows of every bucket and partitionBy sprays
+    tasks × buckets small files (measured 3× slower even at sf0.1; at
+    crawl scale it's millions of KB-files and a metadata explosion).
+    Probe reads against the result hit only the probed bucket
+    directories — partition pruning shows up as PartitionFilters in the
+    scan plan, so a Hamming-1 probe reads (1+n_planes)/2^n_planes of
+    the data."""
+    bucketed = lsh_bucket(emb, dim=dim, n_planes=n_planes, seed=seed)
+    bucketed.repartition(F.col("bucket")).write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(path)
 
