@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": T.q_simhash_near_dup,
         "near_dup": T.q_near_dup,
         "near_dup_clusters": C.q_near_dup_clusters,
+        "dedup_manifest": C.q_dedup_manifest,
         "shingle_jaccard": T.q_shingle_jaccard,
         "corpus_stats": T.q_corpus_stats,
         "corpus_cardinality": T.q_corpus_cardinality,
@@ -73,15 +74,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_materialized_topk": S.q_ann_materialized_topk,
         "ann_batch_topk": S.q_ann_batch_topk,
         "emb_near_dup": S.q_emb_near_dup,
+        "emb_near_dup_clusters": C.q_emb_near_dup_clusters,
         "ann_ivf_cells": S.q_ann_ivf_cells,
         "ann_ivf_topk": S.q_ann_ivf_topk,
     }
 
 
-def _lsh_ctes(sig) -> str:
+def _lsh_ctes(sig, src: str = "documents") -> str:
     """Shared DuckDB CTEs mirroring textops.lsh_band_candidates exactly:
     b=N_LSH_BANDS bands × r=N_LSH_ROWS rows, band hash = md5 of the
-    '|'-joined band signatures, buckets capped at MAX_BAND_BUCKET."""
+    '|'-joined band signatures, buckets capped at MAX_BAND_BUCKET.
+    ``src`` narrows the corpus (e.g. to exact-dup survivors)."""
     b, r, cap = T.N_LSH_BANDS, T.N_LSH_ROWS, T.MAX_BAND_BUCKET
     sig_cols = ", ".join(f"{sig(i)} AS sig{i}" for i in range(b * r))
     band_rows = " UNION ALL ".join(
@@ -91,7 +94,7 @@ def _lsh_ctes(sig) -> str:
         )
         for j in range(b)
     )
-    return f"""s AS (SELECT doc_id, {sig_cols} FROM documents),
+    return f"""s AS (SELECT doc_id, {sig_cols} FROM {src}),
             bands AS (
               SELECT * FROM ({band_rows}) WHERE band_hash IS NOT NULL),
             bounded AS (
@@ -102,11 +105,11 @@ def _lsh_ctes(sig) -> str:
               WHERE _n <= {cap})"""
 
 
-def _near_dup_ctes(sig, toks: str) -> str:
+def _near_dup_ctes(sig, toks: str, src: str = "documents") -> str:
     """LSH CTEs + candidate pairs + token-Jaccard verify, ending in
     ``p(doc_a, doc_b, jaccard)`` — mirrors textops.near_dup_verified_pairs
-    (shared by the near_dup and near_dup_clusters oracles)."""
-    return f"""{_lsh_ctes(sig)},
+    (shared by the near_dup, near_dup_clusters, dedup_manifest oracles)."""
+    return f"""{_lsh_ctes(sig, src)},
             cand AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               FROM bounded a JOIN bounded b
@@ -171,6 +174,33 @@ def _lsh_bucket_sql(emb_expr: str) -> str:
         for i, p in enumerate(planes)
     )
     return f"CAST({bits} AS BIGINT)"
+
+
+def _emb_nd_ctes() -> str:
+    """CTEs mirroring similarity.embedding_near_dup: capped LSH buckets,
+    Hamming<=1 candidate join, exact cosine — ending in
+    ``p(vec_a, vec_b, cosine)`` (shared by emb_near_dup and
+    emb_near_dup_clusters)."""
+    return f"""b0 AS (
+              SELECT vec_id, {_SQL_ED} AS ed,
+                     {_lsh_bucket_sql(_SQL_ED)} AS bucket
+              FROM embeddings),
+            b AS (
+              SELECT vec_id, ed, bucket FROM (
+                SELECT *, count(*) OVER (PARTITION BY bucket) AS _n
+                FROM b0)
+              WHERE _n <= {S.EMB_MAX_BUCKET}),
+            p AS (
+              SELECT ce.vec_id AS vec_a, cq.vec_id AS vec_b,
+                     round(
+                       list_sum(list_transform(list_zip(ce.ed, cq.ed),
+                                               z -> z[1] * z[2])) /
+                       (sqrt(list_sum(list_transform(ce.ed, x -> x * x))) *
+                        sqrt(list_sum(list_transform(cq.ed, x -> x * x)))),
+                       6) AS cosine
+              FROM b ce JOIN b cq
+                ON ce.vec_id < cq.vec_id
+                AND bit_count(xor(ce.bucket, cq.bucket)) <= 1)"""
 
 
 _SQL_ED = "CAST(embedding AS DOUBLE[])"
@@ -490,6 +520,37 @@ def oracle_sql() -> dict[str, str]:
                    src = least(src, min(dst)) AS is_canonical
             FROM reach GROUP BY src ORDER BY doc_id
         """,
+        "dedup_manifest": f"""
+            WITH RECURSIVE
+            fp AS (
+              SELECT doc_id,
+                     md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                       AS f
+              FROM documents),
+            grp AS (SELECT f, min(doc_id) AS ec FROM fp GROUP BY f),
+            ex AS (SELECT fp.doc_id, grp.ec FROM fp JOIN grp USING (f)),
+            surv AS (
+              SELECT d.* FROM documents d
+              JOIN ex ON d.doc_id = ex.doc_id AND ex.doc_id = ex.ec),
+            {_near_dup_ctes(sig, toks, src="surv")},
+            nd AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.8),
+            e AS (
+              SELECT doc_a AS src, doc_b AS dst FROM nd
+              UNION
+              SELECT doc_b, doc_a FROM nd),
+            reach(src, dst) AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+            lab AS (
+              SELECT src AS ec, least(src, min(dst)) AS ndc
+              FROM reach GROUP BY src)
+            SELECT ex.doc_id,
+                   coalesce(lab.ndc, ex.ec) AS canonical_id,
+                   ex.doc_id = coalesce(lab.ndc, ex.ec) AS keep
+            FROM ex LEFT JOIN lab ON ex.ec = lab.ec
+            ORDER BY doc_id
+        """,
         "corpus_stats": """
             SELECT lang, count(*) AS n_docs,
                    count(DISTINCT source) AS n_sources,
@@ -626,29 +687,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 3 ORDER BY query_id, cosine DESC, vec_id
         """,
         "emb_near_dup": f"""
-            WITH b0 AS (
-              SELECT vec_id, {_SQL_ED} AS ed,
-                     {_lsh_bucket_sql(_SQL_ED)} AS bucket
-              FROM embeddings),
-            b AS (
-              SELECT vec_id, ed, bucket FROM (
-                SELECT *, count(*) OVER (PARTITION BY bucket) AS _n
-                FROM b0)
-              WHERE _n <= {S.EMB_MAX_BUCKET}),
-            p AS (
-              SELECT ce.vec_id AS vec_a, cq.vec_id AS vec_b,
-                     round(
-                       list_sum(list_transform(list_zip(ce.ed, cq.ed),
-                                               z -> z[1] * z[2])) /
-                       (sqrt(list_sum(list_transform(ce.ed, x -> x * x))) *
-                        sqrt(list_sum(list_transform(cq.ed, x -> x * x)))),
-                       6) AS cosine
-              FROM b ce JOIN b cq
-                ON ce.vec_id < cq.vec_id
-                AND bit_count(xor(ce.bucket, cq.bucket)) <= 1)
+            WITH {_emb_nd_ctes()}
             SELECT vec_a, vec_b, cosine FROM p
             WHERE cosine >= {S.EMB_NEAR_DUP_THRESHOLD}
             ORDER BY vec_a, vec_b
+        """,
+        "emb_near_dup_clusters": f"""
+            WITH RECURSIVE {_emb_nd_ctes()},
+            nd AS (SELECT vec_a, vec_b FROM p
+                   WHERE cosine >= {S.EMB_NEAR_DUP_THRESHOLD}),
+            e AS (
+              SELECT vec_a AS src, vec_b AS dst FROM nd
+              UNION
+              SELECT vec_b, vec_a FROM nd),
+            reach(src, dst) AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+            SELECT src AS vec_id,
+                   least(src, min(dst)) AS cluster_id,
+                   src = least(src, min(dst)) AS is_canonical
+            FROM reach GROUP BY src ORDER BY vec_id
         """,
         "ann_ivf_cells": f"""
             WITH {_ivf_ctes()}

@@ -99,6 +99,65 @@ def near_dup_clusters(
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
+def q_dedup_manifest(spark, sf_dir: str) -> DataFrame:
+    """The FULL dedup decision over the documents table — the same
+    composition ``corpus.dedup_keep_manifest`` runs on extracted pages:
+    exact md5 groups collapse first (min doc_id survives; over-cap
+    boilerplate buckets reduce to one survivor here), verified near-dup
+    pairs among the exact survivors resolve into connected components,
+    and the canonical composes both stages. (doc_id, canonical_id, keep).
+    """
+    from readability_ex_spark.operators.textops import (
+        _docs,
+        near_dup_verified_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    fp = docs.select("doc_id", F.md5(norm).alias("_f"))
+    grp = fp.groupBy("_f").agg(F.min("doc_id").alias("_ec"))
+    ex = fp.join(grp, "_f").select("doc_id", "_ec")
+    survivors = docs.join(
+        ex.filter(F.col("doc_id") == F.col("_ec")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    nd = near_dup_clusters(near_dup_verified_pairs(survivors)).select(
+        F.col("id").alias("_ec"), F.col("cluster_id").alias("_nd")
+    )
+    return (
+        ex.join(nd, "_ec", "left")
+        .select("doc_id", F.coalesce("_nd", "_ec").alias("canonical_id"))
+        .withColumn("keep", F.col("doc_id") == F.col("canonical_id"))
+        .orderBy("doc_id")
+    )
+
+
+def q_emb_near_dup_clusters(spark, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (Hamming-1 LSH candidates,
+    cosine >= 0.4) resolved into connected components — the same
+    clustering operator generalizes across all three near-dup families.
+    (vec_id, cluster_id, is_canonical)."""
+    from readability_ex_spark.operators.similarity import (
+        EMB_NEAR_DUP_THRESHOLD,
+        _emb,
+        embedding_near_dup,
+    )
+
+    pairs = embedding_near_dup(
+        _emb(spark, sf_dir), threshold=EMB_NEAR_DUP_THRESHOLD
+    )
+    clusters = near_dup_clusters(pairs, "vec_a", "vec_b")
+    return (
+        clusters.select(
+            F.col("id").alias("vec_id"),
+            "cluster_id",
+            (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def q_near_dup_clusters(spark, sf_dir: str) -> DataFrame:
     """Near-dup pairs (capped b×r LSH, Jaccard >= 0.8) resolved into
     connected-component clusters: (doc_id, cluster_id, is_canonical)."""

@@ -55,6 +55,57 @@ def stream_extraction(
     return writer.start()
 
 
+def stream_dedup_first_seen(
+    pages_stream: DataFrame,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Cross-batch url dedup: emit only the FIRST occurrence of each url
+    over the stream's lifetime (within a batch, the earliest ``warc_ts``
+    row wins deterministically). A crawl feed revisits urls across
+    micro-batches, which neither the within-batch dedup nor the
+    committed-output anti-join covers while a batch is in flight — this
+    is the custom stateful operator for it.
+
+    Scale shape: ``applyInPandasWithState`` keyed by url — the groupBy
+    shuffle partitions the state store across executors, each group
+    holds ONE boolean, and ``state_ttl_ms`` (processing-time
+    milliseconds, e.g. 30 days for a monthly crawl) expires idle urls
+    so state stays bounded on an open-ended crawl instead of growing
+    with the url universe. Re-arrivals inside the TTL refresh it.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = pages_stream.schema
+    cols = [f.name for f in schema.fields]
+    ttl = None if state_ttl_ms is None else int(state_ttl_ms)
+
+    def _first_seen(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        seen = state.exists
+        state.update((True,))
+        if ttl is not None:
+            state.setTimeoutDuration(ttl)
+        if not seen and len(batch):
+            yield batch.sort_values("warc_ts", kind="stable").head(1)[cols]
+
+    return pages_stream.groupBy("url").applyInPandasWithState(
+        _first_seen,
+        outputStructType=schema,
+        stateStructType="seen boolean",
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 def stream_metrics(
     pages_stream: DataFrame,
     *,

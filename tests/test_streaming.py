@@ -74,6 +74,66 @@ def test_stream_metrics_windows(spark, tmpdir):
     )
 
 
+def test_stream_dedup_first_seen_across_batches(spark, tmpdir):
+    """Cross-batch stateful url dedup (applyInPandasWithState): each url
+    is emitted exactly once over the stream's lifetime, the earliest
+    warc_ts row winning within its arrival batch."""
+    import datetime as dt
+
+    from readability_ex_spark.sources.pages import PAGES_SCHEMA
+    from readability_ex_spark.streaming import stream_dedup_first_seen
+
+    def ts(h):
+        return dt.datetime(2026, 1, 1, h)
+
+    indir = tmpdir / "pages_in"
+    b1 = spark.createDataFrame(
+        [
+            ("http://a", ts(5), b"<p>a5</p>", "t", "en"),
+            ("http://b", ts(1), b"<p>b</p>", "t", "en"),
+            ("http://a", ts(2), b"<p>a2</p>", "t", "en"),
+        ],
+        PAGES_SCHEMA,
+    )
+    b2 = spark.createDataFrame(
+        [
+            ("http://a", ts(9), b"<p>a9</p>", "t", "en"),  # revisit
+            ("http://c", ts(3), b"<p>c</p>", "t", "en"),
+        ],
+        PAGES_SCHEMA,
+    )
+    b1.coalesce(1).write.mode("append").parquet(str(indir))
+    b2.coalesce(1).write.mode("append").parquet(str(indir))
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force >= 2 micro-batches
+        .parquet(str(indir))
+    )
+    q = (
+        stream_dedup_first_seen(stream, state_ttl_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName("first_seen_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmpdir / "ckpt_fs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select url, warc_ts from first_seen_test").collect()
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r.url, []).append(r.warc_ts)
+    # exactly one emission per url across both micro-batches
+    assert {u: len(v) for u, v in by_url.items()} == {
+        "http://a": 1, "http://b": 1, "http://c": 1,
+    }
+    # within a's arrival batch the earliest warc_ts row won (ts 2 of
+    # {5, 2} if batch1 arrived first; ts 9 only if batch2 led)
+    assert by_url["http://a"][0] in (ts(2), ts(9))
+    assert by_url["http://b"] == [ts(1)]
+
+
 def test_batch_write_idempotent(spark, tmpdir):
     """A micro-batch retried with the same batch_id replaces its own
     partition instead of appending duplicates (exactly-once output)."""
