@@ -19,6 +19,9 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 from readability_ex_spark.operators import clusters as C  # noqa: E402
+from readability_ex_spark.operators.multimodal import (  # noqa: E402
+    q_multimodal_dedup as _q_multimodal_dedup,
+)
 from readability_ex_spark.operators import relational as R  # noqa: E402
 from readability_ex_spark.operators import similarity as S  # noqa: E402
 from readability_ex_spark.operators import textops as T  # noqa: E402
@@ -66,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": T.q_corpus_stats,
         "corpus_cardinality": T.q_corpus_cardinality,
         "multimodal_meta": T.q_multimodal_meta,
+        "multimodal_dedup": _q_multimodal_dedup,
         # -- similarity search --
         "ann_bruteforce": S.q_ann_bruteforce,
         "knn_label_pairs": S.q_knn_label_pairs,
@@ -594,6 +598,13 @@ def oracle_sql() -> dict[str, str]:
                 ON a.source = x.source AND a.doc_id < x.doc_id)
             SELECT doc_a, doc_b, jaccard FROM p
             WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
+        """,
+        "multimodal_dedup": """
+            SELECT md5(text) AS content_hash,
+                   min(doc_id) AS canonical_id,
+                   count(*) AS n_copies,
+                   'fake' AS format
+            FROM documents GROUP BY 1 ORDER BY content_hash
         """,
         "multimodal_meta": """
             SELECT doc_id,

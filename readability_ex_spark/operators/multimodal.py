@@ -424,3 +424,17 @@ def media_dedup(meta: DataFrame) -> DataFrame:
             F.first("format").alias("format"),
         )
     )
+
+
+def q_multimodal_dedup(spark, sf_dir: str) -> DataFrame:
+    """``media_dedup`` in the checked contract: content-hash dedup of
+    opaque binary payloads (documents' text bytes standing in for the
+    media column — the hash/groupBy plumbing is identical for real
+    image/audio payloads)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    meta = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.md5(F.col("text").cast("binary")).alias("content_hash"),
+        F.lit("fake").alias("format"),
+    )
+    return media_dedup(meta).orderBy("content_hash")
