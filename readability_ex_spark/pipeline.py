@@ -148,33 +148,41 @@ def run_extraction(
     - appends lineage columns.
     """
     df = pages.select("url", "warc_ts", "html")
-    if dedup:
-        df = dedup_latest_crawl(df)
-    if done_urls is not None:
-        df = df.join(done_urls.select("url"), "url", "left_anti")
-    # tolerate string html columns (the contract is binary)
-    df = df.select("url", F.col("html").cast("binary").alias("html"))
-
-    # Partition key: plain url hash-partitioning lines up with the dedup
-    # window's ENSURE_REQUIREMENTS exchange, so when the partition count
-    # matches, Catalyst elides this shuffle entirely (one shuffle for
-    # dedup+layout instead of two). Salting appends a second key column
-    # for skewed inputs (many rows behind one url after e.g. a mirror
-    # explosion) at the cost of the extra shuffle.
-    if salt_buckets > 1:
-        keys = [
-            F.col("url"),
-            F.pmod(F.xxhash64("url", "html"), F.lit(salt_buckets)),
-        ]
-    else:
-        keys = [F.col("url")]
     if not n_partitions:
         # an explicit count keeps AQE from coalescing the (byte-small)
         # shuffle output below the core count — the kernel stage is
         # CPU-bound, not byte-bound, so advisory-size coalescing would
         # serialize it onto a handful of cores
         n_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
-    df = df.repartition(n_partitions, *keys)
+
+    if salt_buckets > 1:
+        # salted layout needs (url, salt) keys, but the dedup window
+        # needs url-only clustering — dedup first, salted repartition
+        # after (two exchanges, the price of skew protection)
+        if dedup:
+            df = dedup_latest_crawl(df)
+        if done_urls is not None:
+            df = df.join(done_urls.select("url"), "url", "left_anti")
+        df = df.select("url", F.col("html").cast("binary").alias("html"))
+        df = df.repartition(
+            n_partitions,
+            F.col("url"),
+            F.pmod(F.xxhash64("url", "html"), F.lit(salt_buckets)),
+        )
+    else:
+        # ONE exchange moves the html payload: the explicit url-hash
+        # repartition runs FIRST, and the dedup window's
+        # ClusteredDistribution(url) is satisfied by ANY url hash
+        # partitioning, so ENSURE_REQUIREMENTS adds only a local sort —
+        # with the window first, a shuffle.partitions/n_partitions
+        # mismatch re-shuffled the full corpus payload a second time
+        # (plan-asserted in tests/test_plans.py)
+        df = df.repartition(n_partitions, F.col("url"))
+        if dedup:
+            df = dedup_latest_crawl(df)
+        if done_urls is not None:
+            df = df.join(done_urls.select("url"), "url", "left_anti")
+        df = df.select("url", F.col("html").cast("binary").alias("html"))
 
     extracted = df.mapInPandas(extract_batches, EXTRACT_SCHEMA)
     if not emit_html:

@@ -1,0 +1,81 @@
+"""Plan-quality regression tests: the physical plans the 100 TB story
+depends on, pinned so a refactor can't silently reintroduce a shuffle
+or lose pushdown/pruning."""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pyspark.sql.functions as F
+
+from readability_ex_spark.pipeline import run_extraction
+from readability_ex_spark.sources.pages import synthesize_pages
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def _tree(plan: str) -> str:
+    return plan.split("\n\n")[0]
+
+
+def test_extract_pipeline_single_payload_exchange(spark):
+    """Unsalted pipeline: exactly ONE Exchange moves the html payload —
+    the explicit url repartition runs first and the dedup window's
+    ClusteredDistribution(url) is satisfied by it (a window-first order
+    re-shuffled the full corpus whenever shuffle.partitions differed
+    from n_partitions)."""
+    pages = synthesize_pages(spark, SF)
+    tree = _tree(_formatted_plan(run_extraction(pages)))
+    assert tree.count("Exchange") == 1
+    # and the kernel stage sits above the window, not behind a second
+    # exchange
+    assert tree.index("MapInPandas") < tree.index("Exchange")
+
+
+def test_extract_pipeline_salted_pays_two_exchanges(spark):
+    """Salting is the documented skew escape hatch: (url, salt) layout
+    cannot satisfy the url-only window, so the plan pays a second
+    exchange — pinned so the cost stays a deliberate choice."""
+    pages = synthesize_pages(spark, SF)
+    tree = _tree(_formatted_plan(run_extraction(pages, salt_buckets=8)))
+    assert tree.count("Exchange") == 2
+
+
+def test_filter_project_pushdown_and_pruning(spark):
+    """Filters reach the parquet scan as PushedFilters and the scan reads
+    only the projected columns (no `source`)."""
+    from readability_ex_spark.operators.relational import q_filter_project
+
+    plan = _formatted_plan(q_filter_project(spark, SF))
+    pushed = re.search(r"PushedFilters: \[(.*?)\]", plan).group(1)
+    assert "EqualTo(lang,en)" in pushed
+    assert "GreaterThan(n_chars,200)" in pushed
+    schema = re.search(r"ReadSchema: (\S+)", plan).group(1)
+    assert "source" not in schema
+
+
+def test_broadcast_join_is_broadcast(spark):
+    """The small dimension side must broadcast (no shuffle of the fact
+    side on the join key)."""
+    from readability_ex_spark.operators.relational import q_broadcast_join
+
+    tree = _tree(_formatted_plan(q_broadcast_join(spark, SF)))
+    assert "BroadcastHashJoin" in tree
+
+
+def test_extract_plan_prunes_unused_document_columns(spark):
+    """The kernel consumes url/warc_ts/html only; the page-synthesis
+    scans must not read the documents table's unused columns."""
+    pages = synthesize_pages(spark, SF)
+    plan = _formatted_plan(run_extraction(pages))
+    for schema in re.findall(r"ReadSchema: (\S+)", plan):
+        assert "n_chars" not in schema and "source" not in schema
