@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": T.q_lang_id,
         "fingerprint": T.q_fingerprint,
         "winnow_fingerprint": T.q_winnow_fingerprint,
+        "winnow_overlap": T.q_winnow_overlap,
         "exact_dedup": T.q_exact_dedup,
         "minhash_sig": T.q_minhash_sig,
         "minhash_band_pairs": T.q_minhash_band_pairs,
@@ -107,6 +108,36 @@ def _lsh_ctes(sig, src: str = "documents") -> str:
                        AS _n
                 FROM bands)
               WHERE _n <= {cap})"""
+
+
+def _winnow_ctes() -> str:
+    """DuckDB CTEs mirroring textops.winnow_fingerprints exactly (md5
+    k-gram rolling hashes, lexicographic window minima, distinct),
+    ending in ``wfp(doc_id, fingerprint)`` — shared by the
+    winnow_fingerprint and winnow_overlap oracles."""
+    return f"""t AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS tx
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN length(tx) >= {T.K_GRAM + T.WINNOW_WINDOW - 1}
+                          THEN list_transform(
+                            generate_series(1, length(tx) - {T.K_GRAM - 1}),
+                            i -> md5(substr(tx, i, {T.K_GRAM})))
+                          ELSE CAST([] AS VARCHAR[]) END AS gr
+              FROM t),
+            f AS (
+              SELECT doc_id,
+                     CASE WHEN len(gr) >= {T.WINNOW_WINDOW}
+                          THEN list_distinct(list_transform(
+                            generate_series(1, len(gr) - {T.WINNOW_WINDOW - 1}),
+                            j -> list_aggregate(
+                              list_slice(gr, j, j + {T.WINNOW_WINDOW - 1}),
+                              'min')))
+                          ELSE CAST([] AS VARCHAR[]) END AS fps
+              FROM g),
+            wfp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM f)"""
 
 
 def _near_dup_ctes(sig, toks: str, src: str = "documents") -> str:
@@ -402,30 +433,34 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "winnow_fingerprint": f"""
-            WITH t AS (
-              SELECT doc_id,
-                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS tx
-              FROM documents),
-            g AS (
-              SELECT doc_id,
-                     CASE WHEN length(tx) >= {T.K_GRAM + T.WINNOW_WINDOW - 1}
-                          THEN list_transform(
-                            generate_series(1, length(tx) - {T.K_GRAM - 1}),
-                            i -> md5(substr(tx, i, {T.K_GRAM})))
-                          ELSE CAST([] AS VARCHAR[]) END AS gr
-              FROM t),
-            f AS (
-              SELECT doc_id,
-                     CASE WHEN len(gr) >= {T.WINNOW_WINDOW}
-                          THEN list_distinct(list_transform(
-                            generate_series(1, len(gr) - {T.WINNOW_WINDOW - 1}),
-                            j -> list_aggregate(
-                              list_slice(gr, j, j + {T.WINNOW_WINDOW - 1}),
-                              'min')))
-                          ELSE CAST([] AS VARCHAR[]) END AS fps
-              FROM g)
-            SELECT doc_id, unnest(fps) AS fingerprint FROM f
+            WITH {_winnow_ctes()}
+            SELECT doc_id, fingerprint FROM wfp
             ORDER BY doc_id, fingerprint
+        """,
+        "winnow_overlap": f"""
+            WITH {_winnow_ctes()},
+            sizes AS (SELECT doc_id, count(*) AS n FROM wfp GROUP BY doc_id),
+            dfreq AS (
+              SELECT fingerprint, count(*) AS df FROM wfp
+              GROUP BY fingerprint),
+            bounded AS (
+              SELECT w.doc_id, w.fingerprint
+              FROM wfp w JOIN dfreq USING (fingerprint)
+              WHERE df <= {T.WINNOW_MAX_DF}),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM bounded a JOIN bounded b
+                ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(i / CAST(least(sa.n, sb.n) AS DOUBLE), 6)
+                     AS containment
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = inter.doc_a
+            JOIN sizes sb ON sb.doc_id = inter.doc_b
+            WHERE i / CAST(least(sa.n, sb.n) AS DOUBLE)
+                  >= {T.WINNOW_CONTAINMENT}
+            ORDER BY doc_a, doc_b
         """,
         "exact_dedup": """
             SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))

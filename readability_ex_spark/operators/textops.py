@@ -231,6 +231,85 @@ def winnow_fingerprints(
     )
 
 
+# fingerprints in more docs than this are stop-grams (df cut) — 50 on
+# the sf corpora keeps real shared-paragraph pairs (measured: df p50=3,
+# p99=31; at 20 the near-dup chains' shared content was cut and no pair
+# reached threshold) while the true boilerplate tail (df up to 345) drops
+WINNOW_MAX_DF = 50
+WINNOW_CONTAINMENT = 0.5
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = WINNOW_CONTAINMENT,
+    max_df: int = WINNOW_MAX_DF,
+    k: int = K_GRAM,
+    window: int = WINNOW_WINDOW,
+) -> DataFrame:
+    """PARTIAL-overlap pairs via winnowed fingerprints: containment
+    |F_a ∩ F_b| / min(|F_a|, |F_b|) >= ``threshold``. Catches a doc
+    quoting / embedding another's paragraphs — a different failure mode
+    than whole-document near-dup (Jaccard dilutes a large doc containing
+    a small one; containment doesn't).
+
+    Same inverted-index shape as the shingle verify: explode
+    (fingerprint, id), drop fingerprints shared by more than ``max_df``
+    docs (the classic document-frequency cut — ubiquitous 8-gram
+    boilerplate would otherwise turn quadratic AND carry no overlap
+    signal), self-join on fingerprint, count per pair. Containment
+    denominators use the PRE-cut set sizes, so the df cut only ever
+    lowers the score — a pair can be missed when its shared run is
+    pure boilerplate, never over-reported. Requires threshold > 0.
+    """
+    if threshold <= 0:
+        raise ValueError("winnow_overlap_pairs requires threshold > 0")
+    # the pandas-UDF fingerprint pass feeds sizes, the df cut and the
+    # join — localCheckpoint so it runs once
+    fps = winnow_fingerprints(
+        df, id_col=id_col, text_col=text_col, k=k, window=window
+    ).localCheckpoint(eager=False)
+    sizes = fps.groupBy(id_col).agg(F.count("*").alias("_n"))
+    dfreq = fps.groupBy("fingerprint").agg(F.count("*").alias("_df"))
+    bounded = fps.join(dfreq, "fingerprint").filter(
+        F.col("_df") <= max_df
+    ).drop("_df")
+    a = bounded.select("fingerprint", F.col(id_col).alias("id_a"))
+    b = bounded.select("fingerprint", F.col(id_col).alias("id_b"))
+    inter = (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
+    containment = F.col("_inter").cast("double") / F.least("_na", "_nb")
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a", "id_b", F.round(containment, 6).alias("containment")
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap pairs (winnowed-fingerprint containment >= 0.5,
+    df-cut at 20 docs per fingerprint)."""
+    return (
+        winnow_overlap_pairs(_docs(spark, sf_dir))
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            "containment",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via fingerprint group-by: canonical id + dupe count.
 

@@ -131,6 +131,34 @@ def test_shingle_block_cap(spark):
     assert pairs == {(100, 101)}
 
 
+def test_winnow_overlap_detects_containment(spark):
+    """A small doc embedded verbatim in a much larger doc: containment
+    flags the pair (near 1.0 for the smaller side) even though
+    whole-document Jaccard would be diluted far below any near-dup
+    threshold — the partial-overlap failure mode near-dup can't catch."""
+    from readability_ex_spark.operators.textops import winnow_overlap_pairs
+
+    shared = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "tonight while nobody watches the garden gate"
+    )
+    filler = " ".join(f"filler{i}" for i in range(300))
+    docs = spark.createDataFrame(
+        [
+            (1, shared),
+            (2, filler + " " + shared),
+            (3, "completely different words here entirely unrelated text"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.containment
+        for r in winnow_overlap_pairs(docs, threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.8
+    assert not any(3 in p for p in pairs)
+
+
 def test_winnowing_guarantee(spark):
     """Winnowing (k=8, w=4): docs sharing a run of >= k+w-1 chars share
     at least one fingerprint; disjoint docs share none."""
