@@ -13,6 +13,7 @@ container — those stay behind the same (bytes -> ...) batch contract.
 from __future__ import annotations
 
 import hashlib
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -62,6 +63,8 @@ def sniff_media(payload: bytes) -> tuple[str, str] | None:
         return ("video", "mp4")
     if payload.startswith(b"\x1a\x45\xdf\xa3"):
         return ("video", "webm")
+    if payload.startswith(b"%PDF-"):
+        return ("document", "pdf")
     return None
 
 
@@ -275,6 +278,34 @@ def decode_mp4_duration(b: bytes) -> float:
     raise ValueError("no moov/mvhd box found")
 
 
+_RE_PDF_PAGE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
+_RE_PDF_COUNT = re.compile(rb"/Count\s+(\d+)")
+
+
+def parse_pdf_meta(b: bytes) -> tuple[str, int]:
+    """(version, n_pages) from raw PDF bytes — stdlib byte parsing like
+    the image/audio headers (north rule names PDF/layout parse; full
+    text/layout extraction needs a real PDF library and stays behind
+    the documented stub contract like pixel decode).
+
+    Page count: the number of uncompressed ``/Type /Page`` objects;
+    PDFs that pack page objects into compressed object streams
+    (1.5+ xref streams) expose no plain page objects, so fall back to
+    the largest ``/Count N`` of the page-tree nodes (the root's count
+    is the page total and dominates any subtree count)."""
+    if not b.startswith(b"%PDF-"):
+        raise ValueError("not a PDF payload")
+    eol = b.find(b"\n", 0, 16)
+    version = b[5 : eol if eol > 0 else 13].strip(b"\r ").decode(
+        "ascii", "replace"
+    )
+    n_pages = len(_RE_PDF_PAGE.findall(b))
+    if n_pages == 0:
+        counts = [int(m) for m in _RE_PDF_COUNT.findall(b)]
+        n_pages = max(counts) if counts else 0
+    return version, n_pages
+
+
 MEDIA_PROFILE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType(), False),
@@ -287,6 +318,7 @@ MEDIA_PROFILE_SCHEMA = T.StructType(
         T.StructField("sample_rate", T.IntegerType(), True),
         T.StructField("channels", T.IntegerType(), True),
         T.StructField("duration_ms", T.DoubleType(), True),
+        T.StructField("n_pages", T.IntegerType(), True),
         T.StructField("status", T.StringType(), False),
     ]
 )
@@ -327,6 +359,8 @@ def profile_media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                             ) = decode_wav_header(payload)
                         elif row["format"] == "mp4":
                             row["duration_ms"] = decode_mp4_duration(payload)
+                        elif row["format"] == "pdf":
+                            _v, row["n_pages"] = parse_pdf_meta(payload)
                         # mp3/ogg/webm/avi: kind+format sniff only (frame
                         # headers need a codec library)
                         row["status"] = "ok"

@@ -190,3 +190,51 @@ def test_mp4_largesize_and_eof_boxes():
     # trailing size=0 box (extends to EOF) before moov is skipped over
     free = struct.pack(">I", 12) + b"free" + b"\x00" * 4
     assert abs(decode_mp4_duration(ftyp + free + moov) - 7000.0) < 1e-6
+
+
+def _pdf(n_pages: int, version: str = "1.4") -> bytes:
+    kids = " ".join(f"{3 + i} 0 R" for i in range(n_pages))
+    pages = "".join(
+        f"{3 + i} 0 obj << /Type /Page /Parent 2 0 R >> endobj\n"
+        for i in range(n_pages)
+    )
+    return (
+        f"%PDF-{version}\n"
+        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        f"2 0 obj << /Type /Pages /Kids [{kids}] /Count {n_pages} >> endobj\n"
+        f"{pages}"
+        "trailer << /Root 1 0 R >>\n%%EOF"
+    ).encode("latin-1")
+
+
+def test_parse_pdf_meta():
+    from readability_ex_spark.operators.multimodal import (
+        parse_pdf_meta,
+        sniff_media,
+    )
+
+    assert sniff_media(_pdf(2)) == ("document", "pdf")
+    assert parse_pdf_meta(_pdf(2)) == ("1.4", 2)
+    assert parse_pdf_meta(_pdf(5, version="1.7")) == ("1.7", 5)
+    # compressed-object-stream PDFs expose no plain /Type /Page objects:
+    # the page-tree /Count fallback answers (root count dominates)
+    packed = (
+        b"%PDF-1.6\n2 0 obj << /Type /Pages /Count 7 >> endobj\n"
+        b"9 0 obj << /Count 3 >> endobj\n%%EOF"
+    )
+    assert parse_pdf_meta(packed) == ("1.6", 7)
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_pdf_meta(b"GIF89a whatever")
+
+
+def test_media_profile_pdf(spark):
+    from readability_ex_spark.operators.multimodal import media_profile
+
+    media = spark.createDataFrame(
+        [("doc", bytearray(_pdf(3)))], "media_id string, payload binary"
+    )
+    row = media_profile(media).head()
+    assert row.kind == "document" and row.format == "pdf"
+    assert row.n_pages == 3 and row.status == "ok"
