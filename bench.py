@@ -80,6 +80,7 @@ def main() -> int:
     run("exact_dedup", lambda: T.q_exact_dedup(spark, sf_dir).count())
     run("minhash_sig", lambda: T.q_minhash_sig(spark, sf_dir).count())
     run("winnow_fingerprint", lambda: T.q_winnow_fingerprint(spark, sf_dir).count())
+    run("winnow_overlap", lambda: T.q_winnow_overlap(spark, sf_dir).count())
     run("near_dup", lambda: T.q_near_dup(spark, sf_dir).count())
     run("simhash_near_dup", lambda: T.q_simhash_near_dup(spark, sf_dir).count())
     run("shingle_jaccard", lambda: T.q_shingle_jaccard(spark, sf_dir).count())
@@ -91,6 +92,7 @@ def main() -> int:
     from readability_ex_spark.operators import clusters as C
 
     run("near_dup_clusters", lambda: C.q_near_dup_clusters(spark, sf_dir).count())
+    run("dedup_manifest", lambda: C.q_dedup_manifest(spark, sf_dir).count())
 
     print(
         json.dumps(

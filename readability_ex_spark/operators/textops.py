@@ -262,6 +262,13 @@ def winnow_overlap_pairs(
     denominators use the PRE-cut set sizes, so the df cut only ever
     lowers the score — a pair can be missed when its shared run is
     pure boilerplate, never over-reported. Requires threshold > 0.
+
+    ``max_df`` should track the corpus: a fixed cut under-detects when
+    duplicate families grow past it (at sf0.1 the synthetic families
+    exceed 50 and shared runs are cut). Production guidance: set it to
+    a small df fraction (e.g. ``max(50, n_docs // 1000)``) — exact-dup
+    collapse first (``corpus.dedup_keep_manifest`` ordering) also keeps
+    families small before this operator runs.
     """
     if threshold <= 0:
         raise ValueError("winnow_overlap_pairs requires threshold > 0")

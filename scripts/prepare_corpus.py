@@ -1,0 +1,96 @@
+"""Training-corpus preparation job — the spark-submit entry point for
+the composed pipeline a 100 TB text-corpus build actually runs:
+
+    spark-submit --py-files readability_ex_spark.zip scripts/prepare_corpus.py \
+        --input  /data/pages          # parquet/Iceberg pages table
+        --output /data/corpus         # deduped, quality-annotated corpus
+        [--min-quality 0.3]           # drop docs below this score
+        [--near-dup-threshold 0.8]    # token-Jaccard cluster threshold
+        [--no-near-dup]               # exact-dup collapse only
+        [--partitions 4096]
+
+pages -> extraction (mapInPandas kernel) -> exact-dup collapse ->
+capped-LSH near-dup clusters -> keep min url per cluster -> quality
+signals -> min_quality filter -> url-bucketed parquet, plus a
+`_manifest` artifact recording every url's keep decision (the dedup
+audit trail: url, fingerprint, n_copies, canonical_url, keep).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--min-quality", type=float, default=0.0)
+    ap.add_argument("--near-dup-threshold", type=float, default=0.8)
+    ap.add_argument(
+        "--no-near-dup", action="store_true",
+        help="collapse exact duplicates only (skip the LSH cluster pass)",
+    )
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument(
+        "--table-format", choices=("parquet", "iceberg"), default="parquet",
+    )
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from readability_ex_spark.operators.corpus import (
+        dedup_keep_manifest,
+        exact_dup_manifest,
+        with_quality_signals,
+    )
+    from readability_ex_spark.pipeline import run_extraction
+    from readability_ex_spark.sources.pages import read_pages
+
+    spark = SparkSession.builder.appName("prepare_corpus").getOrCreate()
+    pages = read_pages(spark, args.input, table_format=args.table_format)
+
+    # extraction is the expensive stage — run it ONCE and cache; both the
+    # corpus and the manifest artifact derive from it
+    extracted = run_extraction(pages, n_partitions=args.partitions).filter(
+        F.col("status") == "ok"
+    ).cache()
+
+    if args.no_near_dup:
+        manifest = exact_dup_manifest(extracted).withColumn(
+            "keep", F.col("url") == F.col("canonical_url")
+        )
+    else:
+        manifest = dedup_keep_manifest(
+            extracted, near_dup_threshold=args.near_dup_threshold
+        )
+    manifest = manifest.cache()
+
+    keep = manifest.filter(F.col("keep")).select("url", "fingerprint", "n_copies")
+    corpus = with_quality_signals(extracted.join(keep, "url"))
+    if args.min_quality > 0:
+        corpus = corpus.filter(F.col("quality_score") >= args.min_quality)
+    corpus = corpus.withColumn(
+        "url_bucket", F.pmod(F.xxhash64("url"), F.lit(64)).cast("int")
+    )
+    corpus.write.partitionBy("url_bucket").mode("append").parquet(args.output)
+    # the dedup audit trail: every extracted url's keep decision
+    manifest.write.mode("append").parquet(f"{args.output}/_manifest")
+
+    n_docs = spark.read.parquet(args.output).count()
+    n_in = manifest.count()
+    print(f"corpus_docs={n_docs} extracted_ok={n_in}")
+    extracted.unpersist()
+    manifest.unpersist()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

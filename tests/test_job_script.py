@@ -177,3 +177,30 @@ def test_spark_submit_pyfiles(jobdir):
         assert files, "no parquet output written by spark-submit job"
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_prepare_corpus_script(jobdir, spark):
+    """scripts/prepare_corpus.py end-to-end: extraction -> keep manifest
+    -> quality-filtered corpus + _manifest audit artifact."""
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(jobdir / "pages"),
+            "--output", str(jobdir / "corpus"),
+            "--partitions", "4",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    assert any(
+        line.startswith("corpus_docs=") for line in proc.stdout.splitlines()
+    )
+    corpus = spark.read.parquet(str(jobdir / "corpus"))
+    manifest = spark.read.parquet(str(jobdir / "corpus" / "_manifest"))
+    n_keep = manifest.filter("keep").count()
+    assert corpus.count() == n_keep > 0
+    # every corpus url is its own canonical
+    assert {r.url for r in corpus.select("url").collect()} == {
+        r.url for r in manifest.filter("keep").select("url").collect()
+    }
+    assert "quality_score" in corpus.columns
