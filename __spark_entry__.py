@@ -23,6 +23,7 @@ from readability_ex_spark.operators.multimodal import (  # noqa: E402
     q_multimodal_dedup as _q_multimodal_dedup,
 )
 from readability_ex_spark.operators import relational as R  # noqa: E402
+from readability_ex_spark.operators import sampling as SA  # noqa: E402
 from readability_ex_spark.operators import similarity as S  # noqa: E402
 from readability_ex_spark.operators import textops as T  # noqa: E402
 
@@ -69,6 +70,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_jaccard": T.q_shingle_jaccard,
         "corpus_stats": T.q_corpus_stats,
         "corpus_cardinality": T.q_corpus_cardinality,
+        "stratified_sample": SA.q_stratified_sample,
+        "token_budget_pack": SA.q_token_budget_pack,
         "multimodal_meta": T.q_multimodal_meta,
         "multimodal_dedup": _q_multimodal_dedup,
         # -- similarity search --
@@ -634,6 +637,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, jaccard FROM p
             WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
         """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1,
+                         {SA.SAMPLE_HEX_DIGITS}) <
+                  CASE lang
+                    {" ".join(
+                        f"WHEN '{k}' THEN '{SA.sample_hex_threshold(v)}'"
+                        for k, v in sorted(SA.SAMPLE_RATES.items())
+                    )}
+                    ELSE '{SA.sample_hex_threshold(0.0)}' END
+            ORDER BY doc_id
+        """,
+        "token_budget_pack": f"""
+            WITH s AS (
+              SELECT doc_id, lang,
+                     CAST({{ntoks}} AS BIGINT) AS n_tokens,
+                     round(least({{ntoks}} / 400.0, 1.0) * 0.5 +
+                           (CASE WHEN {{ntoks}} > 0
+                            THEN {{nstop}} / CAST({{ntoks}} AS DOUBLE)
+                            ELSE 0.0 END) * 0.5, 6) AS quality_score
+              FROM documents),
+            c AS (
+              SELECT *, sum(n_tokens) OVER (
+                PARTITION BY lang
+                ORDER BY quality_score DESC, doc_id ASC
+                ROWS UNBOUNDED PRECEDING) AS cum
+              FROM s)
+            SELECT doc_id, lang, n_tokens, quality_score FROM c
+            WHERE cum <= {SA.PACK_BUDGET} ORDER BY doc_id
+        """.format(ntoks=ntoks, nstop=nstop),
         "multimodal_dedup": """
             SELECT md5(text) AS content_hash,
                    min(doc_id) AS canonical_id,

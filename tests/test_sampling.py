@@ -1,0 +1,64 @@
+"""Corpus-mixing operators: deterministic sampling + budget packing."""
+
+from __future__ import annotations
+
+from readability_ex_spark.operators.sampling import (
+    deterministic_sample,
+    sample_hex_threshold,
+    token_budget_pack,
+)
+
+
+def _docs(spark, n=400):
+    rows = [(i, "en" if i % 2 else "de") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_deterministic_sample_reproducible_and_nested(spark):
+    docs = _docs(spark)
+    half = {r.doc_id for r in deterministic_sample(docs, {"en": 0.5}).collect()}
+    again = {r.doc_id for r in deterministic_sample(docs, {"en": 0.5}).collect()}
+    assert half == again  # pure function of the id, no RNG state
+    tenth = {r.doc_id for r in deterministic_sample(docs, {"en": 0.1}).collect()}
+    # prefix-threshold draws nest: a lower rate is a SUBSET of a higher
+    # one (raising a stratum's rate never evicts previously kept rows)
+    assert tenth <= half
+    # unlisted strata use default_rate (0 -> dropped entirely)
+    assert all(i % 2 for i in half)
+    # rate ~ proportion (200 en docs; md5 draw is uniform)
+    assert 60 <= len(half) <= 140
+    everything = deterministic_sample(
+        docs, {"en": 1.0}, default_rate=1.0
+    ).count()
+    assert everything == docs.count()
+
+
+def test_sample_hex_threshold_edges():
+    assert sample_hex_threshold(0.0) == "000000"
+    assert sample_hex_threshold(1.0) == "g"  # sorts above every hex digit
+    assert sample_hex_threshold(0.5) == "800000"
+
+
+def test_token_budget_pack_greedy_by_quality(spark):
+    rows = [
+        # (doc_id, lang, n_tokens, quality_score)
+        (1, "en", 600, 0.9),
+        (2, "en", 500, 0.8),
+        (3, "en", 600, 0.7),   # would overflow the 1200 budget at cum=1700
+        (4, "en", 100, 0.6),   # still fits after 3 is skipped? no — cum
+                               # counts ALL ordered rows above, so 4's cum
+                               # is 1800: greedy cumulative, not knapsack
+        (5, "de", 300, 0.5),
+        (6, "de", 9999, 0.4),  # overflows alone
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_tokens long, quality_score double"
+    )
+    kept = {r.doc_id for r in token_budget_pack(df, 1200).collect()}
+    assert kept == {1, 2, 5}
+    # deterministic tiebreak: equal quality orders by doc_id
+    ties = spark.createDataFrame(
+        [(10, "en", 700, 0.5), (11, "en", 700, 0.5)],
+        "doc_id long, lang string, n_tokens long, quality_score double",
+    )
+    assert {r.doc_id for r in token_budget_pack(ties, 700).collect()} == {10}
