@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_docs": R.q_topk_docs,
         "set_diff": R.q_set_diff,
         "events_window": R.q_events_window,
+        "sessionize": R.q_sessionize,
+        "events_props": R.q_events_props,
         # -- text analysis / training-data ops --
         "token_count": T.q_token_count,
         "bpe_token_count": T.q_bpe_token_count,
@@ -372,6 +374,33 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "sessionize": f"""
+            WITH o AS (
+              SELECT user_id, event_id, value, epoch_us(ts) AS us,
+                     lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events),
+            s AS (
+              SELECT *, CAST(sum(CASE WHEN prev IS NULL
+                                      OR us - prev > {R.SESSION_GAP_US}
+                                 THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM o)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(us) AS start_us, max(us) AS end_us,
+                   round(sum(value), 2) AS sum_value
+            FROM s GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
+        """,
+        "events_props": """
+            SELECT event_type,
+                   count(CAST(props ->> '$.k' AS BIGINT)) AS n_with_k,
+                   CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT)
+                     AS sum_k,
+                   max(CAST(props ->> '$.k' AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "token_count": f"""
             SELECT doc_id,

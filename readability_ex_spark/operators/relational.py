@@ -189,6 +189,68 @@ def q_set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_en.exceptAll(long_en).orderBy("doc_id")
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 idle minutes end a session
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a session ends after >30 idle minutes;
+    per-user session stats (the standard event-stream rollup the
+    streaming path would run with applyInPandasWithState).
+
+    Plan shape: one shuffle on user_id, lag + cumulative-sum windows
+    over (ts, event_id), then the session aggregation reuses the same
+    clustering. Boundaries compare epoch MICROsecond integers —
+    Spark's unix_micros and DuckDB's epoch_us agree exactly, where
+    second-truncating unix_timestamp would misclassify sub-second gaps
+    at the threshold.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # the parquet column is TIMESTAMP_NTZ; the session is pinned to UTC,
+    # so the cast to (tz-aware) timestamp is value-preserving
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    is_new = F.when(
+        prev.isNull() | ((us - prev) > SESSION_GAP_US), 1
+    ).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = ev.withColumn("_new", is_new).withColumn(
+        "session_id", F.sum("_new").over(cum)
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(us).alias("start_us"),
+            F.max(us).alias("end_us"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the events props column
+    (semi-structured payloads ride crawl tables as JSON strings):
+    per-event_type stats of the extracted numeric field."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregation (hourly counters by event type) —
     the batch shape of the streaming rollup."""
