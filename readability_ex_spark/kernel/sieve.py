@@ -61,7 +61,10 @@ _ALTER_KEEP = frozenset(["div", "article", "section", "p", "ol", "ul"])
 class PassState:
     """View over a node table; ``removed`` is only used for stage-1."""
 
-    __slots__ = ("nodes", "el_ids", "removed", "score", "is_candidate")
+    __slots__ = (
+        "nodes", "el_ids", "removed", "score", "is_candidate",
+        "weight_nonzero",
+    )
 
     def __init__(self, nodes: dict[int, Node], el_ids: dict[int, int]):
         self.nodes = nodes
@@ -69,6 +72,7 @@ class PassState:
         self.removed: set[int] = set()
         self.score: dict[int, float] = {}
         self.is_candidate: set[int] = set()
+        self.weight_nonzero = False  # any scored node with class weight != 0
 
     def get(self, nid) -> Node | None:
         if nid is None or nid in self.removed:
@@ -85,13 +89,22 @@ def grab_article(
     opts: dict,
     meta: dict,
     known_byline: str | None = None,
+    effects: dict | None = None,
 ):
     """One flag pass over a pass-private copy of the prepped tree.
     Returns result dict or None (nothing to extract).
 
     ``known_byline``: byline found by an earlier pass — Readability.js
     keeps _articleByline across grabArticle retries, so later passes
-    neither hunt for nor remove byline nodes."""
+    neither hunt for nor remove byline nodes.
+
+    ``effects``: optional dict this pass fills with whether each flag
+    actually CHANGED anything — ``strip`` (the unlikely-candidates
+    branch removed a node), ``weight`` (some scored node had a nonzero
+    class weight), ``cond`` (conditional cleaning removed a node). A
+    flag that had no effect can be cleared without changing the output,
+    which lets the retry loop skip provably-identical passes
+    (api.py:parse)."""
     roots: list = [
         c.copy_deep() if isinstance(c, Element) else c for c in doc
     ]
@@ -99,6 +112,8 @@ def grab_article(
     walker.stats = _subtree_stats(roots)
     roots = walker.walk_list(roots, [])
     byline = walker.byline
+    if effects is not None:
+        effects["strip"] = walker.strip_removed
     if not any(isinstance(r, Element) for r in roots):
         return None
 
@@ -106,6 +121,8 @@ def grab_article(
     ps2 = PassState(nodes2, el_ids2)
     _score_candidates(ps2, flags)
     top_id = _pick_top_candidate(ps2, opts, flags)
+    if effects is not None:
+        effects["weight"] = ps2.weight_nonzero
     if top_id is None:
         return None
 
@@ -124,7 +141,10 @@ def grab_article(
     cleaned = cleaner.mark_data_tables(cleaned)
     cleaned = cleaner.fix_lazy_images(cleaned)
     if has_flag(flags, FLAG_CLEAN_CONDITIONALLY):
+        _n0 = _count_elements(cleaned) if effects is not None else 0
         cleaned = cleaner.clean_conditionally(cleaned, ("form", "fieldset"))
+        if effects is not None and _count_elements(cleaned) != _n0:
+            effects["cond"] = True
     cleaned = cleaner.clean_tag(cleaned, "object")
     cleaned = cleaner.clean_tag(cleaned, "embed")
     cleaned = cleaner.clean_tags(cleaned, frozenset(["footer", "link", "aside"]))
@@ -136,7 +156,10 @@ def grab_article(
     )
     cleaned = cleaner.clean_headers(cleaned)
     if has_flag(flags, FLAG_CLEAN_CONDITIONALLY):
+        _n0 = _count_elements(cleaned) if effects is not None else 0
         cleaned = cleaner.clean_conditionally(cleaned, ("table", "ul", "div"))
+        if effects is not None and _count_elements(cleaned) != _n0:
+            effects["cond"] = True
     cleaned = cleaner.downgrade_h1(cleaned)
     cleaned = cleaner.remove_empty_nodes(cleaned)
     cleaned = cleaner.remove_br_before_p(cleaned)
@@ -163,6 +186,18 @@ def grab_article(
 # containers -> div conversion. Removal and conversion interleave exactly
 # like the JS while-loop: a node's conversion decision sees descendants
 # that are only removed later in the walk.
+
+def _count_elements(node) -> int:
+    """Element count of a subtree — conditional cleaning only ever
+    REMOVES nodes, so an unchanged count proves it was a no-op."""
+    if not isinstance(node, Element):
+        return 0
+    n = 1
+    for c in node.children:
+        if isinstance(c, Element):
+            n += _count_elements(c)
+    return n
+
 
 def _subtree_stats(roots: list) -> dict[int, tuple[bool, int]]:
     """One bottom-up pass: id(element) -> (has_nonws_text, n_br_hr_desc).
@@ -196,6 +231,7 @@ class _GrabWalk:
     def __init__(self, flags: int, article_title: str, meta: dict,
                  known_byline: str | None = None):
         self.strip = has_flag(flags, FLAG_STRIP_UNLIKELYS)
+        self.strip_removed = False  # did the strip flag remove anything?
         mb = meta.get("byline")
         self.have_byline = isinstance(mb, str) and mb.strip() != ""
         self.byline: str | None = known_byline
@@ -253,8 +289,10 @@ class _GrabWalk:
                 and "code" not in ancestors[-4:]
                 and el.tag not in ("body", "a")
             ):
+                self.strip_removed = True
                 return None
             if el.attr("role") in UNLIKELY_ROLES:
+                self.strip_removed = True
                 return None
         if el.tag in _EMPTYABLE_TAGS:
             stat = self.stats.get(id(el))
@@ -379,7 +417,10 @@ def _class_weight(n: Node, flags: int) -> int:
 def _initialize(ps: PassState, nid: int, flags: int) -> None:
     n = ps.nodes[nid]
     ps.is_candidate.add(nid)
-    ps.score[nid] = float(TAG_SCORE_BASE.get(n.tag, 0) + _class_weight(n, flags))
+    w = _class_weight(n, flags)
+    if w:
+        ps.weight_nonzero = True
+    ps.score[nid] = float(TAG_SCORE_BASE.get(n.tag, 0) + w)
 
 
 def _score_candidates(ps: PassState, flags: int) -> None:

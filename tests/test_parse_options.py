@@ -48,3 +48,40 @@ def test_char_threshold_controls_pass_acceptance():
     )
     r = parse(short, char_threshold=10)
     assert r["length"] > 10
+
+
+def test_skip_noop_attempts_is_output_identical():
+    """The retry-skip optimization must be byte-identical to the literal
+    4-pass loop — verified across the full fixture corpus (the pages
+    that exercise multi-pass retries) and short synthetic docs (which
+    fail every pass and take the longest attempt)."""
+    from readability_ex_spark.kernel import parse
+    from readability_ex_spark.kernel.api import NotReadable
+    from readability_ex_spark.kernel.conformance import fixture_ids, load_fixture
+
+    def both(html, **kw):
+        out = []
+        for skip in (True, False):
+            try:
+                r = parse(html, skip_noop_attempts=skip, **kw)
+                out.append((r["content"], r["text_content"], r["byline"]))
+            except NotReadable:
+                out.append(None)
+        return out
+
+    # short docs: every pass fails the threshold, longest-attempt wins
+    shorts = [
+        "<html><body><article><p>tiny text, with commas.</p></article></body></html>",
+        "<html><body><div class='sidebar'><p>unlikely short</p></div>"
+        "<div><p>main but short, still.</p></div></body></html>",
+        "<html><body><div class='footer entry'><p>short body text here,"
+        " with a comma.</p></div></body></html>",
+    ]
+    for h in shorts:
+        a, b = both(h)
+        assert a == b
+
+    for fid in fixture_ids()[::7]:  # every 7th fixture (~19 pages)
+        fix = load_fixture(fid)
+        a, b = both(fix["source"], base_uri="http://fakehost/test/page.html")
+        assert a == b, fid
