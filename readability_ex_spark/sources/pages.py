@@ -33,12 +33,18 @@ def read_pages(
 
     ``table_format='iceberg'`` loads an Iceberg table (``path`` is then
     a catalog table name, e.g. ``crawl.pages``) — snapshot isolation +
-    hidden partitioning at 10^12-doc scale. The parquet path is the
-    dev/test fallback with the identical schema; in this sandbox there
-    are no Iceberg jars, so the iceberg branch is exercised by
-    call-shape tests only (tests/test_iceberg_path.py)."""
+    hidden partitioning at 10^12-doc scale. ``'warc'`` reads raw
+    Common-Crawl-style WARC segments (plain or .gz) via the stdlib
+    record parser (sources/warc.py). The parquet path is the dev/test
+    fallback with the identical schema; in this sandbox there are no
+    Iceberg jars, so the iceberg branch is exercised by call-shape
+    tests only (tests/test_iceberg_path.py)."""
     if table_format == "iceberg":
         return spark.read.format("iceberg").load(path)
+    if table_format == "warc":
+        from readability_ex_spark.sources.warc import read_warc_pages
+
+        return read_warc_pages(spark, path)
     return spark.read.parquet(path)
 
 

@@ -57,9 +57,12 @@ def main() -> int:
         help="omit content_html from the output (text-only pipelines)",
     )
     ap.add_argument(
-        "--table-format", choices=("parquet", "iceberg"), default="parquet",
+        "--table-format", choices=("parquet", "iceberg", "warc"),
+        default="parquet",
         help="input/output table format; iceberg treats --input/--output "
-        "as catalog table names (requires an Iceberg-enabled session)",
+        "as catalog table names (requires an Iceberg-enabled session); "
+        "warc reads raw .warc/.warc.gz crawl segments (output stays "
+        "parquet)",
     )
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
@@ -85,6 +88,8 @@ def main() -> int:
     spark = SparkSession.builder.appName("readability_extract").getOrCreate()
     run_id = args.run_id or f"run-{int(time.time())}"
 
+    # warc input still writes/reads parquet on the output side
+    out_format = "parquet" if args.table_format == "warc" else args.table_format
     pages = read_pages(spark, args.input, table_format=args.table_format)
     if args.urls:
         allow = spark.read.parquet(args.urls).select("url")
@@ -99,7 +104,7 @@ def main() -> int:
             spark,
             args.output,
             done_statuses=TERMINAL_STATUSES if args.retry_errors else None,
-            table_format=args.table_format,
+            table_format=out_format,
         )
     )
     extracted = run_extraction(
@@ -110,10 +115,10 @@ def main() -> int:
         emit_html=not args.no_html,
     ).cache()
 
-    write_extracted(extracted, args.output, table_format=args.table_format)
+    write_extracted(extracted, args.output, table_format=out_format)
     write_metrics(
         metrics_rollup(extracted), args.output, run_id,
-        table_format=args.table_format,
+        table_format=out_format,
     )
 
     if args.chain_pages > 1:
