@@ -104,6 +104,10 @@ def parse(html: str | bytes, doc: list | None = None, **opts) -> dict:
                     cleared & FLAG_CLEAN_CONDITIONALLY
                     and prev_effects.get("cond")
                 )
+                # a pass that newly FOUND a byline removed its node; the
+                # next pass runs with known_byline set and keeps the
+                # node, so it is not a replay of this one
+                or prev_effects.get("byline")
             ):
                 prev_flags = flags  # the skipped pass stands in as 'previous'
                 continue

@@ -114,6 +114,10 @@ def grab_article(
     byline = walker.byline
     if effects is not None:
         effects["strip"] = walker.strip_removed
+        # a NEWLY found byline changes the next pass's input: with
+        # known_byline set, the walker keeps the byline node it removed
+        # here — the retry is not identical and must not be skipped
+        effects["byline"] = walker.byline is not None
     if not any(isinstance(r, Element) for r in roots):
         return None
 

@@ -49,12 +49,18 @@ def near_dup_clusters(
     splitting a cluster and under-deduplicating without a trace. Pass
     strict=False to skip all checks and run the fixed round count.
     """
-    edges = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).distinct()
+    # checkpoint EDGES, not just the symmetric view: the strict check and
+    # every propagation round read it, and its lineage typically reaches
+    # back through the whole near-dup pair derivation (LSH band join +
+    # Jaccard verify) — uncheckpointed, each split-edge count re-ran it
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    )
     labels = (
         sym.select("src")
         .distinct()
@@ -108,37 +114,24 @@ def near_dup_clusters(
 
 
 def q_dedup_manifest(spark, sf_dir: str) -> DataFrame:
-    """The FULL dedup decision over the documents table — the same
-    composition ``corpus.dedup_keep_manifest`` runs on extracted pages:
-    exact md5 groups collapse first (min doc_id survives; over-cap
-    boilerplate buckets reduce to one survivor here), verified near-dup
-    pairs among the exact survivors resolve into connected components,
-    and the canonical composes both stages. (doc_id, canonical_id, keep).
-    """
-    from readability_ex_spark.operators.textops import (
-        _docs,
-        near_dup_verified_pairs,
-    )
+    """The FULL dedup decision over the documents table — literally
+    ``corpus.dedup_keep_manifest`` (the operator the page pipeline runs)
+    keyed by doc_id: exact md5 groups collapse first (min id survives;
+    over-cap boilerplate buckets reduce to one survivor here), verified
+    near-dup pairs among the exact survivors resolve into connected
+    components, and the canonical composes both stages.
+    (doc_id, canonical_id, keep)."""
+    from readability_ex_spark.operators.corpus import dedup_keep_manifest
+    from readability_ex_spark.operators.textops import MAX_BAND_BUCKET, _docs
 
-    docs = _docs(spark, sf_dir)
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    fp = docs.select("doc_id", F.md5(norm).alias("_f"))
-    grp = fp.groupBy("_f").agg(F.min("doc_id").alias("_ec"))
-    ex = fp.join(grp, "_f").select("doc_id", "_ec")
-    survivors = docs.join(
-        ex.filter(F.col("doc_id") == F.col("_ec")).select("doc_id"),
-        "doc_id",
-        "left_semi",
+    manifest = dedup_keep_manifest(
+        _docs(spark, sf_dir),
+        id_col="doc_id",
+        canonical_col="canonical_id",
+        # the oracle's shared LSH CTEs use the checked sandbox cap
+        max_bucket=MAX_BAND_BUCKET,
     )
-    nd = near_dup_clusters(near_dup_verified_pairs(survivors)).select(
-        F.col("id").alias("_ec"), F.col("cluster_id").alias("_nd")
-    )
-    return (
-        ex.join(nd, "_ec", "left")
-        .select("doc_id", F.coalesce("_nd", "_ec").alias("canonical_id"))
-        .withColumn("keep", F.col("doc_id") == F.col("canonical_id"))
-        .orderBy("doc_id")
-    )
+    return manifest.select("doc_id", "canonical_id", "keep").orderBy("doc_id")
 
 
 def q_emb_near_dup_clusters(spark, sf_dir: str) -> DataFrame:

@@ -44,12 +44,17 @@ def with_quality_signals(extracted: DataFrame, text_col: str = "text") -> DataFr
     )
 
 
-def exact_dup_manifest(extracted: DataFrame, text_col: str = "text") -> DataFrame:
-    """url -> (fingerprint, canonical_url, n_copies) over normalized text."""
+def exact_dup_manifest(
+    extracted: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+    canonical_col: str = "canonical_url",
+) -> DataFrame:
+    """id -> (fingerprint, canonical id, n_copies) over normalized text."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    fp = extracted.select("url", F.md5(norm).alias("fingerprint"))
+    fp = extracted.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
     groups = fp.groupBy("fingerprint").agg(
-        F.min("url").alias("canonical_url"), F.count("*").alias("n_copies")
+        F.min(id_col).alias(canonical_col), F.count("*").alias("n_copies")
     )
     return fp.join(groups, "fingerprint")
 
@@ -88,6 +93,8 @@ def dedup_keep_manifest(
     n_bands: int = 3,
     rows_per_band: int = 2,
     max_bucket: int = 1000,
+    id_col: str = "url",
+    canonical_col: str = "canonical_url",
 ) -> DataFrame:
     """url -> (fingerprint, n_copies, canonical_url, keep): the complete
     dedup decision combining exact groups and near-dup clusters, with no
@@ -112,15 +119,17 @@ def dedup_keep_manifest(
     from readability_ex_spark.operators.clusters import near_dup_clusters
     from readability_ex_spark.operators.textops import near_dup_verified_pairs
 
-    exact = exact_dup_manifest(extracted, text_col=text_col)
+    exact = exact_dup_manifest(
+        extracted, text_col=text_col, id_col=id_col, canonical_col=canonical_col
+    )
     survivors = extracted.join(
-        exact.filter(F.col("url") == F.col("canonical_url")).select("url"),
-        "url",
+        exact.filter(F.col(id_col) == F.col(canonical_col)).select(id_col),
+        id_col,
         "left_semi",
     )
     pairs = near_dup_verified_pairs(
         survivors,
-        id_col="url",
+        id_col=id_col,
         text_col=text_col,
         threshold=near_dup_threshold,
         n_bands=n_bands,
@@ -133,21 +142,21 @@ def dedup_keep_manifest(
     )
     return (
         exact.select(
-            "url",
+            id_col,
             "fingerprint",
             "n_copies",
-            F.col("canonical_url").alias("_exact_canonical"),
+            F.col(canonical_col).alias("_exact_canonical"),
         )
         .join(nd, "_exact_canonical", "left")
         .select(
-            "url",
+            id_col,
             "fingerprint",
             "n_copies",
             F.coalesce("_nd_canonical", "_exact_canonical").alias(
-                "canonical_url"
+                canonical_col
             ),
         )
-        .withColumn("keep", F.col("url") == F.col("canonical_url"))
+        .withColumn("keep", F.col(id_col) == F.col(canonical_col))
     )
 
 

@@ -279,6 +279,7 @@ def decode_mp4_duration(b: bytes) -> float:
 
 
 _RE_PDF_PAGE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
+_RE_PDF_PAGES = re.compile(rb"/Type\s*/Pages")
 _RE_PDF_COUNT = re.compile(rb"/Count\s+(\d+)")
 
 
@@ -291,8 +292,10 @@ def parse_pdf_meta(b: bytes) -> tuple[str, int]:
     Page count: the number of uncompressed ``/Type /Page`` objects;
     PDFs that pack page objects into compressed object streams
     (1.5+ xref streams) expose no plain page objects, so fall back to
-    the largest ``/Count N`` of the page-tree nodes (the root's count
-    is the page total and dominates any subtree count)."""
+    the largest ``/Count N`` found NEAR a ``/Type /Pages`` marker (the
+    page-tree root's count is the page total and dominates subtree
+    counts; an unscoped max would pick up outline/bookmark ``/Count``
+    entries, which can exceed the page count)."""
     if not b.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload")
     eol = b.find(b"\n", 0, 16)
@@ -301,7 +304,10 @@ def parse_pdf_meta(b: bytes) -> tuple[str, int]:
     )
     n_pages = len(_RE_PDF_PAGE.findall(b))
     if n_pages == 0:
-        counts = [int(m) for m in _RE_PDF_COUNT.findall(b)]
+        counts = []
+        for m in _RE_PDF_PAGES.finditer(b):
+            window = b[max(0, m.start() - 300) : m.start() + 300]
+            counts += [int(c) for c in _RE_PDF_COUNT.findall(window)]
         n_pages = max(counts) if counts else 0
     return version, n_pages
 

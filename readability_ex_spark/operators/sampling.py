@@ -67,11 +67,14 @@ def token_budget_pack(
     quality_col: str = "quality_score",
 ) -> DataFrame:
     """Fill each stratum's token budget best-first: order docs by
-    (quality desc, id asc — deterministic tiebreak), take docs while the
-    running token total stays within budget. A doc that would overflow
-    the budget is dropped but later smaller docs may still fit
-    (greedy-by-quality, not first-fit: the cumulative sum INCLUDING the
-    current doc must be <= budget).
+    (quality desc, id asc — deterministic tiebreak) and keep the longest
+    PREFIX whose running token total stays within budget. This is prefix
+    truncation, not knapsack packing: the cumulative sum includes every
+    higher-quality doc whether or not it was kept, so the first doc that
+    overflows the budget also ends the stratum — a deliberately simple,
+    single-window rule (skip-and-continue packing would need a stateful
+    scan; the quality ordering makes the prefix the right cut anyway:
+    everything below the cut is worse than everything above it).
 
     One window per stratum — a single hash shuffle on the stratum key;
     at crawl scale strata are languages/domains (dozens), so pair this

@@ -458,19 +458,20 @@ def q_ann_materialized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized bucket-partitioned index (same result contract as
     ann_lsh_topk — the oracle is identical — but the read path is the
     partition-pruned probe, asserted at construction)."""
-    import hashlib
     import os
     import tempfile
+    import uuid
 
     emb = _emb(spark, sf_dir)
     qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
     qvec = [float(x) for x in qrow[0]]
-    # deterministic scratch path per sf table; overwritten each call
-    # (the returned DataFrame reads it lazily, so it must outlive this
-    # function — a cached index, not a leak)
+    # unique scratch path per call: the returned DataFrame reads the
+    # index lazily, so a shared path would race — another call's
+    # overwrite could delete files a still-held result reads. Old index
+    # dirs linger in tmp until the OS cleans them (bounded: one tiny
+    # index per call, test/bench scale only).
     path = os.path.join(
-        tempfile.gettempdir(),
-        "readability_ann_index_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        tempfile.gettempdir(), f"readability_ann_index_{uuid.uuid4().hex}"
     )
     materialize_buckets(emb, path)
     return ann_materialized_topk(

@@ -304,8 +304,8 @@ def winnow_overlap_pairs(
 
 
 def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partial-overlap pairs (winnowed-fingerprint containment >= 0.5,
-    df-cut at 20 docs per fingerprint)."""
+    """Partial-overlap pairs (winnowed-fingerprint containment >=
+    WINNOW_CONTAINMENT, df-cut at WINNOW_MAX_DF docs per fingerprint)."""
     return (
         winnow_overlap_pairs(_docs(spark, sf_dir))
         .select(

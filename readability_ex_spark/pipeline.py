@@ -170,18 +170,21 @@ def run_extraction(
             F.pmod(F.xxhash64("url", "html"), F.lit(salt_buckets)),
         )
     else:
-        # ONE exchange moves the html payload: the explicit url-hash
-        # repartition runs FIRST, and the dedup window's
+        # ONE exchange moves the html payload: the done-urls anti-join
+        # runs before the layout (a post-repartition SortMergeJoin would
+        # re-shuffle to spark.sql.shuffle.partitions and hand the kernel
+        # an AQE-coalescible layout on resume), then the explicit
+        # url-hash repartition, and the dedup window's
         # ClusteredDistribution(url) is satisfied by ANY url hash
         # partitioning, so ENSURE_REQUIREMENTS adds only a local sort —
         # with the window first, a shuffle.partitions/n_partitions
         # mismatch re-shuffled the full corpus payload a second time
         # (plan-asserted in tests/test_plans.py)
+        if done_urls is not None:
+            df = df.join(done_urls.select("url"), "url", "left_anti")
         df = df.repartition(n_partitions, F.col("url"))
         if dedup:
             df = dedup_latest_crawl(df)
-        if done_urls is not None:
-            df = df.join(done_urls.select("url"), "url", "left_anti")
         df = df.select("url", F.col("html").cast("binary").alias("html"))
 
     extracted = df.mapInPandas(extract_batches, EXTRACT_SCHEMA)

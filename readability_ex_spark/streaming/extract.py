@@ -80,6 +80,8 @@ def stream_dedup_first_seen(
     ttl = None if state_ttl_ms is None else int(state_ttl_ms)
 
     def _first_seen(key, pdfs, state):
+        import hashlib
+
         import pandas as pd
 
         if state.hasTimedOut:
@@ -91,7 +93,18 @@ def stream_dedup_first_seen(
         if ttl is not None:
             state.setTimeoutDuration(ttl)
         if not seen and len(batch):
-            yield batch.sort_values("warc_ts", kind="stable").head(1)[cols]
+            # deterministic winner even on warc_ts ties (arrival order
+            # varies across shuffles/replays): break ties on the payload
+            # hash, the same rule dedup_latest_crawl uses
+            batch = batch.assign(
+                _h=[
+                    hashlib.md5(bytes(h)).hexdigest() if h is not None else ""
+                    for h in batch["html"]
+                ]
+            )
+            yield batch.sort_values(
+                ["warc_ts", "_h"], kind="stable"
+            ).head(1)[cols]
 
     return pages_stream.groupBy("url").applyInPandasWithState(
         _first_seen,

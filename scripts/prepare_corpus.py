@@ -80,9 +80,12 @@ def main() -> int:
     corpus = corpus.withColumn(
         "url_bucket", F.pmod(F.xxhash64("url"), F.lit(64)).cast("int")
     )
-    corpus.write.partitionBy("url_bucket").mode("append").parquet(args.output)
+    # overwrite: a corpus build is a whole-batch artifact — append-mode
+    # reruns (e.g. after a partial failure) would silently duplicate
+    # every row; deterministic kernel + overwrite make reruns idempotent
+    corpus.write.partitionBy("url_bucket").mode("overwrite").parquet(args.output)
     # the dedup audit trail: every extracted url's keep decision
-    manifest.write.mode("append").parquet(f"{args.output}/_manifest")
+    manifest.write.mode("overwrite").parquet(f"{args.output}/_manifest")
 
     n_docs = spark.read.parquet(args.output).count()
     n_in = manifest.count()

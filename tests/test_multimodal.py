@@ -217,9 +217,13 @@ def test_parse_pdf_meta():
     assert parse_pdf_meta(_pdf(2)) == ("1.4", 2)
     assert parse_pdf_meta(_pdf(5, version="1.7")) == ("1.7", 5)
     # compressed-object-stream PDFs expose no plain /Type /Page objects:
-    # the page-tree /Count fallback answers (root count dominates)
+    # the page-tree /Count fallback answers (root count dominates), and
+    # outline/bookmark /Count entries (no /Type /Pages nearby) are
+    # ignored even when larger
     packed = (
         b"%PDF-1.6\n2 0 obj << /Type /Pages /Count 7 >> endobj\n"
+        + b"x" * 400
+        + b"\n8 0 obj << /Type /Outlines /Count 50 >> endobj\n"
         b"9 0 obj << /Count 3 >> endobj\n%%EOF"
     )
     assert parse_pdf_meta(packed) == ("1.6", 7)

@@ -76,6 +76,12 @@ def test_skip_noop_attempts_is_output_identical():
         "<div><p>main but short, still.</p></div></body></html>",
         "<html><body><div class='footer entry'><p>short body text here,"
         " with a comma.</p></div></body></html>",
+        # a pass that FINDS a byline removes its node; the next pass runs
+        # with known_byline set and keeps it — skipping there was a real
+        # bug (review finding): text differed between the two modes
+        "<html><body><article><div class='byline'>Jane Q. Author, staff"
+        "</div><p>short body text, with commas, below threshold.</p>"
+        "</article></body></html>",
     ]
     for h in shorts:
         a, b = both(h)
