@@ -116,8 +116,12 @@ def grab_article(
         effects["strip"] = walker.strip_removed
         # a NEWLY found byline changes the next pass's input: with
         # known_byline set, the walker keeps the byline node it removed
-        # here — the retry is not identical and must not be skipped
-        effects["byline"] = walker.byline is not None
+        # here — the retry is not identical and must not be skipped.
+        # When known_byline was ALREADY set, walker.byline is non-None by
+        # construction (it is initialized from known_byline) but nothing
+        # new was found — a pass re-running with the same known_byline is
+        # a true replay and MAY be skipped.
+        effects["byline"] = walker.byline is not None and known_byline is None
     if not any(isinstance(r, Element) for r in roots):
         return None
 
@@ -126,6 +130,15 @@ def grab_article(
     _score_candidates(ps2, flags)
     top_id = _pick_top_candidate(ps2, opts, flags)
     if effects is not None:
+        # INVARIANT the skip-noop optimization relies on: class weight is
+        # tracked here (candidate scoring) ONLY. cleaner.py's
+        # clean_conditionally (cleaner.py:558) and clean_headers
+        # (cleaner.py:672) call metrics.class_weight UN-GATED by
+        # FLAG_WEIGHT_CLASSES — a deliberate divergence from the JS
+        # _getClassWeight (00_original_code.js:2169, which zeroes weight
+        # when the flag is cleared) under which the golden corpus passes. If
+        # cleaner gating is ever aligned with the JS, those call sites
+        # must ALSO set weight_nonzero or the skip becomes output-changing.
         effects["weight"] = ps2.weight_nonzero
     if top_id is None:
         return None

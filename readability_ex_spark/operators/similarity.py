@@ -453,26 +453,49 @@ def ann_materialized_topk(
     return cosine_topk(pruned.drop("bucket"), query_vec, k=k, exclude_id=exclude_id)
 
 
+# Scratch indexes created by q_ann_materialized_topk. Each call needs
+# its OWN path (the returned DataFrame reads the index lazily, so a
+# shared path would race — an overwrite could delete files a still-held
+# result reads), but a long-lived driver looping the query (bench,
+# parity sweeps) must not accumulate dirs unboundedly: keep the most
+# recent _ANN_SCRATCH_KEEP (older results are long consumed by then),
+# delete the rest eagerly, and remove everything at interpreter exit.
+_ANN_SCRATCH_KEEP = 4
+_ann_scratch_paths: list[str] = []
+
+
+def _ann_scratch_dir() -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    if not _ann_scratch_paths:  # first call in this process
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True)
+                for p in _ann_scratch_paths
+            ]
+        )
+    path = os.path.join(
+        tempfile.gettempdir(), f"readability_ann_index_{uuid.uuid4().hex}"
+    )
+    _ann_scratch_paths.append(path)
+    while len(_ann_scratch_paths) > _ANN_SCRATCH_KEEP:
+        shutil.rmtree(_ann_scratch_paths.pop(0), ignore_errors=True)
+    return path
+
+
 def q_ann_materialized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe top-5 for the vec_id=0 query served from a
     materialized bucket-partitioned index (same result contract as
     ann_lsh_topk — the oracle is identical — but the read path is the
     partition-pruned probe, asserted at construction)."""
-    import os
-    import tempfile
-    import uuid
-
     emb = _emb(spark, sf_dir)
     qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
     qvec = [float(x) for x in qrow[0]]
-    # unique scratch path per call: the returned DataFrame reads the
-    # index lazily, so a shared path would race — another call's
-    # overwrite could delete files a still-held result reads. Old index
-    # dirs linger in tmp until the OS cleans them (bounded: one tiny
-    # index per call, test/bench scale only).
-    path = os.path.join(
-        tempfile.gettempdir(), f"readability_ann_index_{uuid.uuid4().hex}"
-    )
+    path = _ann_scratch_dir()
     materialize_buckets(emb, path)
     return ann_materialized_topk(
         spark, path, qvec, k=5, exclude_id=QUERY_VEC_ID

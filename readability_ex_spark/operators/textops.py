@@ -743,6 +743,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights = 1 << np.arange(N_SIMHASH_BITS)
         out = []
         for arr in toks:
+            if arr is None:  # null text -> null tokens -> null simhash
+                out.append(None)
+                continue
             totals = np.zeros(N_SIMHASH_BITS, dtype=np.int64)
             for t in arr:
                 hx = _md5(t.encode("utf-8")).hexdigest()[:N_SIMHASH_BITS]
@@ -792,6 +795,10 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         out = {f"band{k}": [] for k in range(N_SIMHASH64_BANDS)}
         weights = 1 << np.arange(16)
         for arr in toks:
+            if arr is None:  # null text -> null tokens -> null bands
+                for k in range(N_SIMHASH64_BANDS):
+                    out[f"band{k}"].append(None)
+                continue
             totals = np.zeros(64, dtype=np.int64)
             for t in arr:
                 tb = t.encode("utf-8")

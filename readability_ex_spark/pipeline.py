@@ -116,11 +116,31 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
+def html_tiebreak_col(col: str = "html"):
+    """THE dedup tiebreak for warc_ts ties, shared verbatim by the batch
+    (``dedup_latest_crawl``) and streaming (``stream_dedup_first_seen``)
+    paths so a streaming run and its batch backfill keep the SAME row
+    for the same url: ascending md5 of the payload, null payload -> ''.
+    md5 (not xxhash64) because the streaming side computes it in pandas,
+    where hashlib.md5 is the portable twin."""
+    return F.coalesce(F.md5(F.col(col)), F.lit(""))
+
+
+def html_tiebreak_py(payload) -> str:
+    """Pandas-side twin of ``html_tiebreak_col`` — identical ordering."""
+    import hashlib
+
+    if payload is None:
+        return ""
+    return hashlib.md5(bytes(payload)).hexdigest()
+
+
 def dedup_latest_crawl(pages: DataFrame) -> DataFrame:
     """One row per url at max warc_ts (deterministic tiebreak on the
-    html hash so reruns are stable)."""
+    html md5 — ``html_tiebreak_col``, shared with the streaming dedup —
+    so reruns are stable and batch backfills agree with the stream)."""
     w = W.partitionBy("url").orderBy(
-        F.col("warc_ts").desc(), F.xxhash64(F.col("html")).asc()
+        F.col("warc_ts").desc(), html_tiebreak_col().asc()
     )
     return (
         pages.withColumn("_rn", F.row_number().over(w))

@@ -80,9 +80,9 @@ def stream_dedup_first_seen(
     ttl = None if state_ttl_ms is None else int(state_ttl_ms)
 
     def _first_seen(key, pdfs, state):
-        import hashlib
-
         import pandas as pd
+
+        from readability_ex_spark.pipeline import html_tiebreak_py
 
         if state.hasTimedOut:
             state.remove()
@@ -95,13 +95,10 @@ def stream_dedup_first_seen(
         if not seen and len(batch):
             # deterministic winner even on warc_ts ties (arrival order
             # varies across shuffles/replays): break ties on the payload
-            # hash, the same rule dedup_latest_crawl uses
-            batch = batch.assign(
-                _h=[
-                    hashlib.md5(bytes(h)).hexdigest() if h is not None else ""
-                    for h in batch["html"]
-                ]
-            )
+            # md5 — html_tiebreak_py, the SAME rule (and hash) as the
+            # batch dedup_latest_crawl, so a batch backfill of this
+            # stream keeps identical rows
+            batch = batch.assign(_h=[html_tiebreak_py(h) for h in batch["html"]])
             yield batch.sort_values(
                 ["warc_ts", "_h"], kind="stable"
             ).head(1)[cols]

@@ -168,3 +168,59 @@ def test_batch_retry_replaces_drifted_partitions(spark, tmpdir):
     write_extracted_batch(retry, out, batch_id=0)
     assert spark.read.parquet(out).count() == 5
     extracted.unpersist()
+
+
+def test_batch_and_stream_tiebreak_agree(spark, tmpdir):
+    """On a warc_ts tie the batch dedup (dedup_latest_crawl) and the
+    streaming dedup (stream_dedup_first_seen) must keep the SAME row —
+    both use html_tiebreak (ascending payload md5, null -> '') so a
+    streaming run and its batch backfill agree."""
+    import datetime as dt
+
+    from readability_ex_spark.pipeline import dedup_latest_crawl
+    from readability_ex_spark.sources.pages import PAGES_SCHEMA
+    from readability_ex_spark.streaming import stream_dedup_first_seen
+
+    t = dt.datetime(2026, 1, 1, 12)
+    tied = [
+        ("http://tie", t, b"<p>payload one</p>", "t", "en"),
+        ("http://tie", t, b"<p>payload two</p>", "t", "en"),
+        ("http://tie", t, b"<p>payload three</p>", "t", "en"),
+    ]
+    batch_df = spark.createDataFrame(tied, PAGES_SCHEMA)
+    batch_winner = dedup_latest_crawl(batch_df).collect()
+    assert len(batch_winner) == 1
+
+    indir = tmpdir / "tie_in"
+    batch_df.coalesce(1).write.mode("overwrite").parquet(str(indir))
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(str(indir))
+    q = (
+        stream_dedup_first_seen(stream)
+        .writeStream.format("memory")
+        .queryName("tie_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmpdir / "ckpt_tie"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    stream_winner = spark.sql("select * from tie_test").collect()
+    assert len(stream_winner) == 1
+    assert bytes(stream_winner[0].html) == bytes(batch_winner[0].html)
+
+
+def test_tiebreak_helpers_identical_ordering(spark):
+    """html_tiebreak_py is byte-for-byte the pandas twin of
+    html_tiebreak_col (incl. the null -> '' convention)."""
+    from readability_ex_spark.pipeline import html_tiebreak_col, html_tiebreak_py
+
+    payloads = [b"<p>a</p>", b"", None, b"\xff\xfe binary"]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "i int, html binary"
+    )
+    jvm = {
+        r.i: r.h
+        for r in df.select("i", html_tiebreak_col().alias("h")).collect()
+    }
+    for i, p in enumerate(payloads):
+        assert html_tiebreak_py(p) == jvm[i]
