@@ -19,6 +19,7 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 from readability_ex_spark.operators import clusters as C  # noqa: E402
+from readability_ex_spark.operators import embedding as E  # noqa: E402
 from readability_ex_spark.operators.multimodal import (  # noqa: E402
     q_multimodal_dedup as _q_multimodal_dedup,
 )
@@ -74,6 +75,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cardinality": T.q_corpus_cardinality,
         "stratified_sample": SA.q_stratified_sample,
         "token_budget_pack": SA.q_token_budget_pack,
+        "text_embedding": E.q_text_embedding,
+        "text_emb_near_dup": E.q_text_emb_near_dup,
         "multimodal_meta": T.q_multimodal_meta,
         "multimodal_dedup": _q_multimodal_dedup,
         # -- similarity search --
@@ -200,6 +203,48 @@ def _simhash64_ctes(toks: str) -> str:
 
 def _sql_floats(vals) -> str:
     return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+_HEX = "0123456789abcdef"
+
+
+def _text_emb_ctes() -> str:
+    """DuckDB CTEs mirroring embedding.text_embedding exactly: feature
+    hashes = md5 of unigrams + adjacent bigrams, bucket = first 2 hex
+    digits mod TEXT_EMB_DIM, sign = lsb of digit 3 — ending in
+    ``tv(doc_id, bucket, val)`` (raw signed counts) and
+    ``tn(doc_id, nrm)`` (L2 norms). Shared by the text_embedding and
+    text_emb_near_dup oracles."""
+    return f"""t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END
+                       AS toks
+              FROM documents),
+            fe AS (
+              SELECT doc_id,
+                     list_transform(toks, x -> md5(x)) ||
+                     CASE WHEN len(toks) >= 2
+                          THEN list_transform(
+                            generate_series(1, len(toks) - 1),
+                            i -> md5(toks[i] || ' ' || toks[i + 1]))
+                          ELSE CAST([] AS VARCHAR[]) END AS hs
+              FROM t),
+            raw AS (SELECT doc_id, unnest(hs) AS h FROM fe),
+            bv AS (
+              SELECT doc_id,
+                     (16 * (strpos('{_HEX}', substr(h, 1, 1)) - 1) +
+                      (strpos('{_HEX}', substr(h, 2, 1)) - 1))
+                       % {E.TEXT_EMB_DIM} AS bucket,
+                     CASE WHEN strpos('13579bdf', substr(h, 3, 1)) > 0
+                          THEN 1 ELSE -1 END AS sign
+              FROM raw),
+            tv AS (
+              SELECT doc_id, bucket, CAST(sum(sign) AS DOUBLE) AS val
+              FROM bv GROUP BY 1, 2),
+            tn AS (
+              SELECT doc_id, sqrt(sum(val * val)) AS nrm
+              FROM tv GROUP BY 1)"""
 
 
 def _lsh_bucket_sql(emb_expr: str) -> str:
@@ -696,6 +741,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_tokens, quality_score FROM c
             WHERE cum <= {SA.PACK_BUDGET} ORDER BY doc_id
         """.format(ntoks=ntoks, nstop=nstop),
+        "text_embedding": f"""
+            WITH {_text_emb_ctes()}
+            SELECT tv.doc_id, bucket, round(val / nrm, 6) AS value
+            FROM tv JOIN tn USING (doc_id)
+            WHERE val <> 0
+            ORDER BY doc_id, bucket
+        """,
+        "text_emb_near_dup": f"""
+            WITH {_text_emb_ctes()},
+            arr AS (
+              SELECT fe.doc_id,
+                     list_transform(generate_series(0, {E.TEXT_EMB_DIM - 1}),
+                       b -> CAST(coalesce(list_sum(list_transform(hs, h ->
+                         CASE WHEN
+                           (16 * (strpos('{_HEX}', substr(h, 1, 1)) - 1) +
+                            (strpos('{_HEX}', substr(h, 2, 1)) - 1))
+                             % {E.TEXT_EMB_DIM} = b
+                           THEN CASE WHEN strpos('13579bdf',
+                                             substr(h, 3, 1)) > 0
+                                     THEN 1 ELSE -1 END
+                           ELSE 0 END)), 0) AS DOUBLE)) AS v
+              FROM fe),
+            temb AS (
+              SELECT arr.doc_id AS vec_id,
+                     list_transform(v, x -> x / nrm) AS ed
+              FROM arr JOIN tn ON tn.doc_id = arr.doc_id
+              WHERE nrm > 0),
+            b0 AS (
+              SELECT vec_id, ed, {_lsh_bucket_sql("ed")} AS bucket
+              FROM temb),
+            b AS (
+              SELECT vec_id, ed, bucket FROM (
+                SELECT *, count(*) OVER (PARTITION BY bucket) AS _n
+                FROM b0)
+              WHERE _n <= {S.EMB_MAX_BUCKET}),
+            p AS (
+              SELECT ce.vec_id AS doc_a, cq.vec_id AS doc_b,
+                     round(
+                       list_sum(list_transform(list_zip(ce.ed, cq.ed),
+                                               z -> z[1] * z[2])) /
+                       (sqrt(list_sum(list_transform(ce.ed, x -> x * x))) *
+                        sqrt(list_sum(list_transform(cq.ed, x -> x * x)))),
+                       6) AS cosine
+              FROM b ce JOIN b cq
+                ON ce.vec_id < cq.vec_id
+                AND bit_count(xor(ce.bucket, cq.bucket)) <= 1)
+            SELECT doc_a, doc_b, cosine FROM p
+            WHERE cosine >= {E.TEXT_EMB_ND_THRESHOLD}
+            ORDER BY doc_a, doc_b
+        """,
         "multimodal_dedup": """
             SELECT md5(text) AS content_hash,
                    min(doc_id) AS canonical_id,

@@ -160,11 +160,50 @@ def dedup_keep_manifest(
     )
 
 
+def embedding_dedup_drops(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """ids to DROP by embedding-space near-dup over the corpus text:
+    text_embedding (hashing-trick vectors, map-only) -> zero-norm filter
+    -> LSH-bucketed cosine pairs -> connected components -> every
+    non-canonical member. Catches paraphrase-level duplicates that
+    token-Jaccard misses (reworded boilerplate, template rewrites)."""
+    from readability_ex_spark.operators.clusters import near_dup_clusters
+    from readability_ex_spark.operators.embedding import (
+        TEXT_EMB_DIM,
+        text_embedding,
+    )
+    from readability_ex_spark.operators.similarity import embedding_near_dup
+
+    emb = text_embedding(corpus, id_col=id_col, text_col=text_col).filter(
+        F.aggregate(
+            F.transform("embedding", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        > 0
+    )
+    pairs = embedding_near_dup(
+        emb.select(F.col(id_col).alias("vec_id"), "embedding"),
+        threshold=threshold,
+        dim=TEXT_EMB_DIM,
+    )
+    return (
+        near_dup_clusters(pairs, "vec_a", "vec_b")
+        .filter(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias(id_col))
+    )
+
+
 def prepare_training_corpus(
     pages: DataFrame,
     *,
     min_quality: float = 0.0,
     near_dup_threshold: float | None = 0.8,
+    emb_near_dup_threshold: float | None = None,
     **extraction_kwargs,
 ) -> DataFrame:
     """pages -> deduped, quality-annotated text corpus.
@@ -173,7 +212,11 @@ def prepare_training_corpus(
     near-dup cluster (``dedup_keep_manifest``: A–B, B–C chains keep
     exactly one of {A, B, C}), annotates quality signals, and filters by
     ``min_quality``. Pass ``near_dup_threshold=None`` to collapse exact
-    duplicates only."""
+    duplicates only. ``emb_near_dup_threshold`` adds an OPTIONAL final
+    embedding-space dedup stage (``embedding_dedup_drops``) over the
+    token-level survivors — ordered last because it is the loosest
+    matcher: exact and token-Jaccard dedup shrink the corpus first, so
+    the embedding LSH buckets stay small."""
     extracted = run_extraction(pages, **extraction_kwargs).filter(
         F.col("status") == "ok"
     )
@@ -189,6 +232,9 @@ def prepare_training_corpus(
         "url", "fingerprint", "n_copies"
     )
     corpus = with_quality_signals(extracted.join(keep, "url"))
+    if emb_near_dup_threshold is not None:
+        drops = embedding_dedup_drops(corpus, emb_near_dup_threshold)
+        corpus = corpus.join(drops, "url", "left_anti")
     if min_quality > 0:
         corpus = corpus.filter(F.col("quality_score") >= min_quality)
     return corpus

@@ -1,0 +1,149 @@
+"""Text -> embedding: a deterministic hashing-trick n-gram vectorizer.
+
+Closes the loop between the text corpus and the ANN/embedding family
+(``operators/similarity.py``): instead of requiring a pre-supplied
+``embeddings`` table, ``text_embedding`` produces a dense
+``array<double>`` vector per document directly from its text, so
+embedding near-dup / ANN compose with ``prepare_training_corpus``
+end-to-end.
+
+The vectorizer is the classic feature-hashing ("hashing trick",
+Weinberger et al. 2009) bag of unigrams + bigrams:
+
+- feature set = whitespace tokens plus adjacent-token bigrams
+  (occurrence counts, not distinct — repeated phrases weigh more);
+- each feature hashes to bucket ``int(md5(f)[:2], 16) % dim`` with sign
+  +1/-1 from the lsb of md5 hex digit 3 (the signed variant keeps the
+  estimator unbiased under collisions);
+- the count vector is L2-normalized.
+
+Everything is md5-based so the DuckDB oracle recomputes the embedding
+bit-exactly (the same engine-portability rule as textops): bucket and
+sign come from *hex digits* of md5, which both engines render
+identically, and the per-bucket values are small exact integers before
+the one final division — no float-accumulation-order hazards.
+
+Scale shape: tokenization stays JVM-side (the codegen'd expression the
+oracle mirrors); hashing + accumulation run in ONE Arrow-vectorized
+pandas UDF (per-token hashlib in a plain loop — the BENCH/BASELINE.md
+HOF rule: interpreted higher-order functions carry a ~100x constant
+for per-element md5). No shuffle at all: embedding is a map-only
+column, so at 100 TB it pipelines inside the extraction stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TEXT_EMB_DIM = 64  # matches the embeddings-table contract width
+_ODD_HEX = "13579bdf"  # hex digits with lsb=1 (sign bit source)
+# near-identical texts hash to near-identical count vectors; 0.8 is well
+# above unrelated-doc cosine on the sf corpora (vocabulary overlap alone
+# measured < 0.6) while the synthetic near-dup families land > 0.9
+TEXT_EMB_ND_THRESHOLD = 0.8
+
+
+def text_embedding(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = TEXT_EMB_DIM,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding array<double>[dim]) hashing-trick document vectors.
+
+    Empty/whitespace-only text yields the all-zero vector (callers that
+    feed ANN/near-dup should filter zero-norm rows first — cosine is
+    undefined for them; ``q_text_emb_near_dup`` does).
+    """
+    if not 1 <= dim <= 256:
+        # bucket = first 2 md5 hex digits (8 bits) mod dim — the oracle
+        # recomputes it from those digits, so dim must divide into them
+        raise ValueError("text_embedding: dim must be in [1, 256]")
+    from hashlib import md5
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _vec(toks: pd.Series) -> pd.Series:
+        out = []
+        for arr in toks:
+            v = np.zeros(dim, dtype=np.float64)
+            if arr is not None and len(arr):
+                feats = list(arr) + [
+                    f"{arr[i]} {arr[i + 1]}" for i in range(len(arr) - 1)
+                ]
+                for f in feats:
+                    h = md5(f.encode("utf-8")).hexdigest()
+                    b = int(h[:2], 16) % dim
+                    v[b] += 1.0 if h[2] in _ODD_HEX else -1.0
+            # v holds small exact integers; sum of their squares is
+            # exact, so the normalized values are bit-identical to the
+            # oracle's val / sqrt(sum(val^2)) regardless of sum order
+            n = float(np.sqrt((v * v).sum()))
+            out.append((v / n).tolist() if n > 0 else v.tolist())
+        return pd.Series(out)
+
+    toks = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    return df.select(F.col(id_col), _vec(toks).alias(out_col))
+
+
+def q_text_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonzero embedding components per document, long format
+    (doc_id, bucket, value) — the hash-comparable contract for the
+    vectorizer (arrays of doubles compare poorly; their components
+    round-trip exactly)."""
+    from readability_ex_spark.operators.textops import _docs
+
+    emb = text_embedding(_docs(spark, sf_dir))
+    return (
+        emb.select("doc_id", F.posexplode("embedding").alias("bucket", "_v"))
+        .filter(F.col("_v") != 0.0)
+        .select(
+            "doc_id",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.round(F.col("_v"), 6).alias("value"),
+        )
+        .orderBy("doc_id", "bucket")
+    )
+
+
+def q_text_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end embedding near-dup FROM TEXT: text_embedding ->
+    zero-norm filter -> the standard LSH-bucketed embedding_near_dup
+    (Hamming-1 candidates, exact cosine >= TEXT_EMB_ND_THRESHOLD).
+
+    The whole chain is corpus-native — no pre-supplied vectors table —
+    which is the composition a training pipeline runs: near-dup in
+    embedding space catches paraphrase-level duplicates token-Jaccard
+    misses."""
+    from readability_ex_spark.operators.similarity import embedding_near_dup
+    from readability_ex_spark.operators.textops import _docs
+
+    emb = text_embedding(_docs(spark, sf_dir)).filter(
+        F.aggregate(
+            F.transform("embedding", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        > 0
+    )
+    return (
+        embedding_near_dup(
+            emb.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            threshold=TEXT_EMB_ND_THRESHOLD,
+            dim=TEXT_EMB_DIM,
+        )
+        .select(
+            F.col("vec_a").alias("doc_a"),
+            F.col("vec_b").alias("doc_b"),
+            "cosine",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
