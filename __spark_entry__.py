@@ -23,6 +23,7 @@ from readability_ex_spark.operators import embedding as E  # noqa: E402
 from readability_ex_spark.operators.multimodal import (  # noqa: E402
     q_multimodal_dedup as _q_multimodal_dedup,
 )
+from readability_ex_spark.operators import corpus as CO  # noqa: E402
 from readability_ex_spark.operators import relational as R  # noqa: E402
 from readability_ex_spark.operators import sampling as SA  # noqa: E402
 from readability_ex_spark.operators import similarity as S  # noqa: E402
@@ -57,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": T.q_token_count,
         "bpe_token_count": T.q_bpe_token_count,
         "quality_score": T.q_quality_score,
+        "quality_rules": CO.q_quality_rules,
         "lang_id": T.q_lang_id,
         "fingerprint": T.q_fingerprint,
         "winnow_fingerprint": T.q_winnow_fingerprint,
@@ -484,6 +486,98 @@ def oracle_sql() -> dict[str, str]:
                           THEN n_stopwords / CAST(n_tokens AS DOUBLE)
                           ELSE 0.0 END) * 0.5, 6) AS quality_score
             FROM t ORDER BY doc_id
+        """,
+        "quality_rules": f"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     CASE WHEN text IS NULL OR trim(text) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END
+                       AS words,
+                     CASE WHEN text IS NULL THEN CAST([] AS VARCHAR[])
+                          ELSE list_filter(
+                            list_transform(str_split(text, chr(10)),
+                                           l -> trim(l)),
+                            l -> l <> '') END AS lines
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     CAST(len(words) AS BIGINT) AS n_words,
+                     CASE WHEN len(words) > 0
+                          THEN length(regexp_replace(trim(text),
+                                      '\\s+', '', 'g'))
+                               / CAST(len(words) AS DOUBLE)
+                          ELSE 0.0 END AS mean_word_len,
+                     CASE WHEN len(words) > 0
+                          THEN len(regexp_extract_all(text,
+                                   '#|\\.\\.\\.|…'))
+                               / CAST(len(words) AS DOUBLE)
+                          ELSE 0.0 END AS symbol_ratio,
+                     CASE WHEN len(lines) > 0
+                          THEN len(list_filter(lines,
+                                   l -> regexp_matches(l, '^[-*•]')))
+                               / CAST(len(lines) AS DOUBLE)
+                          ELSE 0.0 END AS bullet_frac,
+                     CASE WHEN len(lines) > 0
+                          THEN len(list_filter(lines,
+                                   l -> regexp_matches(l,
+                                        '(\\.\\.\\.|…)$')))
+                               / CAST(len(lines) AS DOUBLE)
+                          ELSE 0.0 END AS ellipsis_frac,
+                     CASE WHEN len(words) > 0
+                          THEN len(list_filter(words,
+                                   x -> regexp_matches(x, '[A-Za-z]')))
+                               / CAST(len(words) AS DOUBLE)
+                          ELSE 0.0 END AS alpha_frac,
+                     CAST(len(regexp_extract_all(lower(text),
+                          '\\b({"|".join(CO.GOPHER_STOPWORDS)})\\b'))
+                       AS BIGINT) AS n_stopwords_g,
+                     CASE WHEN len(lines) > 0
+                          THEN (len(lines) - len(list_distinct(lines)))
+                               / CAST(len(lines) AS DOUBLE)
+                          ELSE 0.0 END AS dup_line_frac,
+                     CASE WHEN length(text) > 0
+                          THEN len(regexp_extract_all(text, '[0-9]'))
+                               / CAST(length(text) AS DOUBLE)
+                          ELSE 0.0 END AS digit_ratio
+              FROM w),
+            r AS (
+              SELECT *,
+                     n_words >= {CO.GOPHER_MIN_WORDS}
+                       AND n_words <= {CO.GOPHER_MAX_WORDS} AS r_word_count,
+                     mean_word_len >= {CO.GOPHER_MIN_MEAN_WORD_LEN}
+                       AND mean_word_len <= {CO.GOPHER_MAX_MEAN_WORD_LEN}
+                       AS r_mean_word_len,
+                     symbol_ratio <= {CO.GOPHER_MAX_SYMBOL_RATIO}
+                       AS r_symbol_ratio,
+                     bullet_frac <= {CO.GOPHER_MAX_BULLET_FRAC}
+                       AS r_bullet_frac,
+                     ellipsis_frac <= {CO.GOPHER_MAX_ELLIPSIS_FRAC}
+                       AS r_ellipsis_frac,
+                     alpha_frac >= {CO.GOPHER_MIN_ALPHA_FRAC} AS r_alpha_frac,
+                     n_stopwords_g >= {CO.GOPHER_MIN_STOPWORDS}
+                       AS r_stopwords,
+                     dup_line_frac <= {CO.C4_MAX_DUP_LINE_FRAC}
+                       AS r_dup_lines,
+                     digit_ratio <= {CO.MAX_DIGIT_RATIO} AS r_digit_ratio
+              FROM s)
+            SELECT doc_id, n_words,
+                   round(mean_word_len, 6) AS mean_word_len,
+                   round(symbol_ratio, 6) AS symbol_ratio,
+                   round(bullet_frac, 6) AS bullet_frac,
+                   round(ellipsis_frac, 6) AS ellipsis_frac,
+                   round(alpha_frac, 6) AS alpha_frac,
+                   n_stopwords_g,
+                   round(dup_line_frac, 6) AS dup_line_frac,
+                   round(digit_ratio, 6) AS digit_ratio,
+                   r_word_count, r_mean_word_len, r_symbol_ratio,
+                   r_bullet_frac, r_ellipsis_frac, r_alpha_frac,
+                   r_stopwords, r_dup_lines, r_digit_ratio,
+                   r_word_count AND r_mean_word_len AND r_symbol_ratio
+                     AND r_bullet_frac AND r_ellipsis_frac AND r_alpha_frac
+                     AND r_stopwords AND r_dup_lines AND r_digit_ratio
+                     AS passes_quality
+            FROM r ORDER BY doc_id
         """,
         "lang_id": f"""
             WITH v AS (

@@ -44,6 +44,144 @@ def with_quality_signals(extracted: DataFrame, text_col: str = "text") -> DataFr
     )
 
 
+# ---------------------------------------------------------------------------
+# Gopher/C4-style quality rules (Rae et al. 2021 "Scaling Language Models",
+# Raffel et al. 2020 C4): the filter set an actual corpus build runs, as
+# codegen'd column expressions — no Python in the hot path, every rule
+# DuckDB-expressible for the oracle. Thresholds follow the Gopher paper
+# where it states one; the digit-ratio and duplicate-line rules follow
+# C4/CCNet practice.
+# ---------------------------------------------------------------------------
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1  # '#' or ellipsis per word
+GOPHER_MAX_BULLET_FRAC = 0.9  # lines starting with a bullet
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3  # lines ending with an ellipsis
+GOPHER_MIN_ALPHA_FRAC = 0.8  # words containing >= 1 alphabetic char
+GOPHER_MIN_STOPWORDS = 2  # of the 8-word Gopher stop set
+C4_MAX_DUP_LINE_FRAC = 0.3  # duplicate (trimmed, non-empty) lines
+MAX_DIGIT_RATIO = 0.2  # digit chars per char
+
+# the Gopher paper's stop set, verbatim
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def with_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Annotate each document with the Gopher/C4 quality signals, one
+    boolean per rule, and ``passes_quality`` = AND of all rules.
+
+    Every signal is a JVM-side (codegen) column expression over the raw
+    text — at 100 TB this is a free map stage fused into the scan.
+    Empty/whitespace-only text fails the word-count rule and reports 0.0
+    for every ratio (guarded divisions). Measured kill rates on the
+    synthetic sf0.01 documents table (single-line word-salad text, so
+    the line-shape rules never trigger there): word_count 44.6% (many
+    synthetic docs are < 50 words), stopwords 55.2% (non-English docs
+    lack the English stop set — run AFTER language routing in a real
+    build), every other rule 0%; overall 64.2% dropped (rules overlap).
+    """
+    c = F.col(text_col)
+    empty_arr = F.array().cast("array<string>")
+    words = F.when(
+        c.isNull() | (F.trim(c) == ""), empty_arr
+    ).otherwise(F.split(F.trim(c), r"\s+"))
+    n_words = F.size(words).cast("long")
+    nw = n_words.cast("double")
+
+    def ratio(num, den):
+        return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
+    mean_word_len = ratio(
+        F.length(F.regexp_replace(F.trim(c), r"\s+", "")), nw
+    )
+    symbol_ratio = ratio(F.regexp_count(c, F.lit(r"#|\.\.\.|…")), nw)
+    alpha_frac = ratio(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))), nw
+    )
+    n_stop = F.regexp_count(
+        F.lower(c), F.lit(r"\b(" + "|".join(GOPHER_STOPWORDS) + r")\b")
+    ).cast("long")
+    lines = F.when(c.isNull(), empty_arr).otherwise(
+        F.filter(
+            F.transform(F.split(c, "\n"), lambda l: F.trim(l)),
+            lambda l: l != "",
+        )
+    )
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = ratio(
+        F.size(F.filter(lines, lambda l: l.rlike("^[-*•]"))), n_lines
+    )
+    ellipsis_frac = ratio(
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))), n_lines
+    )
+    dup_line_frac = ratio(
+        n_lines - F.size(F.array_distinct(lines)).cast("double"), n_lines
+    )
+    digit_ratio = ratio(F.regexp_count(c, F.lit("[0-9]")), F.length(c).cast("double"))
+
+    rules = {
+        "r_word_count": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        "r_mean_word_len": (mean_word_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_word_len <= GOPHER_MAX_MEAN_WORD_LEN),
+        "r_symbol_ratio": symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO,
+        "r_bullet_frac": bullet_frac <= GOPHER_MAX_BULLET_FRAC,
+        "r_ellipsis_frac": ellipsis_frac <= GOPHER_MAX_ELLIPSIS_FRAC,
+        "r_alpha_frac": alpha_frac >= GOPHER_MIN_ALPHA_FRAC,
+        "r_stopwords": n_stop >= GOPHER_MIN_STOPWORDS,
+        "r_dup_lines": dup_line_frac <= C4_MAX_DUP_LINE_FRAC,
+        "r_digit_ratio": digit_ratio <= MAX_DIGIT_RATIO,
+    }
+    passes = None
+    for expr in rules.values():
+        passes = expr if passes is None else (passes & expr)
+    return df.withColumns(
+        {
+            "n_words": n_words,
+            "mean_word_len": F.round(mean_word_len, 6),
+            "symbol_ratio": F.round(symbol_ratio, 6),
+            "bullet_frac": F.round(bullet_frac, 6),
+            "ellipsis_frac": F.round(ellipsis_frac, 6),
+            "alpha_frac": F.round(alpha_frac, 6),
+            "n_stopwords_g": n_stop,
+            "dup_line_frac": F.round(dup_line_frac, 6),
+            "digit_ratio": F.round(digit_ratio, 6),
+            **rules,
+            "passes_quality": passes,
+        }
+    )
+
+
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 quality-rule signals + per-rule verdicts per document."""
+    from readability_ex_spark.operators.textops import _docs
+
+    return with_quality_rules(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "bullet_frac",
+        "ellipsis_frac",
+        "alpha_frac",
+        "n_stopwords_g",
+        "dup_line_frac",
+        "digit_ratio",
+        "r_word_count",
+        "r_mean_word_len",
+        "r_symbol_ratio",
+        "r_bullet_frac",
+        "r_ellipsis_frac",
+        "r_alpha_frac",
+        "r_stopwords",
+        "r_dup_lines",
+        "r_digit_ratio",
+        "passes_quality",
+    ).orderBy("doc_id")
+
+
 def exact_dup_manifest(
     extracted: DataFrame,
     text_col: str = "text",
@@ -202,6 +340,7 @@ def prepare_training_corpus(
     pages: DataFrame,
     *,
     min_quality: float = 0.0,
+    quality_rules: bool = False,
     near_dup_threshold: float | None = 0.8,
     emb_near_dup_threshold: float | None = None,
     **extraction_kwargs,
@@ -211,8 +350,10 @@ def prepare_training_corpus(
     Keeps one url per exact-duplicate group AND one per verified
     near-dup cluster (``dedup_keep_manifest``: A–B, B–C chains keep
     exactly one of {A, B, C}), annotates quality signals, and filters by
-    ``min_quality``. Pass ``near_dup_threshold=None`` to collapse exact
-    duplicates only. ``emb_near_dup_threshold`` adds an OPTIONAL final
+    ``min_quality``. ``quality_rules=True`` additionally applies the
+    Gopher/C4 rule set (``with_quality_rules``), keeping only documents
+    that pass every rule. Pass ``near_dup_threshold=None`` to collapse
+    exact duplicates only. ``emb_near_dup_threshold`` adds an OPTIONAL final
     embedding-space dedup stage (``embedding_dedup_drops``) over the
     token-level survivors — ordered last because it is the loosest
     matcher: exact and token-Jaccard dedup shrink the corpus first, so
@@ -237,4 +378,10 @@ def prepare_training_corpus(
         corpus = corpus.join(drops, "url", "left_anti")
     if min_quality > 0:
         corpus = corpus.filter(F.col("quality_score") >= min_quality)
+    if quality_rules:
+        corpus = (
+            with_quality_rules(corpus)
+            .filter(F.col("passes_quality"))
+            .select(*corpus.columns)
+        )
     return corpus

@@ -5,8 +5,10 @@ the composed pipeline a 100 TB text-corpus build actually runs:
         --input  /data/pages          # parquet/Iceberg pages table
         --output /data/corpus         # deduped, quality-annotated corpus
         [--min-quality 0.3]           # drop docs below this score
+        [--quality-rules]             # apply the Gopher/C4 rule set
         [--near-dup-threshold 0.8]    # token-Jaccard cluster threshold
         [--no-near-dup]               # exact-dup collapse only
+        [--emb-near-dup 0.9]          # embedding-space dedup stage
         [--partitions 4096]
 
 pages -> extraction (mapInPandas kernel) -> exact-dup collapse ->
@@ -32,6 +34,14 @@ def main() -> int:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--min-quality", type=float, default=0.0)
+    ap.add_argument(
+        "--quality-rules", action="store_true",
+        help="keep only documents passing every Gopher/C4 quality rule",
+    )
+    ap.add_argument(
+        "--emb-near-dup", type=float, default=None, metavar="COSINE",
+        help="additionally drop embedding-space near-dups at this cosine",
+    )
     ap.add_argument("--near-dup-threshold", type=float, default=0.8)
     ap.add_argument(
         "--no-near-dup", action="store_true",
@@ -48,7 +58,9 @@ def main() -> int:
 
     from readability_ex_spark.operators.corpus import (
         dedup_keep_manifest,
+        embedding_dedup_drops,
         exact_dup_manifest,
+        with_quality_rules,
         with_quality_signals,
     )
     from readability_ex_spark.pipeline import run_extraction
@@ -75,8 +87,18 @@ def main() -> int:
 
     keep = manifest.filter(F.col("keep")).select("url", "fingerprint", "n_copies")
     corpus = with_quality_signals(extracted.join(keep, "url"))
+    if args.emb_near_dup is not None:
+        drops = embedding_dedup_drops(corpus, args.emb_near_dup)
+        corpus = corpus.join(drops, "url", "left_anti")
     if args.min_quality > 0:
         corpus = corpus.filter(F.col("quality_score") >= args.min_quality)
+    if args.quality_rules:
+        cols = corpus.columns
+        corpus = (
+            with_quality_rules(corpus)
+            .filter(F.col("passes_quality"))
+            .select(*cols)
+        )
     corpus = corpus.withColumn(
         "url_bucket", F.pmod(F.xxhash64("url"), F.lit(64)).cast("int")
     )

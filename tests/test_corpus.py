@@ -85,3 +85,67 @@ def test_near_dup_pairs_on_extracted(spark):
     # deterministic candidate set; each pair ordered url_a < url_b
     rows = pairs.collect()
     assert all(r.url_a < r.url_b for r in rows)
+
+
+def test_quality_rules_each_rule_fires(spark):
+    """One crafted document per Gopher/C4 rule; each fails EXACTLY its
+    target rule (plus rules its construction necessarily violates)."""
+    from readability_ex_spark.operators.corpus import with_quality_rules
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and runs off to be "
+        "with the pack of hounds that have gathered near the old barn. "
+    ) * 3  # ~60 words, plenty of stopwords, sane shape
+    docs = [
+        ("good", good),
+        ("short", "The fox and the dog have to be here with us now."),
+        ("long_words", " ".join(["pneumonoultramicroscopic"] * 30)
+         + " the of and that have to be with " * 4),
+        ("symbols", good + " " + "# " * 30),
+        ("bullets", "\n".join(f"- the item {i} of that list to have" for i in range(19))
+         + "\nwith the of that to be have"),
+        ("ellipses", "\n".join(
+            f"the line {i} of that story to be continued with more..."
+            for i in range(10))),
+        ("nonalpha", good + " " + " ".join(["12345"] * 160)),
+        ("few_stop", " ".join(f"word{i}" for i in range(80))),
+        ("dup_lines", "\n".join(["the same line of that text to be here with us"] * 10)),
+        ("digits", good + " " + " ".join(["9" * 6] * 60)),
+        ("empty", ""),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = {r.doc_id: r for r in with_quality_rules(df).collect()}
+
+    assert out["good"].passes_quality
+    assert not out["short"].r_word_count
+    assert not out["long_words"].r_mean_word_len
+    assert not out["symbols"].r_symbol_ratio
+    assert not out["bullets"].r_bullet_frac
+    assert not out["ellipses"].r_ellipsis_frac
+    assert not out["nonalpha"].r_alpha_frac
+    assert not out["few_stop"].r_stopwords
+    assert not out["dup_lines"].r_dup_lines
+    assert not out["digits"].r_digit_ratio
+    for key in ("empty", "null"):
+        assert not out[key].r_word_count
+        assert not out[key].passes_quality
+        assert out[key].mean_word_len == 0.0
+    # every non-good doc fails overall
+    for key, _ in docs:
+        if key != "good":
+            assert not out[key].passes_quality, key
+
+
+def test_prepare_corpus_quality_rules_stage(spark):
+    from readability_ex_spark.operators.corpus import prepare_training_corpus
+    from readability_ex_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001").limit(60)
+    base = prepare_training_corpus(pages, near_dup_threshold=None)
+    ruled = prepare_training_corpus(
+        pages, near_dup_threshold=None, quality_rules=True
+    )
+    nb, nr = base.count(), ruled.count()
+    assert 0 < nr < nb  # the rules bind on the synthetic corpus
+    assert set(ruled.columns) == set(base.columns)
