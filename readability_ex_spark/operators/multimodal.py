@@ -285,9 +285,10 @@ _RE_PDF_COUNT = re.compile(rb"/Count\s+(\d+)")
 
 def parse_pdf_meta(b: bytes) -> tuple[str, int]:
     """(version, n_pages) from raw PDF bytes — stdlib byte parsing like
-    the image/audio headers (north rule names PDF/layout parse; full
-    text/layout extraction needs a real PDF library and stays behind
-    the documented stub contract like pixel decode).
+    the image/audio headers (north rule names PDF/layout parse; text
+    extraction is ``extract_pdf_text`` below; layout analysis and
+    non-Flate codec filters stay behind the documented stub contract
+    like pixel decode).
 
     Page count: the number of uncompressed ``/Type /Page`` objects;
     PDFs that pack page objects into compressed object streams
@@ -312,6 +313,288 @@ def parse_pdf_meta(b: bytes) -> tuple[str, int]:
     return version, n_pages
 
 
+# --- PDF text extraction (stdlib: zlib FlateDecode + BT/ET text ops) ------
+
+_RE_PDF_OBJ = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_RE_PDF_STREAM = re.compile(rb"stream(\r\n|\n|\r)")
+_RE_PDF_CONTENTS = re.compile(
+    rb"/Contents\s*(?:\[([^\]]*)\]|(\d+)\s+\d+\s+R)", re.S
+)
+_RE_PDF_REF = re.compile(rb"(\d+)\s+\d+\s+R")
+# a TJ kerning gap at least this wide (negative thousandths of em) is
+# rendered as visible space — the pdftotext convention
+_PDF_TJ_SPACE_GAP = -180.0
+_PDF_ESCAPES = {
+    0x6E: b"\n", 0x72: b"\r", 0x74: b"\t", 0x62: b"\b", 0x66: b"\f",
+    0x28: b"(", 0x29: b")", 0x5C: b"\\",
+}
+
+
+def _pdf_objects(b: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """obj number -> (dictionary bytes, raw stream bytes or None).
+
+    Linear scan for ``N G obj`` markers; a stream body is delimited by
+    the FOLLOWING ``endstream`` (not ``endobj``, which can occur inside
+    compressed bytes). Good for the simple-PDF common case; objects
+    packed inside 1.5+ compressed object streams are not walked (their
+    text stays behind the stub contract, like parse_pdf_meta's page
+    fallback)."""
+    objs: dict[int, tuple[bytes, bytes | None]] = {}
+    for m in _RE_PDF_OBJ.finditer(b):
+        num = int(m.group(1))
+        start = m.end()
+        eo = b.find(b"endobj", start)
+        sm = _RE_PDF_STREAM.search(b, start)
+        if sm is not None and (eo < 0 or sm.start() < eo):
+            head = b[start : sm.start()]
+            es = b.find(b"endstream", sm.end())
+            data = b[sm.end() : es if es >= 0 else len(b)]
+            if data.endswith(b"\r\n"):
+                data = data[:-2]
+            elif data.endswith((b"\n", b"\r")):
+                data = data[:-1]
+            objs[num] = (head, data)
+        else:
+            objs[num] = (b[start : eo if eo >= 0 else len(b)], None)
+    return objs
+
+
+def _pdf_decode_stream(head: bytes, data: bytes) -> bytes:
+    """Apply the stream's /Filter: none or FlateDecode (zlib — stdlib).
+    Anything else (DCT, LZW, ASCII85, crypt) raises NotImplementedError —
+    the honest codec-unavailable contract."""
+    if b"/Filter" not in head:
+        return data
+    if b"/FlateDecode" not in head and not re.search(rb"/Fl\b", head):
+        raise NotImplementedError("unsupported PDF stream filter")
+    import zlib
+
+    return zlib.decompress(data)
+
+
+def _pdf_literal_string(data: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a ``(...)`` literal at data[i] == '(' (nesting, escapes,
+    octal, line continuations — PDF 32000-1 §7.3.4.2). Returns (bytes,
+    index past the closing paren)."""
+    depth, i = 1, i + 1
+    buf = bytearray()
+    n = len(data)
+    while i < n and depth:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = data[i]
+            if e in _PDF_ESCAPES:
+                buf += _PDF_ESCAPES[e]
+                i += 1
+            elif 0x30 <= e <= 0x37:  # up to 3 octal digits
+                j = i
+                while j < n and j < i + 3 and 0x30 <= data[j] <= 0x37:
+                    j += 1
+                buf.append(int(data[i:j], 8) & 0xFF)
+                i = j
+            elif e in (0x0D, 0x0A):  # escaped EOL = continuation
+                i += 1
+                if e == 0x0D and i < n and data[i] == 0x0A:
+                    i += 1
+            else:  # unknown escape: the char stands for itself
+                buf.append(e)
+                i += 1
+        elif c == 0x28:
+            depth += 1
+            buf.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth:
+                buf.append(c)
+            i += 1
+        else:
+            buf.append(c)
+            i += 1
+    return bytes(buf), i
+
+
+def _pdf_hex_string(data: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a ``<...>`` hex string at data[i] == '<'. Odd digit counts
+    pad with 0 (spec)."""
+    end = data.find(b">", i + 1)
+    if end < 0:
+        end = len(data)
+    hx = re.sub(rb"\s+", b"", data[i + 1 : end])
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        raw = bytes.fromhex(hx.decode("ascii"))
+    except ValueError:
+        raw = b""
+    return raw, end + 1
+
+
+def _pdf_bytes_to_text(raw: bytes) -> str:
+    """String bytes -> text: UTF-16BE when BOM'd, else Latin-1 (the
+    byte-transparent superset of PDFDocEncoding's printable range).
+    CID/composite-font bytes come out as mojibake — the documented
+    simple-PDF limit (a ToUnicode CMap walk is the stub's territory)."""
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", "replace")
+    return raw.decode("latin-1")
+
+
+def _pdf_content_text(data: bytes) -> str:
+    """Extract show-text operators from one decoded content stream:
+    ``Tj``, ``TJ`` (with kerning-gap spaces), ``'``/``\"``; line breaks
+    from ``T*``/``Td``/``TD`` (nonzero ty) and ``Tm``. Tokens outside
+    BT..ET are positioning/drawing and are skipped."""
+    out: list[str] = []
+    operands: list = []  # parsed strings/numbers since the last operator
+    in_text = False
+    in_array = False
+    arr_parts: list[str] = []
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        if c in b" \t\r\n\x00\x0c":
+            i += 1
+        elif c == 0x25:  # % comment to EOL
+            j = data.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        elif c == 0x28:  # ( literal string
+            raw, i = _pdf_literal_string(data, i)
+            s = _pdf_bytes_to_text(raw)
+            if in_array:
+                arr_parts.append(s)
+            else:
+                operands.append(s)
+        elif c == 0x3C:  # < hex string or << dict
+            if data[i : i + 2] == b"<<":
+                j = data.find(b">>", i + 2)
+                i = n if j < 0 else j + 2
+            else:
+                raw, i = _pdf_hex_string(data, i)
+                s = _pdf_bytes_to_text(raw)
+                if in_array:
+                    arr_parts.append(s)
+                else:
+                    operands.append(s)
+        elif c == 0x5B:  # [ array (TJ operand)
+            in_array, arr_parts = True, []
+            i += 1
+        elif c == 0x5D:  # ]
+            in_array = False
+            operands.append(arr_parts)
+            i += 1
+        elif c == 0x2F:  # /Name
+            m = re.match(rb"/[^\s()<>\[\]{}/%]*", data[i:])
+            operands.append(None)
+            i += m.end()
+        else:
+            m = re.match(rb"[^\s()<>\[\]{}/%]+", data[i:])
+            if m is None:
+                i += 1
+                continue
+            tok = m.group()
+            i += m.end()
+            try:
+                num = float(tok)
+            except ValueError:
+                num = None
+            if num is not None:
+                if in_array:
+                    # kerning gap wide enough to read as a space
+                    if num <= _PDF_TJ_SPACE_GAP:
+                        arr_parts.append(" ")
+                else:
+                    operands.append(num)
+                continue
+            # an operator
+            if tok == b"BT":
+                in_text = True
+            elif tok == b"ET":
+                in_text = False
+                if out and not out[-1].endswith("\n"):
+                    out.append("\n")
+            elif in_text:
+                if tok == b"Tj" and operands and isinstance(operands[-1], str):
+                    out.append(operands[-1])
+                elif tok == b"TJ" and operands and isinstance(operands[-1], list):
+                    out.append("".join(operands[-1]))
+                elif tok in (b"'", b'"') and operands and isinstance(
+                    operands[-1], str
+                ):
+                    out.append("\n")
+                    out.append(operands[-1])
+                elif tok == b"T*":
+                    out.append("\n")
+                elif tok in (b"Td", b"TD"):
+                    if (
+                        len(operands) >= 2
+                        and isinstance(operands[-1], (int, float))
+                        and operands[-1] != 0
+                    ):
+                        out.append("\n")
+                elif tok == b"Tm":
+                    out.append("\n")
+            operands = []
+    text = "".join(out)
+    return re.sub(r"\n{3,}", "\n\n", text).strip("\n")
+
+
+def extract_pdf_text(b: bytes) -> str:
+    """Full-document text from raw PDF bytes — stdlib only (zlib
+    FlateDecode + content-stream BT/ET text operators).
+
+    Page order: ``/Type /Page`` objects in document order, each page's
+    ``/Contents`` refs resolved through the object map (single ref or
+    array), pages joined with form-feeds. Falls back to scanning every
+    decoded stream containing a BT marker when no page objects resolve
+    (e.g. 1.5+ compressed-xref layouts, whose page DICTS are packed but
+    whose content streams usually are not).
+
+    Raises ValueError for non-PDF payloads. Streams with non-Flate
+    filters raise NotImplementedError inside and are SKIPPED here
+    (their text is unreachable without codec libraries — the same
+    honest-stub contract as ``decode_frames``)."""
+    if not b.startswith(b"%PDF-"):
+        raise ValueError("not a PDF payload")
+    objs = _pdf_objects(b)
+
+    def decoded(num: int) -> bytes | None:
+        entry = objs.get(num)
+        if entry is None or entry[1] is None:
+            return None
+        try:
+            return _pdf_decode_stream(entry[0], entry[1])
+        except NotImplementedError:
+            return None
+        except Exception:  # corrupt deflate data
+            return None
+
+    page_texts: list[str] = []
+    for num, (head, stream) in objs.items():
+        if stream is not None or not _RE_PDF_PAGE.search(head):
+            continue
+        refs: list[int] = []
+        for am, sm in _RE_PDF_CONTENTS.findall(head):
+            if sm:
+                refs.append(int(sm))
+            else:
+                refs += [int(r) for r in _RE_PDF_REF.findall(am)]
+        parts = [t for t in (decoded(r) for r in refs) if t]
+        if parts:
+            page_texts.append(_pdf_content_text(b"\n".join(parts)))
+    if not page_texts:  # no resolvable page objects: scan all streams
+        for num in sorted(objs):
+            data = decoded(num)
+            if data and b"BT" in data:
+                t = _pdf_content_text(data)
+                if t:
+                    page_texts.append(t)
+    return "\f".join(page_texts)
+
+
 MEDIA_PROFILE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType(), False),
@@ -325,6 +608,7 @@ MEDIA_PROFILE_SCHEMA = T.StructType(
         T.StructField("channels", T.IntegerType(), True),
         T.StructField("duration_ms", T.DoubleType(), True),
         T.StructField("n_pages", T.IntegerType(), True),
+        T.StructField("text", T.StringType(), True),
         T.StructField("status", T.StringType(), False),
     ]
 )
@@ -367,6 +651,9 @@ def profile_media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                             row["duration_ms"] = decode_mp4_duration(payload)
                         elif row["format"] == "pdf":
                             _v, row["n_pages"] = parse_pdf_meta(payload)
+                            # content-stream text (FlateDecode/plain);
+                            # exotic-filter pages come back empty -> NULL
+                            row["text"] = extract_pdf_text(payload) or None
                         # mp3/ogg/webm/avi: kind+format sniff only (frame
                         # headers need a codec library)
                         row["status"] = "ok"

@@ -242,3 +242,124 @@ def test_media_profile_pdf(spark):
     row = media_profile(media).head()
     assert row.kind == "document" and row.format == "pdf"
     assert row.n_pages == 3 and row.status == "ok"
+
+
+def _text_pdf(pages: list[bytes], compress: bool = False) -> bytes:
+    """Minimal but structurally-honest PDF: catalog -> page tree ->
+    per-page /Contents streams (optionally FlateDecoded)."""
+    import zlib
+
+    n = len(pages)
+    objs = []
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
+    objs.append(b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj")
+    objs.append(
+        f"2 0 obj << /Type /Pages /Count {n} /Kids [{kids}] >> endobj".encode()
+    )
+    for i, content in enumerate(pages):
+        page_num, cont_num = 3 + 2 * i, 4 + 2 * i
+        objs.append(
+            f"{page_num} 0 obj << /Type /Page /Parent 2 0 R "
+            f"/Contents {cont_num} 0 R >> endobj".encode()
+        )
+        data = zlib.compress(content) if compress else content
+        filt = b"/Filter /FlateDecode " if compress else b""
+        objs.append(
+            f"{cont_num} 0 obj << ".encode() + filt
+            + f"/Length {len(data)} >> stream\n".encode()
+            + data
+            + b"\nendstream endobj"
+        )
+    return b"%PDF-1.4\n" + b"\n".join(objs) + b"\n%%EOF"
+
+
+def test_pdf_text_plain_and_compressed():
+    from readability_ex_spark.operators.multimodal import extract_pdf_text
+
+    content = b"BT /F1 12 Tf 72 700 Td (Hello World) Tj ET"
+    for compress in (False, True):
+        pdf = _text_pdf([content], compress=compress)
+        assert extract_pdf_text(pdf) == "Hello World"
+
+
+def test_pdf_text_operators():
+    from readability_ex_spark.operators.multimodal import extract_pdf_text
+
+    content = (
+        b"BT (Line one) Tj T* (Line two) Tj 0 -14 Td (Line three) Tj "
+        b"(continued) ' ET\n"
+        # drawing ops outside BT/ET must not leak strings
+        b"(not text) 1 0 0 1 50 50 cm\n"
+        b"BT [(Kerned) -50 (Pair)] TJ ET\n"
+        b"BT [(Wide) -500 (gap)] TJ ET"
+    )
+    out = extract_pdf_text(_text_pdf([content]))
+    assert "Line one\nLine two\nLine three\ncontinued" in out
+    assert "KernedPair" in out      # small kern: no space
+    assert "Wide gap" in out        # wide kern: space
+    assert "not text" not in out
+
+
+def test_pdf_text_escapes_and_hex():
+    from readability_ex_spark.operators.multimodal import extract_pdf_text
+
+    content = (
+        rb"BT (paren \( pair \) back\\slash octal \101) Tj "
+        b"<48656C6C6F> Tj "
+        b"<FEFF00480069> Tj ET"  # UTF-16BE "Hi"
+    )
+    out = extract_pdf_text(_text_pdf([content]))
+    assert r"paren ( pair ) back\slash octal A" in out
+    assert "Hello" in out and "Hi" in out
+
+
+def test_pdf_text_multipage_and_decoys():
+    import zlib
+
+    from readability_ex_spark.operators.multimodal import extract_pdf_text
+
+    p1 = b"BT (Page one text) Tj ET"
+    p2 = b"BT (Page two text) Tj ET"
+    pdf = _text_pdf([p1, p2], compress=True)
+    # decoy: a non-content stream whose bytes contain 'endobj' + BT noise
+    decoy = zlib.compress(b"endobj 99 0 obj BT (should not appear) Tj ET")
+    pdf = pdf.replace(
+        b"%%EOF",
+        b"90 0 obj << /Filter /FlateDecode /Subtype /XML /Length "
+        + str(len(decoy)).encode()
+        + b" >> stream\n" + decoy + b"\nendstream endobj\n%%EOF",
+    )
+    out = extract_pdf_text(pdf)
+    assert out == "Page one text\fPage two text"
+
+
+def test_pdf_text_unsupported_filter_and_fallback():
+    from readability_ex_spark.operators.multimodal import (
+        _pdf_decode_stream,
+        extract_pdf_text,
+    )
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        _pdf_decode_stream(b"<< /Filter /DCTDecode >>", b"\xff\xd8")
+    with pytest.raises(ValueError):
+        extract_pdf_text(b"GIF89a not a pdf")
+    # no /Type /Page objects: fall back to scanning raw streams with BT
+    pdf = (
+        b"%PDF-1.5\n7 0 obj << /Length 30 >> stream\n"
+        b"BT (orphan stream text) Tj ET\nendstream endobj\n%%EOF"
+    )
+    assert extract_pdf_text(pdf) == "orphan stream text"
+
+
+def test_media_profile_pdf_text(spark):
+    from readability_ex_spark.operators.multimodal import media_profile
+
+    pdf = _text_pdf([b"BT (From the profile) Tj ET"], compress=True)
+    media = spark.createDataFrame(
+        [("doc", bytearray(pdf))], "media_id string, payload binary"
+    )
+    row = media_profile(media).head()
+    assert row.format == "pdf" and row.status == "ok"
+    assert row.n_pages == 1
+    assert row.text == "From the profile"
