@@ -122,21 +122,27 @@ def _lsh_ctes(sig, src: str = "documents") -> str:
 
 def _winnow_ctes() -> str:
     """DuckDB CTEs mirroring textops.winnow_fingerprints exactly (md5
-    k-gram rolling hashes, lexicographic window minima, distinct),
+    token-k-gram rolling hashes, lexicographic window minima, distinct),
     ending in ``wfp(doc_id, fingerprint)`` — shared by the
     winnow_fingerprint and winnow_overlap oracles."""
     return f"""t AS (
               SELECT doc_id,
                      lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS tx
               FROM documents),
+            tk AS (
+              SELECT doc_id,
+                     CASE WHEN tx = '' THEN CAST([] AS VARCHAR[])
+                          ELSE str_split(tx, ' ') END AS toks
+              FROM t),
             g AS (
               SELECT doc_id,
-                     CASE WHEN length(tx) >= {T.K_GRAM + T.WINNOW_WINDOW - 1}
+                     CASE WHEN len(toks) >= {T.K_GRAM + T.WINNOW_WINDOW - 1}
                           THEN list_transform(
-                            generate_series(1, length(tx) - {T.K_GRAM - 1}),
-                            i -> md5(substr(tx, i, {T.K_GRAM})))
+                            generate_series(1, len(toks) - {T.K_GRAM - 1}),
+                            i -> md5(array_to_string(
+                              list_slice(toks, i, i + {T.K_GRAM - 1}), ' ')))
                           ELSE CAST([] AS VARCHAR[]) END AS gr
-              FROM t),
+              FROM tk),
             f AS (
               SELECT doc_id,
                      CASE WHEN len(gr) >= {T.WINNOW_WINDOW}
@@ -617,7 +623,9 @@ def oracle_sql() -> dict[str, str]:
             bounded AS (
               SELECT w.doc_id, w.fingerprint
               FROM wfp w JOIN dfreq USING (fingerprint)
-              WHERE df <= {T.WINNOW_MAX_DF}),
+              WHERE df <= greatest({T.WINNOW_MAX_DF},
+                                   (SELECT count(*) FROM documents)
+                                     // {T.WINNOW_DF_SCALE})),
             inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
               FROM bounded a JOIN bounded b

@@ -154,24 +154,28 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-K_GRAM = 8  # winnowing k-gram width (chars)
+K_GRAM = 3  # winnowing k-gram width (TOKENS — see q_winnow_fingerprint)
 WINNOW_WINDOW = 4  # hashes per winnowing window
 
 
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al.): rolling
-    k-gram hashes, one selected minimum per window of WINNOW_WINDOW
-    consecutive hashes, distinct per document.
+    token k-gram hashes, one selected minimum per window of
+    WINNOW_WINDOW consecutive hashes, distinct per document.
 
     Unlike the whole-document md5 (``q_fingerprint``), the winnowed set
     detects PARTIAL overlap: two documents sharing any run of
-    >= k + window - 1 characters share at least one fingerprint. The
-    rolling hash is md5 of the k-gram (engine-portable; the guarantee
-    needs only determinism, not a true incremental hash), the window
-    minimum is the lexicographic md5 min — both exactly reproducible in
-    DuckDB. At 100 TB the exploded (fingerprint, doc) table group-bys
-    on fingerprint for overlap candidates — linear, one shuffle, same
-    shape as exact dedup.
+    >= k + window - 1 TOKENS share at least one fingerprint. k-grams
+    are at token boundaries, not per character position: per-char
+    8-grams carried ~6x more md5 calls (one per char vs one per token)
+    for no extra recall at paragraph granularity — a shared run of
+    W words is caught either way, and sub-word overlap isn't a dedup
+    signal. The hash is md5 of the space-joined token k-gram
+    (engine-portable; the guarantee needs only determinism, not a true
+    incremental hash), the window minimum is the lexicographic md5 min
+    — both exactly reproducible in DuckDB. At 100 TB the exploded
+    (fingerprint, doc) table group-bys on fingerprint for overlap
+    candidates — linear, one shuffle, same shape as exact dedup.
     """
     return winnow_fingerprints(_docs(spark, sf_dir)).orderBy(
         "doc_id", "fingerprint"
@@ -190,12 +194,14 @@ def winnow_fingerprints(
 
     Normalization stays JVM-side (the exact lower/collapse expression
     the DuckDB oracle mirrors — Python's str.lower/\\s would diverge on
-    unicode); the per-position md5 + sliding-window minimum runs in an
+    unicode); the per-token md5 + sliding-window minimum runs in an
     Arrow-vectorized pandas UDF. Spark's higher-order functions are
-    interpreted, so an md5 lambda per character position (~3,000/doc at
-    sf0.1 doc sizes) carried a ~100× constant over hashlib in a plain
-    loop (BENCH/BASELINE.md HOF rule); the window minimum is a monotonic
-    deque — O(n), not O(n·window)."""
+    interpreted, so an md5 lambda per position carried a ~100x constant
+    over hashlib in a plain loop (BENCH/BASELINE.md HOF rule); the
+    window minimum is a monotonic deque — O(n), not O(n*window).
+    Selection compares raw 16-byte digests (byte order == the hex
+    order DuckDB's min compares, two hex digits per byte) and renders
+    hex only for the selected minima."""
     from collections import deque
     from hashlib import md5 as _md5
 
@@ -205,12 +211,13 @@ def winnow_fingerprints(
     def _winnow(norm: pd.Series) -> pd.Series:
         out = []
         for tx in norm:
-            if tx is None or len(tx) < k + window - 1:
+            toks = tx.split(" ") if tx else []
+            if len(toks) < k + window - 1:
                 out.append([])
                 continue
             grams = [
-                _md5(tx[i : i + k].encode("utf-8")).hexdigest()
-                for i in range(len(tx) - k + 1)
+                _md5(" ".join(toks[i : i + k]).encode("utf-8")).digest()
+                for i in range(len(toks) - k + 1)
             ]
             fps = set()
             dq: deque[int] = deque()  # indices of a rising-min run
@@ -222,7 +229,7 @@ def winnow_fingerprints(
                     dq.popleft()
                 if i >= window - 1:
                     fps.add(grams[dq[0]])
-            out.append(sorted(fps))
+            out.append(sorted(g.hex() for g in fps))
         return pd.Series(out)
 
     txt = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
@@ -234,8 +241,13 @@ def winnow_fingerprints(
 # fingerprints in more docs than this are stop-grams (df cut) — 50 on
 # the sf corpora keeps real shared-paragraph pairs (measured: df p50=3,
 # p99=31; at 20 the near-dup chains' shared content was cut and no pair
-# reached threshold) while the true boilerplate tail (df up to 345) drops
+# reached threshold) while the true boilerplate tail (df up to 345) drops.
+# WINNOW_MAX_DF is the FLOOR: the effective default cut scales with the
+# corpus as max(WINNOW_MAX_DF, n_docs // WINNOW_DF_SCALE), so duplicate
+# families that outgrow a fixed 50 still surface their overlap pairs at
+# crawl scale (a fixed cut silently loses recall as families grow).
 WINNOW_MAX_DF = 50
+WINNOW_DF_SCALE = 1000  # docs per unit of df headroom
 WINNOW_CONTAINMENT = 0.5
 
 
@@ -244,7 +256,8 @@ def winnow_overlap_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = WINNOW_CONTAINMENT,
-    max_df: int = WINNOW_MAX_DF,
+    max_df: int | None = None,
+    df_scale: int = WINNOW_DF_SCALE,
     k: int = K_GRAM,
     window: int = WINNOW_WINDOW,
 ) -> DataFrame:
@@ -263,15 +276,21 @@ def winnow_overlap_pairs(
     lowers the score — a pair can be missed when its shared run is
     pure boilerplate, never over-reported. Requires threshold > 0.
 
-    ``max_df`` should track the corpus: a fixed cut under-detects when
-    duplicate families grow past it (at sf0.1 the synthetic families
-    exceed 50 and shared runs are cut). Production guidance: set it to
-    a small df fraction (e.g. ``max(50, n_docs // 1000)``) — exact-dup
-    collapse first (``corpus.dedup_keep_manifest`` ordering) also keeps
-    families small before this operator runs.
+    ``max_df`` tracks the corpus BY DEFAULT: when None (the default) it
+    is ``max(WINNOW_MAX_DF, n_docs // df_scale)`` from one cheap
+    count() of the input (a count-star over parquet reads only
+    footers), so duplicate families that outgrow the fixed floor still
+    surface their overlap pairs as the corpus scales — a fixed cut
+    under-detects when families grow past it (at sf0.1 the synthetic
+    families exceed 50). Exact-dup collapse first
+    (``corpus.dedup_keep_manifest`` ordering) also keeps families small
+    before this operator runs. Pass an explicit ``max_df`` to skip the
+    count (e.g. when the caller already knows the corpus size).
     """
     if threshold <= 0:
         raise ValueError("winnow_overlap_pairs requires threshold > 0")
+    if max_df is None:
+        max_df = max(WINNOW_MAX_DF, df.count() // df_scale)
     # the pandas-UDF fingerprint pass feeds sizes, the df cut and the
     # join — localCheckpoint so it runs once
     fps = winnow_fingerprints(
@@ -305,7 +324,8 @@ def winnow_overlap_pairs(
 
 def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-overlap pairs (winnowed-fingerprint containment >=
-    WINNOW_CONTAINMENT, df-cut at WINNOW_MAX_DF docs per fingerprint)."""
+    WINNOW_CONTAINMENT, corpus-scaled df cut: fingerprints in more than
+    max(WINNOW_MAX_DF, n_docs // WINNOW_DF_SCALE) docs drop)."""
     return (
         winnow_overlap_pairs(_docs(spark, sf_dir))
         .select(

@@ -96,9 +96,13 @@ def _py_simhash64(text: str):
 
 def _py_winnow(text: str, k=K_GRAM, w=WINNOW_WINDOW):
     tx = re.sub(r"\s+", " ", text.strip(" "), flags=re.A).lower()
-    if len(tx) < k + w - 1:
+    toks = tx.split(" ") if tx else []
+    if len(toks) < k + w - 1:
         return set()
-    grams = [md5(tx[i : i + k].encode()).hexdigest() for i in range(len(tx) - k + 1)]
+    grams = [
+        md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+        for i in range(len(toks) - k + 1)
+    ]
     return {min(grams[j : j + w]) for j in range(len(grams) - w + 1)}
 
 

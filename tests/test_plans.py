@@ -79,3 +79,47 @@ def test_extract_plan_prunes_unused_document_columns(spark):
     plan = _formatted_plan(run_extraction(pages))
     for schema in re.findall(r"ReadSchema: (\S+)", plan):
         assert "n_chars" not in schema and "source" not in schema
+
+
+def test_resume_anti_join_plan_shape(spark):
+    """Checkpoint resume (run_extraction(done_urls=...)): the anti-join
+    runs BEFORE the kernel layout so resumed runs still pay exactly ONE
+    payload exchange, and a small done-set broadcasts (the remaining
+    work must not be shuffled against the done list)."""
+    pages = synthesize_pages(spark, SF)
+    done = pages.select("url").filter(F.col("url").rlike("doc/1"))
+    tree = _tree(_formatted_plan(run_extraction(pages, done_urls=done)))
+    # broadcast anti-join, not a shuffled one
+    assert "BroadcastHashJoin" in tree and "LeftAnti" in tree
+    assert "SortMergeJoin" not in tree
+    # the payload still moves exactly once (BroadcastExchange of the
+    # done list is not a payload move)
+    n_payload_exchanges = len(re.findall(r"\+- Exchange ", tree))
+    assert n_payload_exchanges == 1
+    # kernel sits above that single exchange (anti-join ran below it)
+    assert tree.index("MapInPandas") < tree.index("+- Exchange ")
+    assert tree.index("+- Exchange ") < tree.index("BroadcastHashJoin")
+
+
+def test_anti_join_resume_query_plan_shape(spark):
+    """The benched anti_join_resume query: the done-side scan is pruned
+    to the join key only, and the join stays a single anti-join (no
+    extra exchange of the orders payload beyond the join's own
+    requirement)."""
+    from readability_ex_spark.operators.relational import q_anti_join_resume
+
+    plan = _formatted_plan(q_anti_join_resume(spark, SF))
+    assert "LeftAnti" in plan
+    # lineitem feeds only its join key into the anti-join
+    li_schema = [
+        s for s in re.findall(r"ReadSchema: (\S+)", plan) if "l_orderkey" in s
+    ]
+    assert li_schema and all(
+        "l_quantity" not in s and "l_extendedprice" not in s
+        for s in li_schema
+    )
+    # orders scan reads exactly the three projected columns
+    o_schema = [
+        s for s in re.findall(r"ReadSchema: (\S+)", plan) if "o_orderkey" in s
+    ]
+    assert o_schema and all("o_orderdate" not in s for s in o_schema)

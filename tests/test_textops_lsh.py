@@ -160,11 +160,11 @@ def test_winnow_overlap_detects_containment(spark):
 
 
 def test_winnowing_guarantee(spark):
-    """Winnowing (k=8, w=4): docs sharing a run of >= k+w-1 chars share
-    at least one fingerprint; disjoint docs share none."""
+    """Winnowing (k=3 tokens, w=4): docs sharing a run of >= k+w-1
+    tokens share at least one fingerprint; disjoint docs share none."""
     from readability_ex_spark.operators.textops import winnow_fingerprints
 
-    shared = "the quick brown fox jumps over the lazy dog"  # 44 chars
+    shared = "the quick brown fox jumps over the lazy dog"  # 9 tokens
     docs = spark.createDataFrame(
         [
             (1, "AAAA " + shared + " BBBB"),
@@ -177,10 +177,35 @@ def test_winnowing_guarantee(spark):
     by_doc = {}
     for r in fps:
         by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
-    assert by_doc[1] & by_doc[2]  # shared 44-char run >= 8+4-1
+    assert by_doc[1] & by_doc[2]  # shared 9-token run >= 3+4-1
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
 
-    # short docs (< k+w-1 chars) produce no fingerprints
+    # short docs (< k+w-1 tokens) produce no fingerprints
     short = spark.createDataFrame([(1, "tiny text")], "doc_id long, text string")
     assert winnow_fingerprints(short).count() == 0
+
+
+def test_winnow_df_cut_scales_with_corpus(spark):
+    """A 60-doc duplicate family exceeds the fixed WINNOW_MAX_DF floor,
+    but the corpus-scaled default cut (max(floor, n_docs // df_scale))
+    keeps its fingerprints, so the family's true overlap pairs survive.
+    With the old fixed cut the same corpus detected nothing."""
+    from readability_ex_spark.operators.textops import winnow_overlap_pairs
+
+    shared = "one common paragraph that every family member fully contains"
+    family = [(i, f"prefix {i:04d} {shared} suffix {i:04d}") for i in range(60)]
+    # filler docs (disjoint text) so the corpus is 600 docs total
+    filler = [
+        (1000 + i, f"unique filler document {i:04d} " + " ".join(
+            f"tok{i}x{j}" for j in range(8)))
+        for i in range(540)
+    ]
+    docs = spark.createDataFrame(family + filler, "doc_id long, text string")
+
+    # scaled default: 600 docs // 10 = 60 >= family size -> pairs found
+    scaled = winnow_overlap_pairs(docs, df_scale=10)
+    assert scaled.count() >= 60 * 59 // 2  # every family pair surfaces
+    # the fixed floor alone (explicit max_df=50) cuts the whole family
+    fixed = winnow_overlap_pairs(docs, max_df=50)
+    assert fixed.count() == 0
