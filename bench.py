@@ -24,11 +24,25 @@ sys.path.insert(0, str(REPO))
 
 
 def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--composed",
+        action="store_true",
+        help="also time the composed corpus job end-to-end (extraction -> "
+        "dedup manifest -> quality -> partitioned corpus write) — the "
+        "wall time a prepare_corpus.py user actually experiences, and "
+        "the only place cross-stage plan regressions show",
+    )
+    args, _ = ap.parse_known_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+    from readability_ex_spark.operators import embedding as E
     from readability_ex_spark.operators import relational as R
     from readability_ex_spark.operators import similarity as S
     from readability_ex_spark.operators import textops as T
+    from readability_ex_spark.operators.corpus import q_quality_rules
     from readability_ex_spark.pipeline import run_extraction
     from readability_ex_spark.session import get_spark
     from readability_ex_spark.sources.pages import synthesize_pages
@@ -89,10 +103,43 @@ def main() -> int:
     run("ann_ivf_topk", lambda: S.q_ann_ivf_topk(spark, sf_dir).count())
     run("ann_materialized_topk", lambda: S.q_ann_materialized_topk(spark, sf_dir).count())
 
+    run("quality_rules", lambda: q_quality_rules(spark, sf_dir).count())
+    run("text_embedding", lambda: E.q_text_embedding(spark, sf_dir).count())
+    run(
+        "text_emb_near_dup",
+        lambda: E.q_text_emb_near_dup(spark, sf_dir).count(),
+    )
+
     from readability_ex_spark.operators import clusters as C
 
     run("near_dup_clusters", lambda: C.q_near_dup_clusters(spark, sf_dir).count())
     run("dedup_manifest", lambda: C.q_dedup_manifest(spark, sf_dir).count())
+
+    if args.composed:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from readability_ex_spark.operators.corpus import (
+            prepare_training_corpus,
+        )
+
+        def composed() -> int:
+            outdir = tempfile.mkdtemp(prefix="bench_corpus_")
+            try:
+                corpus = prepare_training_corpus(pages).withColumn(
+                    "url_bucket",
+                    F.pmod(F.xxhash64("url"), F.lit(64)).cast("int"),
+                )
+                corpus.write.partitionBy("url_bucket").mode(
+                    "overwrite"
+                ).parquet(f"{outdir}/corpus")
+                return spark.read.parquet(f"{outdir}/corpus").count()
+            finally:
+                shutil.rmtree(outdir, ignore_errors=True)
+
+        run("prepare_corpus_e2e", composed)
 
     print(
         json.dumps(

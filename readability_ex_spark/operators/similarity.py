@@ -133,6 +133,37 @@ def q_knn_label_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cosine_pairs(a_col, b_col):
+    """Arrow-vectorized cosine between two array columns — BIT-EXACT to
+    the interpreted ``_dot(a,b) / (_norm(a) * _norm(b))`` expression
+    (and therefore to the DuckDB oracle): the accumulators add one
+    component per step in index order across the whole batch, exactly
+    the sequential left-to-right sum F.aggregate performs per row (a
+    BLAS/np.dot pairwise sum could differ in the last ulp and flip a
+    6-digit rounding). Used on the near-dup verify path, where
+    candidate sets are millions of pairs and 3 interpreted 64-element
+    aggregates per pair measured 40+ s at sf0.1 vs ~2 s vectorized —
+    the BENCH/BASELINE.md HOF rule again."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype="float64")
+        av = np.stack(a.values).astype("float64", copy=False)
+        bv = np.stack(b.values).astype("float64", copy=False)
+        dot = np.zeros(len(av))
+        na = np.zeros(len(av))
+        nb = np.zeros(len(av))
+        for j in range(av.shape[1]):
+            dot = dot + av[:, j] * bv[:, j]
+            na = na + av[:, j] * av[:, j]
+            nb = nb + bv[:, j] * bv[:, j]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return _cos(a_col, b_col)
+
+
 def hyperplanes(dim: int, n_planes: int = N_PLANES, seed: int = LSH_SEED) -> np.ndarray:
     """Deterministic random hyperplanes — shared by the Spark operator
     and the DuckDB oracle (which inlines them as literal arrays)."""
@@ -342,8 +373,17 @@ def embedding_near_dup(
     than ``max_bucket`` are dropped before the join (10^6 boilerplate
     near-zero embeddings behind one bucket would otherwise emit
     ~5·10^11 pairs in one task; exact content-hash dedup covers them at
-    linear cost). Returns (vec_a, vec_b, cosine) with vec_a < vec_b."""
-    bucketed = lsh_bucket(emb, dim=dim, n_planes=n_planes, seed=seed)
+    linear cost). Returns (vec_a, vec_b, cosine) with vec_a < vec_b.
+
+    The bucketed frame is localCheckpoint'd before the self-join: it is
+    read FOUR times (bucket counts, both join sides, and through the
+    verify), and when ``emb`` is itself computed — e.g. a
+    ``text_embedding`` pandas UDF over the corpus — re-deriving it per
+    branch repeated the vectorizer 4x (measured 47.7 s -> ~8 s for
+    text_emb_near_dup at sf0.1)."""
+    bucketed = lsh_bucket(
+        emb, dim=dim, n_planes=n_planes, seed=seed
+    ).localCheckpoint(eager=False)
     counts = bucketed.groupBy("bucket").agg(F.count("*").alias("_n"))
     b = (
         bucketed.join(counts, "bucket")
@@ -371,9 +411,7 @@ def embedding_near_dup(
         F.col("embedding").alias("emb_b"),
         "bucket",
     )
-    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
-        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
-    )
+    cos = _cosine_pairs(F.col("emb_a"), F.col("emb_b"))
     return (
         a.join(bb, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
