@@ -116,6 +116,66 @@ def stream_dedup_first_seen(
     )
 
 
+def stream_dedup_first_seen_event_time(
+    pages_stream: DataFrame,
+    watermark: str = "2 hours",
+    retention_ms: int = 30 * 24 * 3_600_000,  # one monthly-crawl cycle
+) -> DataFrame:
+    """Event-time variant of ``stream_dedup_first_seen``: state eviction
+    is tied to the ``warc_ts`` WATERMARK instead of wall-clock.
+
+    The processing-time TTL variant evicts a url N wall-clock ms after
+    it was last processed — replaying a month of backlogged crawl files
+    through it in an hour evicts nothing, and a paused-then-resumed
+    query evicts everything. Here each url's state times out when the
+    event-time watermark passes (newest observed warc_ts for the url +
+    ``retention_ms``), so eviction follows CRAWL time: a backfill
+    replay evicts exactly what a live run would have, and late
+    re-crawls of a url inside the retention horizon still deduplicate.
+
+    Scale shape is unchanged (one boolean per url, shuffled by url);
+    timeout timestamps are clamped above the current watermark (Spark
+    rejects a timeout the watermark already passed — an url whose only
+    observation is a very late row evicts at the next watermark tick).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = pages_stream.withWatermark("warc_ts", watermark)
+    schema = pages_stream.schema
+    cols = [f.name for f in schema.fields]
+    retention = int(retention_ms)
+
+    def _first_seen(key, pdfs, state):
+        import pandas as pd
+
+        from readability_ex_spark.pipeline import html_tiebreak_py
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        seen = state.exists
+        state.update((True,))
+        # evict when the watermark passes newest-observation + retention;
+        # must be strictly beyond the current watermark or Spark raises
+        max_ts_ms = int(batch["warc_ts"].max().timestamp() * 1000)
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(max_ts_ms + retention, wm + 1))
+        if not seen and len(batch):
+            batch = batch.assign(_h=[html_tiebreak_py(h) for h in batch["html"]])
+            yield batch.sort_values(
+                ["warc_ts", "_h"], kind="stable"
+            ).head(1)[cols]
+
+    return stream.groupBy("url").applyInPandasWithState(
+        _first_seen,
+        outputStructType=schema,
+        stateStructType="seen boolean",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stream_metrics(
     pages_stream: DataFrame,
     *,

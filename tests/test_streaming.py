@@ -224,3 +224,73 @@ def test_tiebreak_helpers_identical_ordering(spark):
     }
     for i, p in enumerate(payloads):
         assert html_tiebreak_py(p) == jvm[i]
+
+
+def test_stream_dedup_event_time_late_and_eviction(spark, tmpdir):
+    """Event-time stateful dedup: (1) a LATE-but-within-watermark
+    re-crawl of a seen url is dropped; (2) once the warc_ts watermark
+    passes a url's retention horizon its state evicts, so a much-later
+    re-crawl is emitted again (a fresh crawl cycle)."""
+    import datetime as dt
+    import time
+
+    from readability_ex_spark.sources.pages import PAGES_SCHEMA
+    from readability_ex_spark.streaming import (
+        stream_dedup_first_seen_event_time,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12)
+
+    def days(n, h=0):
+        return t0 + dt.timedelta(days=n, hours=h)
+
+    indir = tmpdir / "et_in"
+    batches = [
+        # b1: first sightings
+        [("http://a", t0, b"<p>a-first</p>", "t", "en"),
+         ("http://b", t0, b"<p>b</p>", "t", "en")],
+        # b2: late-but-within-watermark dup of a (1h earlier) + fresh c
+        [("http://a", days(0, -1), b"<p>a-late-dup</p>", "t", "en"),
+         ("http://c", days(0, 1), b"<p>c</p>", "t", "en")],
+        # b3: advance the watermark far past a's retention (1 day)
+        [("http://d", days(10), b"<p>d</p>", "t", "en")],
+        # b4: watermark (computed at b3's end) now exceeds a's timeout ->
+        # a evicts during this batch; e just carries the stream forward
+        [("http://e", days(10, 1), b"<p>e</p>", "t", "en")],
+        # b5: a re-crawled a cycle later -> state was evicted -> re-emit
+        [("http://a", days(10, 2), b"<p>a-second-cycle</p>", "t", "en")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(indir))
+        time.sleep(1.1)  # distinct mtimes => deterministic file order
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    q = (
+        stream_dedup_first_seen_event_time(
+            stream, watermark="2 hours", retention_ms=24 * 3_600_000
+        )
+        .writeStream.format("memory")
+        .queryName("et_dedup_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmpdir / "ckpt_et"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select url, html from et_dedup_test").collect()
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r.url, []).append(bytes(r.html))
+    # late dup within the watermark dropped: a emitted once per CYCLE
+    assert by_url["http://a"] == [b"<p>a-first</p>", b"<p>a-second-cycle</p>"]
+    # everything else exactly once
+    assert {u: len(v) for u, v in by_url.items()} == {
+        "http://a": 2, "http://b": 1, "http://c": 1,
+        "http://d": 1, "http://e": 1,
+    }
