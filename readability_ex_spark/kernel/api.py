@@ -8,6 +8,7 @@ import sys
 from urllib.parse import urljoin
 
 from readability_ex_spark.kernel import cleaner, dom, metadata, sieve, title
+from readability_ex_spark.kernel import spans as spans_mod
 from readability_ex_spark.kernel import index as kernel_index
 from readability_ex_spark.kernel.constants import (
     FLAG_CLEAN_CONDITIONALLY,
@@ -51,7 +52,8 @@ class NotReadable(Exception):
 def parse(html: str | bytes, doc: list | None = None, **opts) -> dict:
     """Extract the main article. Returns a dict with keys
     title, content (HTML), text_content, length, excerpt, byline, dir,
-    site_name, lang, published_time.
+    site_name, lang, published_time, spans (block-level [tag, start, end)
+    offsets into text_content — kernel/spans.py).
 
     ``doc``: optionally a pre-parsed tree of ``html`` (it is consumed and
     mutated by the pre-clean phase — do not reuse it afterwards).
@@ -136,6 +138,9 @@ def parse(html: str | bytes, doc: list | None = None, **opts) -> dict:
     # byline resolves at the end of all passes (JS reads _articleByline
     # after grabArticle settles, whichever pass set it)
     best["byline"] = meta.get("byline") or found_byline
+    # block-level spans over text_content, winner-only (one linear walk;
+    # losing attempts never pay it)
+    best["spans"] = spans_mod.block_spans(best.pop("_tree"))
     best.pop("_pass_ok", None)
     best.pop("_norm_length", None)
     return best
@@ -179,6 +184,7 @@ def _run_attempt(
     return {
         "title": article_title,
         "content": grab["content_html"],
+        "_tree": grab["tree"],  # winner's spans computed once in parse()
         "text_content": text,
         "length": len(text),
         "excerpt": _decode_html_entities(excerpt),

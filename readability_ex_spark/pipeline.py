@@ -31,6 +31,22 @@ EXTRACT_SCHEMA = T.StructType(
         T.StructField("excerpt", T.StringType(), True),
         T.StructField("content_html", T.StringType(), True),
         T.StructField("text", T.StringType(), True),
+        # topmost block elements of the cleaned article as [start, end)
+        # offsets into `text` (kernel/spans.py) — the "text/spans" output
+        # contract; text[start:end] == that block's textContent
+        T.StructField(
+            "spans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("tag", T.StringType(), False),
+                        T.StructField("start", T.IntegerType(), False),
+                        T.StructField("end", T.IntegerType(), False),
+                    ]
+                )
+            ),
+            True,
+        ),
         T.StructField("length", T.IntegerType(), True),
         T.StructField("readerable", T.BooleanType(), True),
         # best next-page link candidate (kernel/paging.py scoring) — the
@@ -66,15 +82,15 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {k: [] for k in (
             "url", "title", "byline", "dir", "lang", "site_name",
-            "published_time", "excerpt", "content_html", "text", "length",
-            "readerable", "next_url", "status", "error",
+            "published_time", "excerpt", "content_html", "text", "spans",
+            "length", "readerable", "next_url", "status", "error",
         )}
         for url, html in zip(pdf["url"], pdf["html"]):
             row = {
                 "title": None, "byline": None, "dir": None, "lang": None,
                 "site_name": None, "published_time": None, "excerpt": None,
-                "content_html": None, "text": None, "length": 0,
-                "readerable": None, "next_url": None,
+                "content_html": None, "text": None, "spans": None,
+                "length": 0, "readerable": None, "next_url": None,
             }
             if html is None or len(html) == 0:
                 # terminal: the payload itself is missing — retrying can
@@ -99,6 +115,10 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         published_time=r["published_time"],
                         excerpt=r["excerpt"], content_html=r["content"],
                         text=r["text_content"], length=r["length"],
+                        spans=[
+                            {"tag": t, "start": s, "end": e}
+                            for t, s, e in r["spans"]
+                        ],
                     )
                     status, error = "ok", None
                 except NotReadable:
