@@ -24,6 +24,7 @@ from readability_ex_spark.operators.multimodal import (  # noqa: E402
     q_multimodal_dedup as _q_multimodal_dedup,
 )
 from readability_ex_spark.operators import corpus as CO  # noqa: E402
+from readability_ex_spark.operators import decontam as DC  # noqa: E402
 from readability_ex_spark.operators import relational as R  # noqa: E402
 from readability_ex_spark.operators import sampling as SA  # noqa: E402
 from readability_ex_spark.operators import similarity as S  # noqa: E402
@@ -64,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": T.q_winnow_fingerprint,
         "winnow_overlap": T.q_winnow_overlap,
         "exact_dedup": T.q_exact_dedup,
+        "decontaminate": DC.q_decontaminate,
         "minhash_sig": T.q_minhash_sig,
         "minhash_band_pairs": T.q_minhash_band_pairs,
         "simhash": T.q_simhash,
@@ -647,6 +649,33 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS canonical_id,
                    count(*) AS n_copies
             FROM documents GROUP BY 1 ORDER BY fingerprint
+        """,
+        # mirrors decontam.decontaminate: 13-token md5 grams (the shingle
+        # unit), eval split = md5(doc_id) prefix, train = the rest,
+        # contaminated = any shared gram; n_hit_grams = DISTINCT shared
+        "decontaminate": f"""
+            WITH g AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = ''
+                               OR len({toks}) < {DC.N_DECONTAM}
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE list_distinct(list_transform(
+                            generate_series(
+                              1, len({toks}) - {DC.N_DECONTAM - 1}),
+                            i -> substr(md5(array_to_string(
+                              list_slice({toks}, i, i + {DC.N_DECONTAM - 1}),
+                              ' ')), 1, 16)))
+                          END AS sh,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1,
+                            {DC.EVAL_HEX_BITS}) = '{DC.EVAL_HEX_PREFIX}'
+                       AS is_eval
+              FROM documents),
+            e AS (SELECT DISTINCT unnest(sh) AS gram FROM g WHERE is_eval),
+            t AS (SELECT doc_id, unnest(sh) AS gram FROM g WHERE NOT is_eval)
+            SELECT t.doc_id, count(DISTINCT t.gram) AS n_hit_grams
+            FROM t JOIN e USING (gram)
+            GROUP BY t.doc_id
+            ORDER BY doc_id
         """,
         "minhash_sig": f"""
             SELECT doc_id, {sig(0)} AS sig0, {sig(1)} AS sig1,

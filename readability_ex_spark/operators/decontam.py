@@ -1,0 +1,100 @@
+"""Benchmark decontamination: drop training documents that overlap an
+evaluation set at n-gram granularity.
+
+The standard recipe (GPT-3 appendix C / PaLM §7) flags a training
+document when it shares any exact N-token n-gram with any eval document
+(N = 13 here).  At 100 TB the eval side is tiny (benchmarks are a few
+MB), so the whole eval n-gram set is built once, distinct-ed, and
+BROADCAST to the scan of the training corpus — the training side streams
+through one explode + broadcast-hash-join + partial-agg with no shuffle
+of the corpus itself.  No reference counterpart (training-data layer).
+
+N-grams reuse the shingle unit from textops.shingle_expr (md5-hashed
+16-hex token windows) so the DuckDB oracle stays exact.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from readability_ex_spark.operators.textops import shingle_expr
+
+N_DECONTAM = 13  # tokens per overlap gram (GPT-3/PaLM convention)
+
+
+def eval_ngram_set(
+    eval_df: DataFrame, text_col: str = "text", n: int = N_DECONTAM
+) -> DataFrame:
+    """Distinct hashed n-grams of the eval corpus — one `gram` column.
+
+    Small by construction; callers broadcast it.
+    """
+    return (
+        eval_df.select(
+            F.explode(shingle_expr(text_col, w=n)).alias("gram")
+        ).distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = N_DECONTAM,
+) -> DataFrame:
+    """Per-document contamination verdict vs an eval set.
+
+    Returns ``(id_col, n_hit_grams, contaminated)`` for every input doc.
+    ``n_hit_grams`` counts DISTINCT shared grams (a doc repeating one
+    leaked sentence 50x is one leak, not 50).
+
+    Plan shape: corpus-side explode -> broadcast semi-ish join against
+    the eval gram set -> partial-agg count by doc.  The corpus is
+    scanned once and never shuffled on gram (the join is broadcast);
+    the only exchange is the final count-by-doc, keyed on the id the
+    corpus is typically already partitioned by.
+    """
+    grams = docs.select(
+        F.col(id_col), F.explode(shingle_expr(text_col, w=n)).alias("gram")
+    )
+    hits = (
+        grams.join(F.broadcast(eval_ngram_set(eval_df, text_col, n)), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_hit_grams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
+            (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# Deterministic synthetic eval set for the checked query: documents whose
+# md5(doc_id) starts with this prefix (~1/64 of the corpus) stand in for
+# a benchmark. Their dup-family members contaminate against them.
+EVAL_HEX_PREFIX = "0"
+EVAL_HEX_BITS = 1  # hex chars of the prefix
+
+
+def _eval_split(docs: DataFrame) -> DataFrame:
+    return docs.filter(
+        F.md5(F.col("doc_id").cast("string")).startswith(EVAL_HEX_PREFIX)
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contaminated training docs (eval split excluded from the corpus
+    side, as a real decontamination run would) with hit counts."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eval_df = _eval_split(docs)
+    train = docs.join(eval_df.select("doc_id"), "doc_id", "left_anti")
+    out = decontaminate(train, eval_df)
+    return (
+        out.filter("contaminated")
+        .select("doc_id", "n_hit_grams")
+        .orderBy("doc_id")
+    )

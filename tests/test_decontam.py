@@ -1,0 +1,84 @@
+"""Decontamination: exact 13-gram overlap vs a broadcast eval set."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from readability_ex_spark.operators.decontam import (
+    N_DECONTAM,
+    decontaminate,
+    eval_ngram_set,
+)
+
+
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango"
+).split()
+
+
+def _text(n, shift=0):
+    return " ".join(WORDS[(i + shift) % len(WORDS)] for i in range(n))
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    eval_df = spark.createDataFrame(
+        [(100, _text(20))], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            # embeds a full 13-token window of the eval text -> leak
+            (1, "prefix words here " + _text(15) + " suffix words"),
+            # only 12 shared consecutive tokens -> clean
+            (2, "x " + _text(12) + " y " + _text(12, shift=5) + " z"),
+            # unrelated -> clean
+            (3, " ".join(f"w{i}" for i in range(40))),
+            # shorter than N tokens -> clean by construction
+            (4, _text(8)),
+            # same leaked window repeated twice -> still counted once/window
+            (5, _text(13) + " mid " + _text(13)),
+        ],
+        "doc_id long, text string",
+    )
+    return docs, eval_df
+
+
+def test_flags_only_true_leaks(spark, frames):
+    docs, eval_df = frames
+    out = {r.doc_id: r for r in decontaminate(docs, eval_df).collect()}
+    assert out[1].contaminated
+    assert out[1].n_hit_grams == 3  # 15-token window -> 3 distinct 13-grams
+    assert not out[2].contaminated and out[2].n_hit_grams == 0
+    assert not out[3].contaminated
+    assert not out[4].contaminated
+    assert out[5].contaminated
+    assert out[5].n_hit_grams == 1  # duplicate leak counted once
+
+
+def test_every_doc_gets_a_verdict(spark, frames):
+    docs, eval_df = frames
+    out = decontaminate(docs, eval_df)
+    assert out.count() == docs.count()
+    assert out.filter(F.col("contaminated").isNull()).count() == 0
+
+
+def test_eval_gram_set_is_distinct(spark, frames):
+    _, eval_df = frames
+    doubled = eval_df.union(eval_df)  # same benchmark loaded twice
+    grams = eval_ngram_set(doubled)
+    assert grams.count() == grams.distinct().count() == 20 - N_DECONTAM + 1
+
+
+def test_plan_broadcasts_eval_side(spark, frames):
+    docs, eval_df = frames
+    plan = (
+        decontaminate(docs, eval_df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the corpus-side gram join must be broadcast (the eval set is the
+    # build side); the final verdict join may start as SMJ pre-AQE
+    assert "BroadcastHashJoin [gram" in plan
+    assert plan.count("SortMergeJoin") <= 1
