@@ -25,6 +25,7 @@ from readability_ex_spark.operators.multimodal import (  # noqa: E402
 )
 from readability_ex_spark.operators import corpus as CO  # noqa: E402
 from readability_ex_spark.operators import decontam as DC  # noqa: E402
+from readability_ex_spark.operators import pii as PII  # noqa: E402
 from readability_ex_spark.operators import relational as R  # noqa: E402
 from readability_ex_spark.operators import sampling as SA  # noqa: E402
 from readability_ex_spark.operators import similarity as S  # noqa: E402
@@ -66,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": T.q_winnow_overlap,
         "exact_dedup": T.q_exact_dedup,
         "decontaminate": DC.q_decontaminate,
+        "pii_scrub": PII.q_pii_scrub,
         "minhash_sig": T.q_minhash_sig,
         "minhash_band_pairs": T.q_minhash_band_pairs,
         "simhash": T.q_simhash,
@@ -676,6 +678,38 @@ def oracle_sql() -> dict[str, str]:
             FROM t JOIN e USING (gram)
             GROUP BY t.doc_id
             ORDER BY doc_id
+        """,
+        # mirrors pii.q_pii_scrub: deterministic PII fixture column from
+        # doc_id, then the email -> ipv4 -> phone chain with each count
+        # taken on that stage's INPUT (matching scrub_pii's sequencing)
+        "pii_scrub": f"""
+            WITH f AS (
+              SELECT doc_id,
+                     substr(text, 1, 80)
+                       || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@mail.example.org'
+                       || ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                       || '.' || CAST(doc_id % 250 AS VARCHAR) || '.7'
+                       || ' call +1 555-01'
+                       || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                       || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       AS t0
+              FROM documents),
+            s1 AS (SELECT doc_id, t0,
+                          regexp_replace(t0, '{PII.PII_RULES[0][1]}',
+                                         '<EMAIL>', 'g') AS t1 FROM f),
+            s2 AS (SELECT *, regexp_replace(t1, '{PII.PII_RULES[1][1]}',
+                                            '<IP>', 'g') AS t2 FROM s1),
+            s3 AS (SELECT *, regexp_replace(t2, '{PII.PII_RULES[2][1]}',
+                                            '<PHONE>', 'g') AS t3 FROM s2)
+            SELECT doc_id, md5(t3) AS scrubbed_hash,
+                   CAST(len(regexp_extract_all(t0, '{PII.PII_RULES[0][1]}'))
+                        AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(t1, '{PII.PII_RULES[1][1]}'))
+                        AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(t2, '{PII.PII_RULES[2][1]}'))
+                        AS BIGINT) AS n_phone
+            FROM s3 ORDER BY doc_id
         """,
         "minhash_sig": f"""
             SELECT doc_id, {sig(0)} AS sig0, {sig(1)} AS sig1,
