@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": T.q_bpe_token_count,
         "quality_score": T.q_quality_score,
         "quality_rules": CO.q_quality_rules,
+        "repetition_stats": CO.q_repetition_stats,
         "lang_id": T.q_lang_id,
         "fingerprint": T.q_fingerprint,
         "winnow_fingerprint": T.q_winnow_fingerprint,
@@ -496,6 +497,66 @@ def oracle_sql() -> dict[str, str]:
                           THEN n_stopwords / CAST(n_tokens AS DOUBLE)
                           ELSE 0.0 END) * 0.5, 6) AS quality_score
             FROM t ORDER BY doc_id
+        """,
+        # mirrors corpus.repetition_stats: lowercased whitespace tokens,
+        # grams tagged by n in one unnest, coverage = count * chars of the
+        # space-joined window, fractions over normalized-text length
+        "repetition_stats": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR trim(text) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(lower(trim(text)),
+                                                     '\\s+') END AS toks
+              FROM documents),
+            base AS (
+              SELECT doc_id, toks,
+                     len(array_to_string(toks, ' ')) AS total_chars
+              FROM tok),
+            g AS (
+              SELECT doc_id, total_chars, ns.n,
+                     unnest(CASE WHEN len(toks) >= ns.n
+                       THEN list_transform(
+                         generate_series(1, len(toks) - ns.n + 1),
+                         i -> array_to_string(
+                           list_slice(toks, i, i + ns.n - 1), ' '))
+                       ELSE CAST([] AS VARCHAR[]) END) AS gram
+              FROM base CROSS JOIN
+                   (SELECT unnest({list(CO.REP_NGRAM_SIZES)}) AS n) ns),
+            c AS (
+              SELECT doc_id, total_chars, n, gram,
+                     count(*) AS cnt, count(*) * len(gram) AS cov
+              FROM g GROUP BY doc_id, total_chars, n, gram),
+            a AS (
+              SELECT doc_id, any_value(total_chars) AS total_chars,
+                     max(CASE WHEN n = 2 THEN cov END) AS t2,
+                     max(CASE WHEN n = 3 THEN cov END) AS t3,
+                     sum(CASE WHEN n = 6 AND cnt >= 2 THEN cov END) AS d6
+              FROM c GROUP BY doc_id),
+            s AS (
+              SELECT d.doc_id,
+                     CASE WHEN a.total_chars > 0 THEN round(
+                       CAST(coalesce(a.t2, 0) AS DOUBLE) / a.total_chars, 6)
+                       ELSE 0.0 END AS top2gram_frac,
+                     CASE WHEN a.total_chars > 0 THEN round(
+                       CAST(coalesce(a.t3, 0) AS DOUBLE) / a.total_chars, 6)
+                       ELSE 0.0 END AS top3gram_frac,
+                     CASE WHEN a.total_chars > 0 THEN round(
+                       CAST(coalesce(a.d6, 0) AS DOUBLE) / a.total_chars, 6)
+                       ELSE 0.0 END AS dup6gram_frac
+              FROM (SELECT doc_id FROM documents) d
+              LEFT JOIN a USING (doc_id))
+            SELECT doc_id,
+                   coalesce(top2gram_frac, 0.0) AS top2gram_frac,
+                   coalesce(top3gram_frac, 0.0) AS top3gram_frac,
+                   coalesce(dup6gram_frac, 0.0) AS dup6gram_frac,
+                   coalesce(top2gram_frac, 0.0)
+                     <= {CO.GOPHER_MAX_TOP2GRAM_FRAC} AS r_top2gram,
+                   coalesce(top3gram_frac, 0.0)
+                     <= {CO.GOPHER_MAX_TOP3GRAM_FRAC} AS r_top3gram,
+                   coalesce(dup6gram_frac, 0.0)
+                     <= {CO.GOPHER_MAX_DUP6GRAM_FRAC} AS r_dup6gram
+            FROM s ORDER BY doc_id
         """,
         "quality_rules": f"""
             WITH w AS (

@@ -154,6 +154,110 @@ def with_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# -- Gopher repetition rules (Rae et al. 2021 table A1) --------------------
+# Thresholds from the paper: top 2-gram <= 0.20, top 3-gram <= 0.18,
+# duplicate 6-gram <= 0.14 of characters. "Characters of a gram" = length
+# of the space-joined token window; our top-n variant scores
+# max(count * chars) over grams (the paper's "most frequent n-gram" is
+# tie-ambiguous; max coverage is deterministic and identical near the
+# threshold where it matters).
+GOPHER_MAX_TOP2GRAM_FRAC = 0.20
+GOPHER_MAX_TOP3GRAM_FRAC = 0.18
+GOPHER_MAX_DUP6GRAM_FRAC = 0.14
+REP_NGRAM_SIZES = (2, 3, 6)
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document n-gram repetition coverage (Gopher repetition rules).
+
+    Returns ``(id_col, top2gram_frac, top3gram_frac, dup6gram_frac,
+    r_top2gram, r_top3gram, r_dup6gram)`` — fractions of normalized-text
+    characters covered by the dominant 2-/3-gram and by all duplicated
+    6-grams.  Plan: ONE explode of all three gram sizes tagged with n,
+    count by (doc, n, gram), then conditional aggregation back to one row
+    per doc — two hash aggregations, work linear in tokens x 3, no
+    Python.  Spam pages (repeated boilerplate/keyword stuffing) blow past
+    the thresholds; prose sits far below.
+    """
+    c = F.col(text_col)
+    toks = F.when(
+        c.isNull() | (F.trim(c) == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(F.lower(F.trim(c)), r"\s+"))
+    total_chars = F.length(F.array_join(toks, " ")).cast("long")
+
+    def grams(n: int):
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(" ", F.slice(toks, i, n)).alias("gram"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+
+    exploded = df.select(
+        F.col(id_col),
+        total_chars.alias("total_chars"),
+        F.explode(
+            F.concat(*[grams(n) for n in REP_NGRAM_SIZES])
+        ).alias("g"),
+    )
+    counted = (
+        exploded.groupBy(id_col, "total_chars", "g.n", "g.gram")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("cov", F.col("cnt") * F.length("gram").cast("long"))
+    )
+
+    def frac(expr):
+        return F.round(
+            F.when(
+                F.col("total_chars") > 0,
+                F.coalesce(expr, F.lit(0)).cast("double")
+                / F.col("total_chars"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    stats = counted.groupBy(id_col, "total_chars").agg(
+        F.max(F.when(F.col("n") == 2, F.col("cov"))).alias("t2"),
+        F.max(F.when(F.col("n") == 3, F.col("cov"))).alias("t3"),
+        F.sum(
+            F.when((F.col("n") == 6) & (F.col("cnt") >= 2), F.col("cov"))
+        ).alias("d6"),
+    )
+    stats = stats.select(
+        id_col,
+        frac(F.col("t2")).alias("top2gram_frac"),
+        frac(F.col("t3")).alias("top3gram_frac"),
+        frac(F.col("d6")).alias("dup6gram_frac"),
+    )
+    # docs with no tokens never reach the explode output; restore them
+    # with zero coverage so every input row gets a verdict
+    out = df.select(id_col).join(stats, id_col, "left").select(
+        id_col,
+        *[
+            F.coalesce(col, F.lit(0.0)).alias(col)
+            for col in ("top2gram_frac", "top3gram_frac", "dup6gram_frac")
+        ],
+    )
+    return out.withColumns(
+        {
+            "r_top2gram": F.col("top2gram_frac") <= GOPHER_MAX_TOP2GRAM_FRAC,
+            "r_top3gram": F.col("top3gram_frac") <= GOPHER_MAX_TOP3GRAM_FRAC,
+            "r_dup6gram": F.col("dup6gram_frac") <= GOPHER_MAX_DUP6GRAM_FRAC,
+        }
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs).orderBy("doc_id")
+
+
 def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4 quality-rule signals + per-rule verdicts per document."""
     from readability_ex_spark.operators.textops import _docs

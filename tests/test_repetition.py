@@ -1,0 +1,60 @@
+"""Gopher repetition rules: n-gram coverage math on crafted docs."""
+from __future__ import annotations
+
+import pytest
+
+from readability_ex_spark.operators.corpus import repetition_stats
+
+
+@pytest.fixture(scope="module")
+def out(spark):
+    docs = spark.createDataFrame(
+        [
+            # "spam spam spam spam": top 2-gram "spam spam" cnt=3,
+            # chars=9 -> cov 27 over total 19 chars = 1.421052
+            (1, "spam spam spam spam"),
+            # varied prose: every 2-gram unique (long enough that a
+            # single gram's coverage is small — short docs are gated by
+            # the word-count rule, not the repetition rules)
+            (2, " ".join(f"w{i}" for i in range(60))),
+            # duplicated 6-gram block: "a b c d e f" twice
+            (3, "a b c d e f a b c d e f"),
+            (4, ""),          # empty -> all zeros, all rules pass
+            (5, None),        # null -> same
+            (6, "single"),    # shorter than every n -> zeros
+        ],
+        "doc_id long, text string",
+    )
+    return {r.doc_id: r for r in repetition_stats(docs).collect()}
+
+
+def test_spam_doc_fails_top2(out):
+    r = out[1]
+    assert r.top2gram_frac == pytest.approx(27 / 19, abs=1e-6)
+    assert not r.r_top2gram
+    assert not r.r_top3gram  # "spam spam spam" cnt=2, chars=14 -> 28/19
+
+
+def test_prose_passes(out):
+    r = out[2]
+    assert r.r_top2gram and r.r_top3gram and r.r_dup6gram
+    assert r.dup6gram_frac == 0.0  # no duplicated 6-gram
+
+
+def test_duplicated_6gram_detected(out):
+    r = out[3]
+    # 6-grams: windows 1..7; "a b c d e f" occurs at i=1 and i=7 -> cnt 2,
+    # cov = 2 * 11 = 22 over total 23 chars
+    assert r.dup6gram_frac == pytest.approx(22 / 23, abs=1e-6)
+    assert not r.r_dup6gram
+
+
+def test_degenerate_docs_get_zero_verdicts(out):
+    for doc_id in (4, 5, 6):
+        r = out[doc_id]
+        assert (
+            r.top2gram_frac,
+            r.top3gram_frac,
+            r.dup6gram_frac,
+        ) == (0.0, 0.0, 0.0)
+        assert r.r_top2gram and r.r_top3gram and r.r_dup6gram
