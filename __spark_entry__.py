@@ -260,11 +260,11 @@ def _text_emb_ctes() -> str:
               FROM tv GROUP BY 1)"""
 
 
-def _lsh_bucket_sql(emb_expr: str) -> str:
+def _lsh_bucket_sql(emb_expr: str, n_planes: int = S.N_PLANES) -> str:
     """DuckDB expression mirroring similarity.lsh_bucket: sign bit per
     inlined hyperplane, plane 0 = MSB."""
-    planes = S.hyperplanes(S.EMB_DIM, S.N_PLANES, S.LSH_SEED)
-    n = S.N_PLANES
+    planes = S.hyperplanes(S.EMB_DIM, n_planes, S.LSH_SEED)
+    n = n_planes
     bits = " + ".join(
         f"CASE WHEN list_sum(list_transform(list_zip({emb_expr}, "
         f"{_sql_floats(p)}), z -> z[1] * z[2])) >= 0 "
@@ -995,7 +995,8 @@ def oracle_sql() -> dict[str, str]:
               FROM arr JOIN tn ON tn.doc_id = arr.doc_id
               WHERE nrm > 0),
             b0 AS (
-              SELECT vec_id, ed, {_lsh_bucket_sql("ed")} AS bucket
+              SELECT vec_id, ed,
+                     {_lsh_bucket_sql("ed", E.TEXT_EMB_ND_PLANES)} AS bucket
               FROM temb),
             b AS (
               SELECT vec_id, ed, bucket FROM (
@@ -1012,7 +1013,7 @@ def oracle_sql() -> dict[str, str]:
                        6) AS cosine
               FROM b ce JOIN b cq
                 ON ce.vec_id < cq.vec_id
-                AND bit_count(xor(ce.bucket, cq.bucket)) <= 1)
+                AND bit_count(xor(ce.bucket, cq.bucket)) <= 2)
             SELECT doc_a, doc_b, cosine FROM p
             WHERE cosine >= {E.TEXT_EMB_ND_THRESHOLD}
             ORDER BY doc_a, doc_b

@@ -390,16 +390,21 @@ def embedding_near_dup(
         .filter(F.col("_n") <= max_bucket)
         .drop("_n")
     )
+    # XOR masks of the Hamming ball around each bucket (radius 0/1/2);
+    # more planes + radius 2 beats fewer planes + radius 1 at equal
+    # recall: candidates shrink ~bucket-density-squared while the probe
+    # explode grows only quadratically in n_planes (137 rows at 16).
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if probe_hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
     probes = F.array(
-        F.col("bucket"),
-        *(
-            [
-                F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long")
-                for i in range(n_planes)
-            ]
-            if probe_hamming >= 1
-            else []
-        ),
+        *[F.col("bucket").bitwiseXOR(F.lit(m)).cast("long") for m in masks]
     )
     a = b.select(
         F.col("vec_id").alias("vec_a"),
