@@ -445,6 +445,9 @@ def prepare_training_corpus(
     *,
     min_quality: float = 0.0,
     quality_rules: bool = False,
+    repetition_rules: bool = False,
+    scrub_pii_text: bool = False,
+    eval_df: DataFrame | None = None,
     near_dup_threshold: float | None = 0.8,
     emb_near_dup_threshold: float | None = None,
     **extraction_kwargs,
@@ -461,7 +464,15 @@ def prepare_training_corpus(
     embedding-space dedup stage (``embedding_dedup_drops``) over the
     token-level survivors — ordered last because it is the loosest
     matcher: exact and token-Jaccard dedup shrink the corpus first, so
-    the embedding LSH buckets stay small."""
+    the embedding LSH buckets stay small.
+
+    ``eval_df`` (a frame with a ``text`` column) drops documents sharing
+    any 13-token gram with it (``decontam.decontaminate``) — run on the
+    dedup survivors so one leaked boilerplate family costs one check.
+    ``scrub_pii_text=True`` replaces ``text`` with its PII-scrubbed form
+    BEFORE quality/repetition stats (signals must describe the text that
+    ships). ``repetition_rules=True`` drops docs failing any Gopher
+    n-gram repetition rule (``repetition_stats``)."""
     extracted = run_extraction(pages, **extraction_kwargs).filter(
         F.col("status") == "ok"
     )
@@ -476,7 +487,28 @@ def prepare_training_corpus(
     keep = manifest.filter(F.col("keep")).select(
         "url", "fingerprint", "n_copies"
     )
-    corpus = with_quality_signals(extracted.join(keep, "url"))
+    survivors = extracted.join(keep, "url")
+    if eval_df is not None:
+        from readability_ex_spark.operators.decontam import decontaminate
+
+        verdicts = decontaminate(survivors, eval_df, id_col="url")
+        survivors = survivors.join(
+            verdicts.filter("contaminated").select("url"), "url", "left_anti"
+        )
+    if scrub_pii_text:
+        from readability_ex_spark.operators.pii import scrub_pii
+
+        survivors = (
+            scrub_pii(survivors)
+            .drop("text")
+            .withColumnRenamed("text_scrubbed", "text")
+        )
+    corpus = with_quality_signals(survivors)
+    if repetition_rules:
+        rep_ok = repetition_stats(corpus, id_col="url").filter(
+            F.col("r_top2gram") & F.col("r_top3gram") & F.col("r_dup6gram")
+        )
+        corpus = corpus.join(rep_ok.select("url"), "url", "left_semi")
     if emb_near_dup_threshold is not None:
         drops = embedding_dedup_drops(corpus, emb_near_dup_threshold)
         corpus = corpus.join(drops, "url", "left_anti")

@@ -6,6 +6,9 @@ the composed pipeline a 100 TB text-corpus build actually runs:
         --output /data/corpus         # deduped, quality-annotated corpus
         [--min-quality 0.3]           # drop docs below this score
         [--quality-rules]             # apply the Gopher/C4 rule set
+        [--repetition-rules]          # Gopher n-gram repetition rules
+        [--scrub-pii]                 # redact emails/IPs/phones in text
+        [--decontaminate /data/eval]  # drop docs overlapping this eval set
         [--near-dup-threshold 0.8]    # token-Jaccard cluster threshold
         [--no-near-dup]               # exact-dup collapse only
         [--emb-near-dup 0.9]          # embedding-space dedup stage
@@ -37,6 +40,19 @@ def main() -> int:
     ap.add_argument(
         "--quality-rules", action="store_true",
         help="keep only documents passing every Gopher/C4 quality rule",
+    )
+    ap.add_argument(
+        "--repetition-rules", action="store_true",
+        help="drop documents failing any Gopher n-gram repetition rule",
+    )
+    ap.add_argument(
+        "--scrub-pii", action="store_true",
+        help="replace text with its PII-scrubbed form before quality stats",
+    )
+    ap.add_argument(
+        "--decontaminate", default=None, metavar="EVAL_PATH",
+        help="parquet table with a text column; drop docs sharing any "
+        "13-token gram with it",
     )
     ap.add_argument(
         "--emb-near-dup", type=float, default=None, metavar="COSINE",
@@ -86,7 +102,24 @@ def main() -> int:
     manifest = manifest.cache()
 
     keep = manifest.filter(F.col("keep")).select("url", "fingerprint", "n_copies")
-    corpus = with_quality_signals(extracted.join(keep, "url"))
+    survivors = extracted.join(keep, "url")
+    if args.decontaminate:
+        from readability_ex_spark.operators.decontam import decontaminate
+
+        eval_df = spark.read.parquet(args.decontaminate)
+        verdicts = decontaminate(survivors, eval_df, id_col="url")
+        survivors = survivors.join(
+            verdicts.filter("contaminated").select("url"), "url", "left_anti"
+        )
+    if args.scrub_pii:
+        from readability_ex_spark.operators.pii import scrub_pii
+
+        survivors = (
+            scrub_pii(survivors)
+            .drop("text")
+            .withColumnRenamed("text_scrubbed", "text")
+        )
+    corpus = with_quality_signals(survivors)
     if args.emb_near_dup is not None:
         drops = embedding_dedup_drops(corpus, args.emb_near_dup)
         corpus = corpus.join(drops, "url", "left_anti")
@@ -99,6 +132,13 @@ def main() -> int:
             .filter(F.col("passes_quality"))
             .select(*cols)
         )
+    if args.repetition_rules:
+        from readability_ex_spark.operators.corpus import repetition_stats
+
+        rep_ok = repetition_stats(corpus, id_col="url").filter(
+            F.col("r_top2gram") & F.col("r_top3gram") & F.col("r_dup6gram")
+        )
+        corpus = corpus.join(rep_ok.select("url"), "url", "left_semi")
     corpus = corpus.withColumn(
         "url_bucket", F.pmod(F.xxhash64("url"), F.lit(64)).cast("int")
     )

@@ -149,3 +149,44 @@ def test_prepare_corpus_quality_rules_stage(spark):
     nb, nr = base.count(), ruled.count()
     assert 0 < nr < nb  # the rules bind on the synthetic corpus
     assert set(ruled.columns) == set(base.columns)
+
+
+def test_prepare_corpus_decontaminate_scrub_repetition(spark):
+    """The three round-4 stages compose: eval-overlap docs drop, text is
+    scrubbed before quality stats, repetition spam drops."""
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001").limit(20)
+    extracted_text = {
+        r.url: r.text
+        for r in prepare_training_corpus(
+            pages, near_dup_threshold=None
+        ).select("url", "text").collect()
+    }
+    assert extracted_text
+    leaked_url, leaked_text = sorted(extracted_text.items())[0]
+    eval_df = spark.createDataFrame(
+        [(leaked_text,)], "text string"
+    )
+
+    out = prepare_training_corpus(
+        pages,
+        near_dup_threshold=None,
+        eval_df=eval_df,
+        scrub_pii_text=True,
+        repetition_rules=True,
+    )
+    urls = {r.url for r in out.select("url").collect()}
+    # the doc whose full text is in the eval set is gone (13+ tokens)
+    if len(leaked_text.split()) >= 13:
+        assert leaked_url not in urls
+    # scrub stage ran: the PII count columns ride along as lineage
+    assert {"n_email", "n_ipv4", "n_phone"} <= set(out.columns)
+    # repetition stage: all survivors pass every repetition rule
+    from readability_ex_spark.operators.corpus import repetition_stats
+
+    rep = repetition_stats(
+        out.select("url", "text"), id_col="url"
+    )
+    bad = rep.filter(
+        ~(F.col("r_top2gram") & F.col("r_top3gram") & F.col("r_dup6gram"))
+    )
+    assert bad.count() == 0
