@@ -104,6 +104,13 @@ def main() -> int:
     run("ann_materialized_topk", lambda: S.q_ann_materialized_topk(spark, sf_dir).count())
 
     run("quality_rules", lambda: q_quality_rules(spark, sf_dir).count())
+    from readability_ex_spark.operators.corpus import q_repetition_stats
+    from readability_ex_spark.operators.decontam import q_decontaminate
+    from readability_ex_spark.operators.pii import q_pii_scrub
+
+    run("repetition_stats", lambda: q_repetition_stats(spark, sf_dir).count())
+    run("decontaminate", lambda: q_decontaminate(spark, sf_dir).count())
+    run("pii_scrub", lambda: q_pii_scrub(spark, sf_dir).count())
     run("text_embedding", lambda: E.q_text_embedding(spark, sf_dir).count())
     run(
         "text_emb_near_dup",
