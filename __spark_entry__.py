@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": T.q_winnow_overlap,
         "exact_dedup": T.q_exact_dedup,
         "decontaminate": DC.q_decontaminate,
+        "line_dedup": DC.q_line_dedup,
         "pii_scrub": PII.q_pii_scrub,
         "minhash_sig": T.q_minhash_sig,
         "minhash_band_pairs": T.q_minhash_band_pairs,
@@ -738,6 +739,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, count(DISTINCT t.gram) AS n_hit_grams
             FROM t JOIN e USING (gram)
             GROUP BY t.doc_id
+            ORDER BY doc_id
+        """,
+        # mirrors decontam.line_dedup: fixed token windows, df over
+        # distinct docs, drop df > LINE_MAX_DF, order-preserving rejoin
+        "line_dedup": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = ''
+                          THEN CAST([] AS VARCHAR[]) ELSE {toks} END AS tk
+              FROM documents),
+            b2 AS (
+              SELECT doc_id, tk,
+                     CAST(ceil(len(tk) / {DC.LINE_CHUNK_TOKENS}.0) AS INT)
+                       AS n_chunks
+              FROM base),
+            g AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN n_chunks > 0
+                       THEN generate_series(0, n_chunks - 1)
+                       ELSE CAST([] AS BIGINT[]) END) AS pos,
+                     tk
+              FROM b2),
+            c AS (
+              SELECT doc_id, pos,
+                     array_to_string(list_slice(tk,
+                       pos * {DC.LINE_CHUNK_TOKENS} + 1,
+                       pos * {DC.LINE_CHUNK_TOKENS}
+                         + {DC.LINE_CHUNK_TOKENS}), ' ') AS chunk
+              FROM g),
+            dfreq AS (
+              SELECT chunk, count(DISTINCT doc_id) AS df
+              FROM c GROUP BY chunk),
+            kept AS (
+              SELECT c.doc_id, c.pos, c.chunk
+              FROM c JOIN dfreq USING (chunk)
+              WHERE df <= {DC.LINE_MAX_DF}),
+            re AS (
+              SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos)
+                       AS text_clean,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id),
+            tot AS (
+              SELECT doc_id, count(*) AS n_chunks FROM c GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(tot.n_chunks, 0) AS n_chunks,
+                   coalesce(tot.n_chunks, 0) - coalesce(re.n_kept, 0)
+                     AS n_dropped,
+                   md5(coalesce(re.text_clean, '')) AS clean_hash
+            FROM documents d
+            LEFT JOIN tot USING (doc_id)
+            LEFT JOIN re USING (doc_id)
             ORDER BY doc_id
         """,
         # mirrors pii.q_pii_scrub: deterministic PII fixture column from

@@ -109,7 +109,10 @@ def main() -> int:
     from readability_ex_spark.operators.pii import q_pii_scrub
 
     run("repetition_stats", lambda: q_repetition_stats(spark, sf_dir).count())
+    from readability_ex_spark.operators.decontam import q_line_dedup
+
     run("decontaminate", lambda: q_decontaminate(spark, sf_dir).count())
+    run("line_dedup", lambda: q_line_dedup(spark, sf_dir).count())
     run("pii_scrub", lambda: q_pii_scrub(spark, sf_dir).count())
     run("text_embedding", lambda: E.q_text_embedding(spark, sf_dir).count())
     run(

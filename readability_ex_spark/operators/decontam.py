@@ -86,6 +86,112 @@ def _eval_split(docs: DataFrame) -> DataFrame:
     )
 
 
+# -- cross-document boilerplate (line/chunk) removal ------------------------
+# C4 removes any LINE occurring >= 3 times in the corpus (Raffel et al.
+# 2020 §2.2); CCNet dedups paragraphs by hash across shards. Web text has
+# newlines; the synthetic corpus doesn't, so the unit here is a fixed
+# non-overlapping token window ("chunk") — the same operator shape at a
+# deterministic granularity both engines can recompute.
+
+LINE_CHUNK_TOKENS = 30
+# C4 removes lines occurring >= 3 times in the corpus, i.e. a chunk may
+# appear in at most 2 distinct documents
+LINE_MAX_DF = 2
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = LINE_CHUNK_TOKENS,
+    max_df: int = LINE_MAX_DF,
+) -> DataFrame:
+    """Remove cross-document boilerplate chunks and reassemble the text.
+
+    Chunks = consecutive ``chunk_tokens``-token windows of the
+    whitespace tokenization (last one may be shorter).  A chunk whose
+    document frequency (DISTINCT docs containing it) exceeds ``max_df``
+    is dropped from every document; survivors are rejoined in original
+    order.  Returns ``(id_col, n_chunks, n_dropped, text_clean)`` for
+    every input doc (all-boilerplate docs keep an empty string).
+
+    Plan: one explode -> df count (two-level agg on (chunk, doc) then
+    chunk) -> broadcast-eligible join of the df verdict back to the
+    exploded chunks -> order-restoring re-aggregation by doc.  Work and
+    shuffle volume are linear in corpus tokens — the same shape as exact
+    dedup, run at chunk granularity.
+    """
+    c = F.col(text_col)
+    toks = F.when(
+        c.isNull() | (F.trim(c) == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(c), r"\s+"))
+    n_chunks_expr = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    # sequence(0, -1) counts DOWN in Spark — empty docs must short-circuit
+    chunks = F.when(
+        n_chunks_expr > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks_expr - 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(
+                    " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+                ).alias("chunk"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,chunk:string>>"))
+    exploded = docs.select(
+        F.col(id_col), F.explode(chunks).alias("c")
+    ).select(id_col, "c.pos", "c.chunk")
+    dfreq = (
+        exploded.select(id_col, "chunk")
+        .distinct()
+        .groupBy("chunk")
+        .agg(F.count("*").alias("df"))
+    )
+    tagged = exploded.join(dfreq, "chunk")
+    kept = tagged.filter(F.col("df") <= max_df)
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("chunk")))
+                ),
+                lambda s: s.chunk,
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = exploded.groupBy(id_col).agg(F.count("*").alias("n_chunks"))
+    return (
+        docs.select(id_col)
+        .join(totals, id_col, "left")
+        .join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            (
+                F.coalesce("n_chunks", F.lit(0))
+                - F.coalesce("n_kept", F.lit(0))
+            ).alias("n_dropped"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-chunk removal verdict per doc; the cleaned text rides
+    as an md5 (hash-comparable, avoids megabyte result columns)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = line_dedup(docs)
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        "n_dropped",
+        F.md5("text_clean").alias("clean_hash"),
+    ).orderBy("doc_id")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contaminated training docs (eval split excluded from the corpus
     side, as a real decontamination run would) with hit counts."""

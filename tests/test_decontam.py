@@ -82,3 +82,32 @@ def test_plan_broadcasts_eval_side(spark, frames):
     # build side); the final verdict join may start as SMJ pre-AQE
     assert "BroadcastHashJoin [gram" in plan
     assert plan.count("SortMergeJoin") <= 1
+
+
+# -- line/chunk boilerplate removal -----------------------------------------
+
+def test_line_dedup_drops_boilerplate_keeps_order(spark):
+    from readability_ex_spark.operators.decontam import line_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(30))  # exactly one chunk
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " " + " ".join(f"u1x{i}" for i in range(30))),
+            (2, boiler + " " + " ".join(f"u2x{i}" for i in range(30))),
+            (3, boiler + " " + " ".join(f"u3x{i}" for i in range(30))),
+            (4, " ".join(f"u4x{i}" for i in range(45))),  # 2 chunks, unique
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs).collect()}
+    # boilerplate chunk is in 3 docs > max_df=2 -> dropped everywhere
+    for d in (1, 2, 3):
+        assert out[d].n_chunks == 2 and out[d].n_dropped == 1
+        assert out[d].text_clean.startswith(f"u{d}x0")
+        assert "b0" not in out[d].text_clean
+    # unique doc untouched, order preserved across chunk boundary
+    assert out[4].n_dropped == 0
+    assert out[4].text_clean == " ".join(f"u4x{i}" for i in range(45))
+    # empty doc: zero chunks, empty clean text
+    assert out[5].n_chunks == 0 and out[5].text_clean == ""
