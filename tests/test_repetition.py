@@ -58,3 +58,44 @@ def test_degenerate_docs_get_zero_verdicts(out):
             r.dup6gram_frac,
         ) == (0.0, 0.0, 0.0)
         assert r.r_top2gram and r.r_top3gram and r.r_dup6gram
+
+
+def test_vectorized_matches_naive_counter(spark):
+    """The numpy path (factorize + void-view uniques + cumsum windows)
+    must agree with a dumb Counter re-derivation on arbitrary corpora."""
+    import random
+    from collections import Counter
+
+    from readability_ex_spark.operators.corpus import REP_NGRAM_SIZES
+
+    rng = random.Random(42)
+    vocab = [f"t{i}" for i in range(12)] + ["longword" * 3, "x"]
+    docs = []
+    for doc_id in range(40):
+        n = rng.choice([0, 1, 5, 29, 30, 31, 63, 200])
+        docs.append((doc_id, " ".join(rng.choice(vocab) for _ in range(n))))
+
+    def naive(text):
+        toks = text.split() if text.strip() else []
+        total = len(" ".join(toks))
+        out = {}
+        for n in REP_NGRAM_SIZES:
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            c = Counter(grams)
+            top = max((cnt * len(g) for g, cnt in c.items()), default=0)
+            dup = sum(cnt * len(g) for g, cnt in c.items() if cnt >= 2)
+            out[n] = (top, dup)
+        return (
+            round(out[2][0] / total, 6) if total else 0.0,
+            round(out[3][0] / total, 6) if total else 0.0,
+            round(out[6][1] / total, 6) if total else 0.0,
+        )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.top2gram_frac, r.top3gram_frac, r.dup6gram_frac)
+        for r in repetition_stats(df).collect()
+    }
+    for doc_id, text in docs:
+        want = naive(text.lower())
+        assert got[doc_id] == pytest.approx(want, abs=2e-6), (doc_id, text[:50])
