@@ -450,6 +450,7 @@ def prepare_training_corpus(
     pages: DataFrame,
     *,
     min_quality: float = 0.0,
+    lang: str | None = None,
     quality_rules: bool = False,
     repetition_rules: bool = False,
     scrub_pii_text: bool = False,
@@ -482,6 +483,15 @@ def prepare_training_corpus(
     extracted = run_extraction(pages, **extraction_kwargs).filter(
         F.col("status") == "ok"
     )
+    if lang is not None:
+        # route by language BEFORE the English-centric stopword/quality
+        # rules (their documented precondition); prefix match keeps
+        # regional subtags ("en" matches "en-US")
+        extracted = extracted.filter(
+            F.lower(F.coalesce(F.col("lang"), F.lit(""))).startswith(
+                lang.lower()
+            )
+        )
     if near_dup_threshold is None:
         manifest = exact_dup_manifest(extracted).withColumn(
             "keep", F.col("url") == F.col("canonical_url")

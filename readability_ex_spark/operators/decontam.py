@@ -74,7 +74,7 @@ def decontaminate(
 
 
 # Deterministic synthetic eval set for the checked query: documents whose
-# md5(doc_id) starts with this prefix (~1/64 of the corpus) stand in for
+# md5(doc_id) starts with this prefix (1/16 of the corpus) stand in for
 # a benchmark. Their dup-family members contaminate against them.
 EVAL_HEX_PREFIX = "0"
 EVAL_HEX_BITS = 1  # hex chars of the prefix

@@ -42,6 +42,11 @@ def main() -> int:
         help="keep only documents passing every Gopher/C4 quality rule",
     )
     ap.add_argument(
+        "--lang", default=None, metavar="TAG",
+        help="keep only docs whose metadata lang starts with TAG "
+        "(language routing — run before the English stopword rules)",
+    )
+    ap.add_argument(
         "--repetition-rules", action="store_true",
         help="drop documents failing any Gopher n-gram repetition rule",
     )
@@ -89,7 +94,14 @@ def main() -> int:
     # corpus and the manifest artifact derive from it
     extracted = run_extraction(pages, n_partitions=args.partitions).filter(
         F.col("status") == "ok"
-    ).cache()
+    )
+    if args.lang:
+        extracted = extracted.filter(
+            F.lower(F.coalesce(F.col("lang"), F.lit(""))).startswith(
+                args.lang.lower()
+            )
+        )
+    extracted = extracted.cache()
 
     if args.no_near_dup:
         manifest = exact_dup_manifest(extracted).withColumn(

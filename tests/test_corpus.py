@@ -190,3 +190,19 @@ def test_prepare_corpus_decontaminate_scrub_repetition(spark):
         ~(F.col("r_top2gram") & F.col("r_top3gram") & F.col("r_dup6gram"))
     )
     assert bad.count() == 0
+
+
+def test_prepare_corpus_lang_routing(spark):
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001").limit(30)
+    all_langs = prepare_training_corpus(pages, near_dup_threshold=None)
+    langs = {r.lang for r in all_langs.select("lang").distinct().collect()}
+    if len(langs) < 2:
+        import pytest
+
+        pytest.skip("synthetic slice has one lang; routing untestable here")
+    pick = sorted(l for l in langs if l)[0]
+    routed = prepare_training_corpus(
+        pages, near_dup_threshold=None, lang=pick
+    )
+    got = {r.lang for r in routed.select("lang").distinct().collect()}
+    assert all(l and l.lower().startswith(pick.lower()) for l in got)
