@@ -35,6 +35,13 @@ def main() -> int:
         "wall time a prepare_corpus.py user actually experiences, and "
         "the only place cross-stage plan regressions show",
     )
+    ap.add_argument(
+        "--composed-full",
+        action="store_true",
+        help="like --composed but with every corpus-safety stage on "
+        "(decontamination vs a held-out eval split, PII scrub, Gopher "
+        "quality + repetition rules) — the maximal build a user runs",
+    )
     args, _ = ap.parse_known_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -150,6 +157,46 @@ def main() -> int:
                 shutil.rmtree(outdir, ignore_errors=True)
 
         run("prepare_corpus_e2e", composed)
+
+    if args.composed_full:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from readability_ex_spark.operators.corpus import (
+            prepare_training_corpus,
+        )
+
+        def composed_full() -> int:
+            outdir = tempfile.mkdtemp(prefix="bench_corpus_full_")
+            try:
+                # held-out eval split: 1/16 of the docs table's text
+                eval_df = (
+                    spark.read.parquet(f"{sf_dir}/documents.parquet")
+                    .filter(
+                        F.md5(F.col("doc_id").cast("string")).startswith("0")
+                    )
+                    .select("text")
+                )
+                corpus = prepare_training_corpus(
+                    pages,
+                    eval_df=eval_df,
+                    scrub_pii_text=True,
+                    quality_rules=True,
+                    repetition_rules=True,
+                ).withColumn(
+                    "url_bucket",
+                    F.pmod(F.xxhash64("url"), F.lit(64)).cast("int"),
+                )
+                corpus.write.partitionBy("url_bucket").mode(
+                    "overwrite"
+                ).parquet(f"{outdir}/corpus")
+                return spark.read.parquet(f"{outdir}/corpus").count()
+            finally:
+                shutil.rmtree(outdir, ignore_errors=True)
+
+        run("prepare_corpus_full_e2e", composed_full)
 
     print(
         json.dumps(
