@@ -615,20 +615,41 @@ def shingle_expr(text_col: str = "text", w: int = W_SHINGLE):
     unchanged modulo 2^-64 collisions, and md5 keeps the DuckDB oracle
     exact. Docs shorter than w tokens have an empty shingle set (they
     can't be near-dups of anything at shingle granularity).
+
+    The tokenization stays JVM-side (the expression the oracle mirrors);
+    the per-window md5 runs in an Arrow-vectorized pandas UDF producing
+    the IDENTICAL strings — the original `transform(sequence(...), md5)`
+    higher-order expression is interpreted and measured ~25 µs/gram
+    (4.5–6.8 s for 210–250k grams at sf0.1); hashlib in a plain loop is
+    ~50× cheaper (the BENCH/BASELINE.md HOF rule, third application).
+    First-occurrence order is preserved like array_distinct; every
+    consumer treats the result as a set.
     """
-    toks = _text_tokens(text_col)
-    n = F.size(toks)
-    return F.when(
-        n >= w,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - (w - 1)),
-                lambda i: F.substring(
-                    F.md5(F.concat_ws(" ", F.slice(toks, i, w))), 1, 16
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from hashlib import md5 as _md5
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _sh(tok_arrs: pd.Series) -> pd.Series:
+        out = []
+        for toks in tok_arrs:
+            if toks is None or len(toks) < w:
+                out.append([])
+                continue
+            seen: set[str] = set()
+            res: list[str] = []
+            join = " ".join
+            for i in range(len(toks) - w + 1):
+                h = _md5(
+                    join(toks[i : i + w]).encode("utf-8")
+                ).hexdigest()[:16]
+                if h not in seen:
+                    seen.add(h)
+                    res.append(h)
+            out.append(res)
+        return pd.Series(out)
+
+    return _sh(_text_tokens(text_col))
 
 
 def shingle_jaccard_pairs(
