@@ -261,6 +261,24 @@ def _text_emb_ctes() -> str:
               FROM tv GROUP BY 1)"""
 
 
+def _banded_code_sql(emb_expr: str, t: int) -> str:
+    """DuckDB expression for table ``t``'s sign-hash code, mirroring
+    similarity.embedding_near_dup_banded: planes t*k..t*k+k-1 of one
+    seeded stream, plane 0 of the table = MSB, component-sequential
+    list_sum dots (the exact accumulation order of the Arrow UDF)."""
+    from readability_ex_spark.operators import embedding as _E
+
+    k, n_tables = _E.TEXT_EMB_ND_K, _E.TEXT_EMB_ND_TABLES
+    planes = S.hyperplanes(S.EMB_DIM, k * n_tables, S.LSH_SEED)
+    bits = " + ".join(
+        f"CASE WHEN list_sum(list_transform(list_zip({emb_expr}, "
+        f"{_sql_floats(planes[t * k + i])}), z -> z[1] * z[2])) >= 0 "
+        f"THEN {1 << (k - 1 - i)} ELSE 0 END"
+        for i in range(k)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
 def _lsh_bucket_sql(emb_expr: str, n_planes: int = S.N_PLANES) -> str:
     """DuckDB expression mirroring similarity.lsh_bucket: sign bit per
     inlined hyperplane, plane 0 = MSB."""
@@ -1046,26 +1064,32 @@ def oracle_sql() -> dict[str, str]:
                      list_transform(v, x -> x / nrm) AS ed
               FROM arr JOIN tn ON tn.doc_id = arr.doc_id
               WHERE nrm > 0),
-            b0 AS (
-              SELECT vec_id, ed,
-                     {_lsh_bucket_sql("ed", E.TEXT_EMB_ND_PLANES)} AS bucket
-              FROM temb),
-            b AS (
-              SELECT vec_id, ed, bucket FROM (
-                SELECT *, count(*) OVER (PARTITION BY bucket) AS _n
-                FROM b0)
+            tb0 AS (
+              {" UNION ALL ".join(
+                  f'''SELECT vec_id, {t} AS t,
+                      {_banded_code_sql("ed", t)} AS code FROM temb'''
+                  for t in range(E.TEXT_EMB_ND_TABLES)
+              )}),
+            tb AS (
+              SELECT vec_id, t, code FROM (
+                SELECT *, count(*) OVER (PARTITION BY t, code) AS _n
+                FROM tb0)
               WHERE _n <= {S.EMB_MAX_BUCKET}),
+            p0 AS (
+              SELECT DISTINCT a.vec_id AS doc_a, x.vec_id AS doc_b
+              FROM tb a JOIN tb x
+                ON a.t = x.t AND a.code = x.code AND a.vec_id < x.vec_id),
             p AS (
-              SELECT ce.vec_id AS doc_a, cq.vec_id AS doc_b,
+              SELECT doc_a, doc_b,
                      round(
-                       list_sum(list_transform(list_zip(ce.ed, cq.ed),
+                       list_sum(list_transform(list_zip(ea.ed, eb.ed),
                                                z -> z[1] * z[2])) /
-                       (sqrt(list_sum(list_transform(ce.ed, x -> x * x))) *
-                        sqrt(list_sum(list_transform(cq.ed, x -> x * x)))),
+                       (sqrt(list_sum(list_transform(ea.ed, x -> x * x))) *
+                        sqrt(list_sum(list_transform(eb.ed, x -> x * x)))),
                        6) AS cosine
-              FROM b ce JOIN b cq
-                ON ce.vec_id < cq.vec_id
-                AND bit_count(xor(ce.bucket, cq.bucket)) <= 2)
+              FROM p0
+              JOIN temb ea ON ea.vec_id = p0.doc_a
+              JOIN temb eb ON eb.vec_id = p0.doc_b)
             SELECT doc_a, doc_b, cosine FROM p
             WHERE cosine >= {E.TEXT_EMB_ND_THRESHOLD}
             ORDER BY doc_a, doc_b

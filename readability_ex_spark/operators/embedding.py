@@ -46,14 +46,15 @@ _ODD_HEX = "13579bdf"  # hex digits with lsb=1 (sign bit source)
 # measured < 0.6) while the synthetic near-dup families land > 0.9
 TEXT_EMB_ND_THRESHOLD = 0.8
 # hashing-trick vectors are DENSE and correlated in sign-bucket space,
-# so the plane count is a measured recall/cost tradeoff against numpy
+# so the bucketing is a measured recall/cost tradeoff against numpy
 # brute-force ground truth (2,055 true pairs >= 0.8 at sf0.1):
-#   8 planes, Hamming<=1 probe: 2.2M candidates -> 64% recall
-#  16 planes, Hamming<=2:       1.1M candidates -> 56%
-#  12 planes, Hamming<=2:       3.1M candidates -> 79%  <- chosen
-# 12/H2 dominates 8/H1 (more recall per candidate); pushing recall
-# higher needs banded multi-table LSH, not more probes of one table.
-TEXT_EMB_ND_PLANES = 12
+#   single-table  8 planes, Hamming<=1 probe: 2.2M candidates -> 64%
+#   single-table 12 planes, Hamming<=2:       3.1M candidates -> 79%
+#   BANDED 8 planes x 10 tables (chosen):    3.85M candidates -> 88%
+# OR-amplification across independent coarse tables dominates deeper
+# probe balls around one fine table on this distribution.
+TEXT_EMB_ND_K = 8
+TEXT_EMB_ND_TABLES = 10
 
 
 def text_embedding(
@@ -131,9 +132,12 @@ def q_text_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The whole chain is corpus-native — no pre-supplied vectors table —
     which is the composition a training pipeline runs: near-dup in
     embedding space catches paraphrase-level duplicates token-Jaccard
-    misses. Bucketing: TEXT_EMB_ND_PLANES hyperplanes with a Hamming-2
-    probe ball (see the constant's measured recall table)."""
-    from readability_ex_spark.operators.similarity import embedding_near_dup
+    misses. Bucketing: banded multi-table LSH, TEXT_EMB_ND_K planes x
+    TEXT_EMB_ND_TABLES tables (see the constants' measured recall
+    table)."""
+    from readability_ex_spark.operators.similarity import (
+        embedding_near_dup_banded,
+    )
     from readability_ex_spark.operators.textops import _docs
 
     emb = text_embedding(_docs(spark, sf_dir)).filter(
@@ -145,12 +149,12 @@ def q_text_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         > 0
     )
     return (
-        embedding_near_dup(
+        embedding_near_dup_banded(
             emb.select(F.col("doc_id").alias("vec_id"), "embedding"),
             threshold=TEXT_EMB_ND_THRESHOLD,
             dim=TEXT_EMB_DIM,
-            n_planes=TEXT_EMB_ND_PLANES,
-            probe_hamming=2,
+            k_planes=TEXT_EMB_ND_K,
+            n_tables=TEXT_EMB_ND_TABLES,
         )
         .select(
             F.col("vec_a").alias("doc_a"),

@@ -426,6 +426,93 @@ def embedding_near_dup(
     )
 
 
+def embedding_near_dup_banded(
+    emb: DataFrame,
+    threshold: float,
+    dim: int = EMB_DIM,
+    k_planes: int = 8,
+    n_tables: int = 10,
+    seed: int = LSH_SEED,
+    max_bucket: int = EMB_MAX_BUCKET,
+) -> DataFrame:
+    """Embedding near-dup via BANDED multi-table LSH: ``n_tables``
+    independent sign-hash tables of ``k_planes`` planes each; a pair is
+    a candidate when it collides in ANY table (OR-amplification), then
+    exact-cosine verified >= threshold.
+
+    Measured against numpy brute-force ground truth at sf0.1 (2,055
+    true pairs >= 0.8 over hashing-trick vectors), banding dominates
+    probe balls on this correlated distribution: k=8 x T=10 finds 88%
+    at 3.85M candidates where 12-plane/Hamming-2 probing found 79% at
+    3.1M (and 8/H1 64% at 2.2M) — more independent coarse views beat a
+    deeper ball around one fine view.
+
+    Plan: ONE Arrow pass computes all T codes per vector (the 80 dots
+    accumulate component-sequentially, bit-exactly matching the
+    inlined-plane list_sum the DuckDB oracle runs); explode to
+    (table, code); per-(table, code) cap; equality self-join; DISTINCT
+    pairs BEFORE the verify so a pair colliding in several tables pays
+    one cosine; verify joins each side's vector by id. Candidates never
+    come from a cross join, and the id-keyed verify joins reuse the
+    corpus partitioning at scale.
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    planes = hyperplanes(dim, k_planes * n_tables, seed)
+
+    @pandas_udf("array<long>")
+    def _codes(embs: pd.Series) -> pd.Series:
+        M = np.array(embs.tolist(), dtype=np.float64)
+        if M.ndim != 2 or M.shape[1] != dim:
+            raise ValueError(
+                f"embedding width {M.shape} != contract dim {dim}"
+            )
+        # component-sequential accumulation (index order) — the exact
+        # float semantics of list_sum over list_zip in the oracle; a
+        # BLAS matmul's pairwise sums could flip a near-zero sign bit
+        acc = np.zeros((len(M), k_planes * n_tables))
+        for i in range(dim):
+            acc += M[:, i : i + 1] * planes.T[i : i + 1, :]
+        bits = acc >= 0
+        w = 1 << np.arange(k_planes - 1, -1, -1)  # plane 0 = MSB
+        codes = bits.reshape(len(M), n_tables, k_planes) @ w
+        return pd.Series([[int(x) for x in row] for row in codes])
+
+    coded = emb.select(
+        F.col("vec_id"), F.col("embedding"), _codes("embedding").alias("cs")
+    ).localCheckpoint(eager=False)
+    tabled = coded.select(
+        "vec_id", F.posexplode("cs").alias("t", "code")
+    )
+    counts = tabled.groupBy("t", "code").agg(F.count("*").alias("_n"))
+    b = (
+        tabled.join(counts, ["t", "code"])
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+    pairs = (
+        b.select(F.col("vec_id").alias("vec_a"), "t", "code")
+        .join(b.select(F.col("vec_id").alias("vec_b"), "t", "code"), ["t", "code"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    withvecs = pairs.join(
+        coded.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")),
+        "vec_a",
+    ).join(
+        coded.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")),
+        "vec_b",
+    )
+    cos = _cosine_pairs(F.col("emb_a"), F.col("emb_b"))
+    return (
+        withvecs.select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 EMB_NEAR_DUP_THRESHOLD = 0.4
 
 
