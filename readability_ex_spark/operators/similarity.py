@@ -464,6 +464,8 @@ def embedding_near_dup_banded(
 
     @pandas_udf("array<long>")
     def _codes(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:  # zero-row Arrow batch: nothing to code
+            return pd.Series([], dtype=object)
         M = np.array(embs.tolist(), dtype=np.float64)
         if M.ndim != 2 or M.shape[1] != dim:
             raise ValueError(
