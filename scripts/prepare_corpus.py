@@ -137,17 +137,38 @@ def main() -> int:
         corpus = corpus.join(drops, "url", "left_anti")
     if args.min_quality > 0:
         corpus = corpus.filter(F.col("quality_score") >= args.min_quality)
+    # per-rule kill-rate accounting: one extra aggregation per rule
+    # stage (a single summary row each), written as the _quality_stats
+    # artifact — the number an operator tuning thresholds actually needs
+    kill_stats: dict[str, int] = {}
+
+    def _rule_counts(annotated, prefix):
+        rule_cols = [c for c in annotated.columns if c.startswith("r_")]
+        if "passes_quality" in annotated.columns:
+            rule_cols.append("passes_quality")
+        row = annotated.agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(F.col(c).cast("long")).alias(c)
+                for c in rule_cols
+            ],
+        ).collect()[0]
+        kill_stats[f"{prefix}_n_in"] = row["n"]
+        for c in rule_cols:
+            name = c[2:] if c.startswith("r_") else c
+            kill_stats[f"{prefix}_pass_{name}"] = row[c] or 0
+
     if args.quality_rules:
         cols = corpus.columns
-        corpus = (
-            with_quality_rules(corpus)
-            .filter(F.col("passes_quality"))
-            .select(*cols)
-        )
+        annotated = with_quality_rules(corpus)
+        _rule_counts(annotated, "quality")
+        corpus = annotated.filter(F.col("passes_quality")).select(*cols)
     if args.repetition_rules:
         from readability_ex_spark.operators.corpus import repetition_stats
 
-        rep_ok = repetition_stats(corpus, id_col="url").filter(
+        rep = repetition_stats(corpus, id_col="url")
+        _rule_counts(rep, "repetition")
+        rep_ok = rep.filter(
             F.col("r_top2gram") & F.col("r_top3gram") & F.col("r_dup6gram")
         )
         corpus = corpus.join(rep_ok.select("url"), "url", "left_semi")
@@ -160,6 +181,13 @@ def main() -> int:
     corpus.write.partitionBy("url_bucket").mode("overwrite").parquet(args.output)
     # the dedup audit trail: every extracted url's keep decision
     manifest.write.mode("overwrite").parquet(f"{args.output}/_manifest")
+    if kill_stats:
+        spark.createDataFrame(
+            [tuple(kill_stats.values())],
+            schema=", ".join(f"`{k}` long" for k in kill_stats),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{args.output}/_quality_stats"
+        )
 
     n_docs = spark.read.parquet(args.output).count()
     n_in = manifest.count()

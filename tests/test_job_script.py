@@ -204,3 +204,29 @@ def test_prepare_corpus_script(jobdir, spark):
         r.url for r in manifest.filter("keep").select("url").collect()
     }
     assert "quality_score" in corpus.columns
+
+
+def test_prepare_corpus_script_safety_stages(jobdir, spark):
+    """--quality-rules --repetition-rules --scrub-pii write the
+    _quality_stats kill-rate artifact and a filtered corpus."""
+    out = jobdir / "corpus_safe"
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(jobdir / "pages"),
+            "--output", str(out),
+            "--partitions", "4",
+            "--quality-rules", "--repetition-rules", "--scrub-pii",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    stats = spark.read.parquet(str(out / "_quality_stats")).collect()
+    assert len(stats) == 1
+    row = stats[0].asDict()
+    assert row["quality_n_in"] > 0
+    assert 0 <= row["quality_pass_passes_quality"] <= row["quality_n_in"]
+    assert row["repetition_n_in"] >= 0
+    # scrubbed corpus carries the PII lineage counters
+    corpus = spark.read.parquet(str(out))
+    assert {"n_email", "n_ipv4", "n_phone"} <= set(corpus.columns)
