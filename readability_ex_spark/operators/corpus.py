@@ -537,3 +537,40 @@ def prepare_training_corpus(
             .select(*corpus.columns)
         )
     return corpus
+
+
+def incremental_corpus_update(
+    existing_corpus: DataFrame,
+    new_pages: DataFrame,
+    **prepare_kwargs,
+) -> DataFrame:
+    """Docs from a NEW crawl batch that belong in an existing corpus:
+    the incremental build a recurring 100 TB pipeline runs instead of
+    re-processing the world.
+
+    The new batch goes through the full ``prepare_training_corpus``
+    composition (so batch-internal dups collapse first), then drops
+    rows the existing corpus already covers:
+
+    - same ``url`` (the existing canonical wins — corpus stability
+      outranks recency for training data; a re-crawled page does not
+      churn the corpus), and
+    - same exact-text ``fingerprint`` (the same content under a new
+      url is a cross-batch exact duplicate).
+
+    Returns ONLY the append delta — callers append it and union the
+    manifests. Both anti-joins are keyed on columns the corpus layout
+    already clusters by, and the fingerprint side deduplicates before
+    the join so the build side stays minimal. Cross-batch NEAR-dups
+    (new paraphrase of an old doc) are accepted: catching them means
+    re-bucketing old+new together, which is the periodic full rebuild's
+    job, not the incremental path's (documented tradeoff).
+    """
+    batch = prepare_training_corpus(new_pages, **prepare_kwargs)
+    return batch.join(
+        existing_corpus.select("url").distinct(), "url", "left_anti"
+    ).join(
+        existing_corpus.select("fingerprint").distinct(),
+        "fingerprint",
+        "left_anti",
+    )

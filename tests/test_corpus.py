@@ -206,3 +206,31 @@ def test_prepare_corpus_lang_routing(spark):
     )
     got = {r.lang for r in routed.select("lang").distinct().collect()}
     assert all(l and l.lower().startswith(pick.lower()) for l in got)
+
+
+def test_incremental_corpus_update(spark):
+    from readability_ex_spark.operators.corpus import (
+        incremental_corpus_update,
+    )
+
+    pages_a = synthesize_pages(spark, "/root/testdata/sf0.001").limit(12)
+    corpus_a = prepare_training_corpus(pages_a, near_dup_threshold=None)
+
+    # batch B: one re-crawl of an existing url, one exact dup under a
+    # new url, one genuinely new page
+    first_url = corpus_a.select("url").orderBy("url").head().url
+    recrawl = pages_a.filter(F.col("url") == first_url)
+    dup_new_url = recrawl.withColumn("url", F.lit("http://synth.test/doc/renamed"))
+    fresh = synthesize_pages(spark, "/root/testdata/sf0.001").filter(
+        F.col("url") == "http://synth.test/doc/400"
+    )
+    batch_b = recrawl.unionByName(dup_new_url).unionByName(fresh)
+
+    delta = incremental_corpus_update(
+        corpus_a, batch_b, near_dup_threshold=None
+    )
+    urls = {r.url for r in delta.select("url").collect()}
+    assert "http://synth.test/doc/400" in urls          # new doc appended
+    assert first_url not in urls                        # re-crawl dropped
+    assert "http://synth.test/doc/renamed" not in urls  # exact dup dropped
+    assert len(urls) == 1
