@@ -110,6 +110,30 @@ def main() -> int:
     run("ann_ivf_topk", lambda: S.q_ann_ivf_topk(spark, sf_dir).count())
     run("ann_materialized_topk", lambda: S.q_ann_materialized_topk(spark, sf_dir).count())
 
+    # split view of the same operator: the one-time index BUILD vs the
+    # per-query PROBE (at 100 TB the build amortizes across probes; the
+    # conflated number above is what a cold single-query caller pays)
+    import shutil as _sh
+    import tempfile as _tf
+
+    _idx = _tf.mkdtemp(prefix="bench_ann_idx_")
+    try:
+        _emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _q = _emb.orderBy("vec_id").head()
+        run(
+            "ann_index_build",
+            lambda: S.materialize_buckets(_emb, f"{_idx}/t") or 1,
+        )
+        run(
+            "ann_materialized_probe",
+            lambda: S.ann_materialized_topk(
+                spark, f"{_idx}/t", list(_q.embedding), k=5,
+                exclude_id=_q.vec_id,
+            ).count(),
+        )
+    finally:
+        _sh.rmtree(_idx, ignore_errors=True)
+
     run("quality_rules", lambda: q_quality_rules(spark, sf_dir).count())
     from readability_ex_spark.operators.corpus import q_repetition_stats
     from readability_ex_spark.operators.decontam import q_decontaminate
