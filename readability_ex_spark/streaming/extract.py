@@ -31,12 +31,20 @@ def stream_extraction(
     *,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    quality_rules: bool = False,
+    scrub_pii_text: bool = False,
 ):
     """Start the streaming extraction query. Returns the StreamingQuery.
 
     ``available_now=True`` drains everything currently present then
     stops (batch-like test/backfill mode); set False for a continuous
-    tail of an arriving crawl."""
+    tail of an arriving crawl.
+
+    ``quality_rules``/``scrub_pii_text`` run the SAME stateless
+    corpus-safety stages as the batch job inside each micro-batch
+    (per-doc column expressions — no cross-batch state, so streaming
+    and batch verdicts agree row-for-row by construction; cross-batch
+    work like dedup stays with the stateful operators below)."""
     reader = spark.readStream.schema(PAGES_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -44,6 +52,27 @@ def stream_extraction(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         extracted = run_extraction(batch_df, dedup=True)
+        if scrub_pii_text:
+            from readability_ex_spark.operators.pii import scrub_pii
+
+            extracted = (
+                scrub_pii(extracted)
+                .drop("text")
+                .withColumnRenamed("text_scrubbed", "text")
+            )
+        if quality_rules:
+            from readability_ex_spark.operators.corpus import (
+                with_quality_rules,
+            )
+
+            cols = extracted.columns
+            extracted = (
+                with_quality_rules(extracted)
+                .filter(
+                    (F.col("status") != "ok") | F.col("passes_quality")
+                )
+                .select(*cols)
+            )
         write_extracted_batch(extracted, output_path, batch_id)
 
     writer = (

@@ -294,3 +294,42 @@ def test_stream_dedup_event_time_late_and_eviction(spark, tmpdir):
         "http://a": 2, "http://b": 1, "http://c": 1,
         "http://d": 1, "http://e": 1,
     }
+
+
+def test_stream_extraction_quality_stage_matches_batch(spark, tmpdir):
+    """Stateless corpus-safety stages in the stream produce exactly the
+    batch verdicts: the survivors equal the batch-side quality filter."""
+    from readability_ex_spark.operators.corpus import with_quality_rules
+    from readability_ex_spark.pipeline import run_extraction
+
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001").limit(60)
+    pages.write.mode("overwrite").parquet(str(tmpdir / "pages_q"))
+
+    q = stream_extraction(
+        spark,
+        str(tmpdir / "pages_q"),
+        str(tmpdir / "out_q"),
+        str(tmpdir / "ckpt_q"),
+        available_now=True,
+        quality_rules=True,
+        scrub_pii_text=True,
+    )
+    q.awaitTermination(300)
+    streamed = spark.read.parquet(str(tmpdir / "out_q"))
+
+    batch = run_extraction(pages, dedup=True)
+    from readability_ex_spark.operators.pii import scrub_pii
+
+    batch = (
+        scrub_pii(batch).drop("text").withColumnRenamed("text_scrubbed", "text")
+    )
+    expect_keep = {
+        r.url
+        for r in with_quality_rules(batch)
+        .filter((F.col("status") != "ok") | F.col("passes_quality"))
+        .select("url")
+        .collect()
+    }
+    got = {r.url for r in streamed.select("url").collect()}
+    assert got == expect_keep
+    assert 0 < len(got) < pages.select("url").distinct().count()
