@@ -111,3 +111,14 @@ def test_line_dedup_drops_boilerplate_keeps_order(spark):
     assert out[4].text_clean == " ".join(f"u4x{i}" for i in range(45))
     # empty doc: zero chunks, empty clean text
     assert out[5].n_chunks == 0 and out[5].text_clean == ""
+
+
+def test_line_dedup_plan_has_no_cartesian(spark):
+    from readability_ex_spark.operators.decontam import line_dedup
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

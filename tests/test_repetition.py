@@ -99,3 +99,17 @@ def test_vectorized_matches_naive_counter(spark):
     for doc_id, text in docs:
         want = naive(text.lower())
         assert got[doc_id] == pytest.approx(want, abs=2e-6), (doc_id, text[:50])
+
+
+def test_plan_is_map_only(spark):
+    """Document-local stats must never shuffle: no Exchange, no
+    SortMergeJoin — one scan, one Arrow stage."""
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        repetition_stats(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
