@@ -454,6 +454,7 @@ def prepare_training_corpus(
     quality_rules: bool = False,
     repetition_rules: bool = False,
     scrub_pii_text: bool = False,
+    drop_boilerplate_chunks: bool = False,
     eval_df: DataFrame | None = None,
     near_dup_threshold: float | None = 0.8,
     emb_near_dup_threshold: float | None = None,
@@ -478,8 +479,12 @@ def prepare_training_corpus(
     dedup survivors so one leaked boilerplate family costs one check.
     ``scrub_pii_text=True`` replaces ``text`` with its PII-scrubbed form
     BEFORE quality/repetition stats (signals must describe the text that
-    ships). ``repetition_rules=True`` drops docs failing any Gopher
-    n-gram repetition rule (``repetition_stats``)."""
+    ships). ``drop_boilerplate_chunks=True`` runs C4-style cross-doc
+    chunk removal (``decontam.line_dedup``) on the dedup survivors,
+    replacing ``text`` with the boilerplate-stripped form — ordered
+    before quality/repetition so their signals score the shipping text.
+    ``repetition_rules=True`` drops docs failing any Gopher n-gram
+    repetition rule (``repetition_stats``)."""
     extracted = run_extraction(pages, **extraction_kwargs).filter(
         F.col("status") == "ok"
     )
@@ -518,6 +523,18 @@ def prepare_training_corpus(
             scrub_pii(survivors)
             .drop("text")
             .withColumnRenamed("text_scrubbed", "text")
+        )
+    if drop_boilerplate_chunks:
+        from readability_ex_spark.operators.decontam import line_dedup
+
+        cleaned = line_dedup(survivors, id_col="url").select(
+            "url", "text_clean", "n_dropped"
+        )
+        survivors = (
+            survivors.drop("text")
+            .join(cleaned, "url")
+            .withColumnRenamed("text_clean", "text")
+            .withColumnRenamed("n_dropped", "n_boilerplate_chunks")
         )
     corpus = with_quality_signals(survivors)
     if repetition_rules:

@@ -51,6 +51,11 @@ def main() -> int:
         help="drop documents failing any Gopher n-gram repetition rule",
     )
     ap.add_argument(
+        "--drop-boilerplate", action="store_true",
+        help="remove C4-style cross-document boilerplate chunks from "
+        "every doc's text before quality stats",
+    )
+    ap.add_argument(
         "--scrub-pii", action="store_true",
         help="replace text with its PII-scrubbed form before quality stats",
     )
@@ -130,6 +135,18 @@ def main() -> int:
             scrub_pii(survivors)
             .drop("text")
             .withColumnRenamed("text_scrubbed", "text")
+        )
+    if args.drop_boilerplate:
+        from readability_ex_spark.operators.decontam import line_dedup
+
+        cleaned = line_dedup(survivors, id_col="url").select(
+            "url", "text_clean", "n_dropped"
+        )
+        survivors = (
+            survivors.drop("text")
+            .join(cleaned, "url")
+            .withColumnRenamed("text_clean", "text")
+            .withColumnRenamed("n_dropped", "n_boilerplate_chunks")
         )
     corpus = with_quality_signals(survivors)
     if args.emb_near_dup is not None:

@@ -234,3 +234,19 @@ def test_incremental_corpus_update(spark):
     assert first_url not in urls                        # re-crawl dropped
     assert "http://synth.test/doc/renamed" not in urls  # exact dup dropped
     assert len(urls) == 1
+
+
+def test_prepare_corpus_boilerplate_stage(spark):
+    """drop_boilerplate_chunks strips cross-doc chunks and the quality
+    signals score the cleaned text."""
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001").limit(25)
+    out = prepare_training_corpus(
+        pages, near_dup_threshold=None, drop_boilerplate_chunks=True
+    )
+    rows = out.select("url", "text", "n_boilerplate_chunks", "n_tokens").collect()
+    assert rows
+    for r in rows:
+        assert r.n_boilerplate_chunks >= 0
+        # n_tokens was computed AFTER cleaning
+        expected = len(r.text.split()) if r.text.strip() else 0
+        assert r.n_tokens == expected
