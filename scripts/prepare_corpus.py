@@ -73,6 +73,14 @@ def main() -> int:
         "--no-near-dup", action="store_true",
         help="collapse exact duplicates only (skip the LSH cluster pass)",
     )
+    ap.add_argument(
+        "--update", action="store_true",
+        help="incremental mode: treat --output as an EXISTING corpus and "
+        "append only the new batch's delta (existing urls and exact-text "
+        "fingerprints win; see corpus.incremental_corpus_update). Run "
+        "with the SAME stage flags as the original build so the "
+        "appended schema matches",
+    )
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument(
         "--table-format", choices=("parquet", "iceberg"), default="parquet",
@@ -189,15 +197,43 @@ def main() -> int:
             F.col("r_top2gram") & F.col("r_top3gram") & F.col("r_dup6gram")
         )
         corpus = corpus.join(rep_ok.select("url"), "url", "left_semi")
+    if args.update:
+        # incremental mode: the batch-composed corpus anti-joins what the
+        # existing output already covers (same url: the existing
+        # canonical wins — corpus stability outranks recency; same
+        # fingerprint: cross-batch exact dup). Only the delta appends;
+        # cross-batch NEAR-dups are the periodic full rebuild's job.
+        existing = spark.read.parquet(args.output)
+        corpus = corpus.join(
+            existing.select("url").distinct(), "url", "left_anti"
+        ).join(
+            existing.select("fingerprint").distinct(),
+            "fingerprint",
+            "left_anti",
+        )
+        # the delta must be materialized BEFORE the append below starts
+        # overwriting the directory it was derived from
+        corpus = corpus.localCheckpoint(eager=True)
+        manifest = manifest.join(
+            spark.read.parquet(f"{args.output}/_manifest")
+            .select("url")
+            .distinct(),
+            "url",
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        write_mode = "append"
+    else:
+        # overwrite: a fresh corpus build is a whole-batch artifact —
+        # append-mode reruns (e.g. after a partial failure) would
+        # silently duplicate every row; deterministic kernel + overwrite
+        # make reruns idempotent
+        write_mode = "overwrite"
     corpus = corpus.withColumn(
         "url_bucket", F.pmod(F.xxhash64("url"), F.lit(64)).cast("int")
     )
-    # overwrite: a corpus build is a whole-batch artifact — append-mode
-    # reruns (e.g. after a partial failure) would silently duplicate
-    # every row; deterministic kernel + overwrite make reruns idempotent
-    corpus.write.partitionBy("url_bucket").mode("overwrite").parquet(args.output)
+    corpus.write.partitionBy("url_bucket").mode(write_mode).parquet(args.output)
     # the dedup audit trail: every extracted url's keep decision
-    manifest.write.mode("overwrite").parquet(f"{args.output}/_manifest")
+    manifest.write.mode(write_mode).parquet(f"{args.output}/_manifest")
     if kill_stats:
         spark.createDataFrame(
             [tuple(kill_stats.values())],

@@ -230,3 +230,31 @@ def test_prepare_corpus_script_safety_stages(jobdir, spark):
     # scrubbed corpus carries the PII lineage counters
     corpus = spark.read.parquet(str(out))
     assert {"n_email", "n_ipv4", "n_phone"} <= set(corpus.columns)
+
+
+def test_prepare_corpus_script_update_mode(jobdir, spark):
+    """--update appends only the new batch's delta to an existing corpus."""
+    out = jobdir / "corpus_inc"
+    base = [
+        sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+        "--output", str(out), "--partitions", "4",
+    ]
+    proc = subprocess.run(
+        base + ["--input", str(jobdir / "pages")],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    n0 = spark.read.parquet(str(out)).count()
+    urls0 = {r.url for r in spark.read.parquet(str(out)).select("url").collect()}
+
+    # batch 2 = the SAME pages (all dups) plus nothing new -> delta is 0
+    proc = subprocess.run(
+        base + ["--input", str(jobdir / "pages"), "--update"],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    after = spark.read.parquet(str(out))
+    assert after.count() == n0, "re-feeding the same crawl must append nothing"
+    assert {r.url for r in after.select("url").collect()} == urls0
+    manifest = spark.read.parquet(str(out / "_manifest"))
+    assert manifest.select("url").distinct().count() == manifest.count()
