@@ -28,6 +28,7 @@ from datetime import datetime
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from readability_ex_spark.sources.pages import PAGES_SCHEMA
 
@@ -139,3 +140,110 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
     schema, ready for ``run_extraction``."""
     files = spark.read.format("binaryFile").load(path)
     return files.select("content").mapInPandas(warc_batches, PAGES_SCHEMA)
+
+
+# -- WET output (Common Crawl "conversion" records) -------------------------
+# The ecosystem symmetry: raw crawl WARC comes IN through the reader
+# above; extracted text goes OUT as WET — one `conversion` record per
+# document, per-record gzip members per the CC convention (the reader's
+# gzip.decompress already consumes multi-member streams, so WET output
+# round-trips through the same parser).
+
+WET_EPOCH_DATE = "1970-01-01T00:00:00Z"  # deterministic default
+
+
+def wet_record_bytes(url: str, date: str, text: bytes) -> bytes:
+    """One WET conversion record (WARC/1.0 framing)."""
+    return (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(text)}\r\n\r\n"
+    ).encode("latin-1") + text + b"\r\n\r\n"
+
+
+def write_wet(
+    extracted: DataFrame,
+    path: str,
+    *,
+    date: str = WET_EPOCH_DATE,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> None:
+    """Write (url, text) rows as ``part-*.warc.wet.gz`` files, one file
+    per partition — the CC segment layout the reader side consumes
+    (file = unit of parallelism). Each record is its own gzip member.
+
+    Executors write through the mounted filesystem (local disk here; an
+    object-store fuse mount or NFS at scale — the same contract as any
+    task-local file sink). ``date`` is an explicit parameter so reruns
+    are byte-deterministic; pass the crawl's logical date.
+    """
+    import os
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+
+    def _write(rows) -> None:
+        out_file = os.path.join(
+            path, f"part-{uuid.uuid4().hex}.warc.wet.gz"
+        )
+        buf: list[bytes] = []
+        for row in rows:
+            text = row[text_col]
+            if text is None:
+                continue
+            buf.append(
+                gzip.compress(
+                    wet_record_bytes(
+                        row[url_col], date, text.encode("utf-8")
+                    )
+                )
+            )
+        if buf:
+            with open(out_file, "wb") as f:
+                f.write(b"".join(buf))
+
+    extracted.select(url_col, text_col).foreachPartition(_write)
+
+
+WET_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def _wet_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in ("url", "warc_ts", "text")}
+        for content in pdf["content"]:
+            buf = bytes(content)
+            if buf[:2] == b"\x1f\x8b":
+                try:
+                    buf = gzip.decompress(buf)
+                except OSError:
+                    continue
+            for headers, payload in iter_warc_records(buf):
+                if headers.get("warc-type") != "conversion":
+                    continue
+                url = headers.get("warc-target-uri")
+                if not url:
+                    continue
+                out["url"].append(url)
+                out["warc_ts"].append(
+                    _parse_warc_date(headers.get("warc-date"))
+                )
+                out["text"].append(payload.decode("utf-8", "replace"))
+        yield pd.DataFrame(out)
+
+
+def read_wet_docs(spark: SparkSession, path: str) -> DataFrame:
+    """WET files under ``path`` -> (url, warc_ts, text) — the read-back
+    path for corpora shipped in the CC interchange format."""
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("content").mapInPandas(_wet_batches, WET_SCHEMA)

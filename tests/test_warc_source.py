@@ -107,3 +107,51 @@ def test_run_job_warc_input(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == 2
     assert out.filter("status = 'ok'").count() == 2
+
+
+# -- WET round-trip ---------------------------------------------------------
+
+def test_wet_write_read_roundtrip(spark, tmp_path):
+    """Extraction output -> WET files -> read back: url+text identical."""
+    from readability_ex_spark.sources.warc import read_wet_docs, write_wet
+
+    docs = spark.createDataFrame(
+        [
+            ("http://a.test/1", "first extracted article text"),
+            ("http://a.test/2", "second text with unicode: éü—"),
+            ("http://a.test/3", None),  # failed extraction: skipped
+        ],
+        "url string, text string",
+    ).repartition(2)
+    out = tmp_path / "wet"
+    write_wet(docs, str(out), date="2026-01-02T03:04:05Z")
+
+    files = list(out.glob("part-*.warc.wet.gz"))
+    assert files, "no WET part files written"
+
+    back = read_wet_docs(spark, str(out))
+    rows = {r.url: r for r in back.collect()}
+    assert set(rows) == {"http://a.test/1", "http://a.test/2"}
+    assert rows["http://a.test/1"].text == "first extracted article text"
+    assert rows["http://a.test/2"].text == "second text with unicode: éü—"
+    assert str(rows["http://a.test/1"].warc_ts) == "2026-01-02 03:04:05"
+
+
+def test_wet_records_are_per_member_gzip(spark, tmp_path):
+    """Each record is its own gzip member (the CC convention the reader's
+    multi-member decompress consumes)."""
+    import gzip as _gz
+
+    from readability_ex_spark.sources.warc import write_wet
+
+    docs = spark.createDataFrame(
+        [(f"http://m.test/{i}", f"text {i}") for i in range(5)],
+        "url string, text string",
+    ).coalesce(1)
+    out = tmp_path / "wet2"
+    write_wet(docs, str(out))
+    (f,) = list(out.glob("part-*.warc.wet.gz"))
+    raw = f.read_bytes()
+    # multi-member: more than one gzip magic in the file
+    assert raw.count(b"\x1f\x8b\x08") == 5
+    assert _gz.decompress(raw).count(b"WARC-Type: conversion") == 5
