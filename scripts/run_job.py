@@ -64,6 +64,12 @@ def main() -> int:
         "warc reads raw .warc/.warc.gz crawl segments (output stays "
         "parquet)",
     )
+    ap.add_argument(
+        "--export-wet", default=None, metavar="DIR",
+        help="additionally export the ok-rows' extracted text as "
+        "Common-Crawl WET files (conversion records) under DIR; the "
+        "parquet/iceberg output stays the canonical, resumable artifact",
+    )
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
 
@@ -116,6 +122,14 @@ def main() -> int:
     ).cache()
 
     write_extracted(extracted, args.output, table_format=out_format)
+    if args.export_wet:
+        from pyspark.sql import functions as F
+
+        from readability_ex_spark.sources.warc import write_wet
+
+        write_wet(
+            extracted.filter(F.col("status") == "ok"), args.export_wet
+        )
     write_metrics(
         metrics_rollup(extracted), args.output, run_id,
         table_format=out_format,

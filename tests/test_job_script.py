@@ -258,3 +258,26 @@ def test_prepare_corpus_script_update_mode(jobdir, spark):
     assert {r.url for r in after.select("url").collect()} == urls0
     manifest = spark.read.parquet(str(out / "_manifest"))
     assert manifest.select("url").distinct().count() == manifest.count()
+
+
+def test_run_job_export_wet(jobdir, spark):
+    """--export-wet writes WET conversion files alongside the parquet."""
+    d = jobdir / "wet_job"
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "run_job.py"),
+            "--input", str(jobdir / "pages"),
+            "--output", str(d / "out"),
+            "--partitions", "4",
+            "--export-wet", str(d / "wet"),
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    from readability_ex_spark.sources.warc import read_wet_docs
+
+    wet = read_wet_docs(spark, str(d / "wet"))
+    parq = spark.read.parquet(str(d / "out")).filter("status = 'ok'")
+    assert {r.url for r in wet.select("url").collect()} == {
+        r.url for r in parq.select("url").collect()
+    }
