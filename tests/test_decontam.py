@@ -122,3 +122,54 @@ def test_line_dedup_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_line_dedup_matches_naive_reference(spark):
+    """Vectorized chunk pipeline vs a dumb dict re-derivation on random
+    corpora (chunking, df counting, order-preserving reassembly)."""
+    import random
+    from collections import defaultdict
+
+    from readability_ex_spark.operators.decontam import (
+        LINE_CHUNK_TOKENS,
+        LINE_MAX_DF,
+        line_dedup,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(9)]
+    boiler = " ".join(rng.choice(vocab) for _ in range(LINE_CHUNK_TOKENS))
+    docs = []
+    for doc_id in range(30):
+        n = rng.choice([0, 7, 30, 31, 60, 95])
+        body = " ".join(rng.choice(vocab) for _ in range(n))
+        if doc_id % 4 == 0:  # plant shared boilerplate in 8 docs
+            body = boiler + (" " + body if body else "")
+        docs.append((doc_id, body))
+
+    def naive():
+        chunks = {}
+        for doc_id, text in docs:
+            toks = text.split() if text.strip() else []
+            cs = [
+                " ".join(toks[i : i + LINE_CHUNK_TOKENS])
+                for i in range(0, len(toks), LINE_CHUNK_TOKENS)
+            ]
+            chunks[doc_id] = cs
+        df = defaultdict(set)
+        for doc_id, cs in chunks.items():
+            for c in cs:
+                df[c].add(doc_id)
+        out = {}
+        for doc_id, cs in chunks.items():
+            kept = [c for c in cs if len(df[c]) <= LINE_MAX_DF]
+            out[doc_id] = (len(cs), len(cs) - len(kept), " ".join(kept))
+        return out
+
+    want = naive()
+    spark_df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chunks, r.n_dropped, r.text_clean)
+        for r in line_dedup(spark_df).collect()
+    }
+    assert got == want
