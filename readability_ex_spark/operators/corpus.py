@@ -559,6 +559,7 @@ def prepare_training_corpus(
 def incremental_corpus_update(
     existing_corpus: DataFrame,
     new_pages: DataFrame,
+    near_dup_vs_existing_threshold: float | None = None,
     **prepare_kwargs,
 ) -> DataFrame:
     """Docs from a NEW crawl batch that belong in an existing corpus:
@@ -579,15 +580,30 @@ def incremental_corpus_update(
     manifests. Both anti-joins are keyed on columns the corpus layout
     already clusters by, and the fingerprint side deduplicates before
     the join so the build side stays minimal. Cross-batch NEAR-dups
-    (new paraphrase of an old doc) are accepted: catching them means
-    re-bucketing old+new together, which is the periodic full rebuild's
-    job, not the incremental path's (documented tradeoff).
+    are caught when ``near_dup_vs_existing_threshold`` is set
+    (``textops.cross_near_dup_matches``: batch band blocks equality-join
+    the existing corpus's band blocks, shingle-Jaccard verify) — the
+    existing side pays one linear banding pass per update, which at
+    scale is a persisted band table, not a rebuild.
     """
     batch = prepare_training_corpus(new_pages, **prepare_kwargs)
-    return batch.join(
+    delta = batch.join(
         existing_corpus.select("url").distinct(), "url", "left_anti"
     ).join(
         existing_corpus.select("fingerprint").distinct(),
         "fingerprint",
         "left_anti",
     )
+    if near_dup_vs_existing_threshold is not None:
+        from readability_ex_spark.operators.textops import (
+            cross_near_dup_matches,
+        )
+
+        drops = cross_near_dup_matches(
+            delta.select("url", "text"),
+            existing_corpus.select("url", "text"),
+            id_col="url",
+            threshold=near_dup_vs_existing_threshold,
+        )
+        delta = delta.join(drops, "url", "left_anti")
+    return delta

@@ -433,7 +433,36 @@ def lsh_band_candidates(
     # (id, band_id, band_hash) blocks instead of re-scanning the corpus
     # (without it the plan re-scans the source 8-12x). Blocks are freed
     # when the DataFrame is GC'd.
-    bands = (
+    bands = _band_blocks(df, id_col, text_col, n_bands, rows_per_band)
+    # Bucket-size cap: one extra agg on the same (band_id, band_hash)
+    # keys — AQE reuses the exchange, so the cap costs no extra shuffle.
+    counts = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("_n"))
+    bounded = (
+        bands.join(counts, ["band_id", "band_hash"])
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+    a = bounded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    b = bounded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _band_blocks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """(id, band_id, band_hash) rows — the banded-LSH block table of one
+    frame (the explode stage of lsh_band_candidates, factored so the
+    cross-corpus variant builds both sides with identical hashes)."""
+    return (
         df.select(
             F.col(id_col),
             F.explode(
@@ -454,22 +483,72 @@ def lsh_band_candidates(
         .filter(F.col("band_hash").isNotNull())
         .localCheckpoint(eager=False)
     )
-    # Bucket-size cap: one extra agg on the same (band_id, band_hash)
-    # keys — AQE reuses the exchange, so the cap costs no extra shuffle.
-    counts = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("_n"))
-    bounded = (
-        bands.join(counts, ["band_id", "band_hash"])
-        .filter(F.col("_n") <= max_bucket)
-        .drop("_n")
+
+
+def cross_near_dup_matches(
+    batch: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_bands: int = N_LSH_BANDS,
+    rows_per_band: int = N_LSH_ROWS,
+    max_bucket: int = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Batch docs that near-duplicate an EXISTING corpus doc: the
+    cross-corpus variant of banded MinHash-LSH, for incremental updates
+    (a new crawl's paraphrase of an already-kept page should not append).
+
+    Candidates = equality join of the two frames' band blocks on
+    (band_id, band_hash) — the batch side is small, the existing side's
+    blocks are linear in corpus size and capped per bucket like the
+    self-join path (over-cap boilerplate buckets are the exact
+    manifest's job). Verify = exact shingle Jaccard on the candidate
+    pairs only. Returns distinct batch ids (``id_col``) to drop.
+    """
+    bb = _band_blocks(batch, id_col, text_col, n_bands, rows_per_band)
+    eb = _band_blocks(existing, id_col, text_col, n_bands, rows_per_band)
+    counts = eb.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("_n")
     )
-    a = bounded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
-    b = bounded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
-    return (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+    eb = eb.join(counts, ["band_id", "band_hash"]).filter(
+        F.col("_n") <= max_bucket
+    ).drop("_n")
+    cand = (
+        bb.select(F.col(id_col).alias("_batch_id"), "band_id", "band_hash")
+        .join(
+            eb.select(
+                F.col(id_col).alias("_existing_id"), "band_id", "band_hash"
+            ),
+            ["band_id", "band_hash"],
+        )
+        .select("_batch_id", "_existing_id")
         .distinct()
     )
+    bsh = batch.select(
+        F.col(id_col).alias("_batch_id"),
+        shingle_expr(text_col).alias("_sh_b"),
+    )
+    esh = existing.select(
+        F.col(id_col).alias("_existing_id"),
+        shingle_expr(text_col).alias("_sh_e"),
+    )
+    verified = (
+        cand.join(bsh, "_batch_id")
+        .join(esh, "_existing_id")
+        .withColumn(
+            "_jac",
+            F.when(
+                F.size(F.array_union("_sh_b", "_sh_e")) > 0,
+                F.size(F.array_intersect("_sh_b", "_sh_e")).cast("double")
+                / F.size(F.array_union("_sh_b", "_sh_e")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .filter(F.col("_jac") >= threshold)
+    )
+    return verified.select(
+        F.col("_batch_id").alias(id_col)
+    ).distinct()
 
 
 def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
