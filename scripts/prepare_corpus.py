@@ -81,6 +81,12 @@ def main() -> int:
         "with the SAME stage flags as the original build so the "
         "appended schema matches",
     )
+    ap.add_argument(
+        "--update-near-dup", type=float, default=None, metavar="JACCARD",
+        help="with --update: also drop batch docs whose shingle Jaccard "
+        "vs ANY existing doc reaches this threshold (cross-corpus band "
+        "join; exact urls/fingerprints are always dropped)",
+    )
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument(
         "--table-format", choices=("parquet", "iceberg"), default="parquet",
@@ -211,6 +217,18 @@ def main() -> int:
             "fingerprint",
             "left_anti",
         )
+        if args.update_near_dup is not None:
+            from readability_ex_spark.operators.textops import (
+                cross_near_dup_matches,
+            )
+
+            nd_drops = cross_near_dup_matches(
+                corpus.select("url", "text"),
+                existing.select("url", "text"),
+                id_col="url",
+                threshold=args.update_near_dup,
+            )
+            corpus = corpus.join(nd_drops, "url", "left_anti")
         # the delta must be materialized BEFORE the append below starts
         # overwriting the directory it was derived from
         corpus = corpus.localCheckpoint(eager=True)

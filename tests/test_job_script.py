@@ -249,7 +249,8 @@ def test_prepare_corpus_script_update_mode(jobdir, spark):
 
     # batch 2 = the SAME pages (all dups) plus nothing new -> delta is 0
     proc = subprocess.run(
-        base + ["--input", str(jobdir / "pages"), "--update"],
+        base + ["--input", str(jobdir / "pages"), "--update",
+                "--update-near-dup", "0.8"],
         capture_output=True, text=True, timeout=420, cwd=str(REPO),
     )
     assert proc.returncode == 0, proc.stderr[-1500:]
