@@ -29,6 +29,7 @@ from readability_ex_spark.operators import pii as PII  # noqa: E402
 from readability_ex_spark.operators import relational as R  # noqa: E402
 from readability_ex_spark.operators import sampling as SA  # noqa: E402
 from readability_ex_spark.operators import similarity as S  # noqa: E402
+from readability_ex_spark.operators import spanops as SP  # noqa: E402
 from readability_ex_spark.operators import textops as T  # noqa: E402
 
 
@@ -70,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": DC.q_decontaminate,
         "line_dedup": DC.q_line_dedup,
         "pii_scrub": PII.q_pii_scrub,
+        "spans_tiling": SP.q_spans_tiling,
         "minhash_sig": T.q_minhash_sig,
         "minhash_band_pairs": T.q_minhash_band_pairs,
         "simhash": T.q_simhash,
@@ -98,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_clusters": C.q_emb_near_dup_clusters,
         "ann_ivf_cells": S.q_ann_ivf_cells,
         "ann_ivf_topk": S.q_ann_ivf_topk,
+        "ann_ivf_materialized": S.q_ann_ivf_materialized,
     }
 
 
@@ -369,6 +372,30 @@ def oracle_sql() -> dict[str, str]:
             f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in words
         )
 
+    # lang-routed Gopher stop-word count (mirrors corpus.STOPWORDS_BY_LANG:
+    # per-language set, English fallback for unknown langs, rule binds
+    # only for languages with a defined set)
+    _lang2 = "substr(lower(coalesce(lang, 'en')), 1, 2)"
+
+    def _stop_re(ws) -> str:
+        return "\\b(" + "|".join(ws) + ")\\b"
+
+    _stop_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN {_lang2} = '{tag}' THEN CAST(len(regexp_extract_all("
+            f"lower(text), '{_stop_re(ws)}')) AS BIGINT)"
+            for tag, ws in CO.STOPWORDS_BY_LANG.items()
+        )
+        + f" ELSE CAST(len(regexp_extract_all(lower(text), "
+        f"'{_stop_re(CO.GOPHER_STOPWORDS)}')) AS BIGINT) END"
+    )
+    _stop_binds = (
+        f"{_lang2} IN ("
+        + ", ".join(f"'{t}'" for t in CO.STOPWORDS_BY_LANG)
+        + ")"
+    )
+
     sig = lambda i: (
         "CASE WHEN trim(text) = '' THEN NULL ELSE "
         f"list_aggregate(list_transform(list_distinct({toks}), "
@@ -579,7 +606,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_rules": f"""
             WITH w AS (
-              SELECT doc_id, text,
+              SELECT doc_id, text, lang,
                      CASE WHEN text IS NULL OR trim(text) = ''
                           THEN CAST([] AS VARCHAR[])
                           ELSE regexp_split_to_array(trim(text), '\\s+') END
@@ -619,9 +646,8 @@ def oracle_sql() -> dict[str, str]:
                                    x -> regexp_matches(x, '[A-Za-z]')))
                                / CAST(len(words) AS DOUBLE)
                           ELSE 0.0 END AS alpha_frac,
-                     CAST(len(regexp_extract_all(lower(text),
-                          '\\b({"|".join(CO.GOPHER_STOPWORDS)})\\b'))
-                       AS BIGINT) AS n_stopwords_g,
+                     {_stop_case} AS n_stopwords_g,
+                     {_stop_binds} AS stop_binds,
                      CASE WHEN len(lines) > 0
                           THEN (len(lines) - len(list_distinct(lines)))
                                / CAST(len(lines) AS DOUBLE)
@@ -645,8 +671,9 @@ def oracle_sql() -> dict[str, str]:
                      ellipsis_frac <= {CO.GOPHER_MAX_ELLIPSIS_FRAC}
                        AS r_ellipsis_frac,
                      alpha_frac >= {CO.GOPHER_MIN_ALPHA_FRAC} AS r_alpha_frac,
-                     n_stopwords_g >= {CO.GOPHER_MIN_STOPWORDS}
-                       AS r_stopwords,
+                     CASE WHEN stop_binds
+                          THEN n_stopwords_g >= {CO.GOPHER_MIN_STOPWORDS}
+                          ELSE TRUE END AS r_stopwords,
                      dup_line_frac <= {CO.C4_MAX_DUP_LINE_FRAC}
                        AS r_dup_lines,
                      digit_ratio <= {CO.MAX_DIGIT_RATIO} AS r_digit_ratio
@@ -761,6 +788,54 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mirrors decontam.line_dedup: fixed token windows, df over
         # distinct docs, drop df > LINE_MAX_DF, order-preserving rejoin
+        # mirrors spanops.q_spans_tiling: 25-token blocks, single-space
+        # joins, prefix-sum offsets via a window cumulative sum, and the
+        # same in-engine substring invariant (slice_ok)
+        "spans_tiling": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR trim(text) = ''
+                          THEN CAST([] AS VARCHAR[]) ELSE {toks} END AS tk
+              FROM documents),
+            b2 AS (
+              SELECT doc_id, tk,
+                     CAST(ceil(len(tk) / {SP.SPAN_BLOCK_TOKENS}.0) AS INT)
+                       AS n_blocks
+              FROM base),
+            g AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN n_blocks > 0
+                       THEN generate_series(0, n_blocks - 1)
+                       ELSE CAST([] AS BIGINT[]) END) AS pos,
+                     tk
+              FROM b2),
+            c AS (
+              SELECT doc_id, pos,
+                     array_to_string(list_slice(tk,
+                       pos * {SP.SPAN_BLOCK_TOKENS} + 1,
+                       pos * {SP.SPAN_BLOCK_TOKENS}
+                         + {SP.SPAN_BLOCK_TOKENS}), ' ') AS block
+              FROM g),
+            s AS (
+              SELECT doc_id, pos, block,
+                     CAST(coalesce(sum(length(block) + 1) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS span_start
+              FROM c),
+            f AS (
+              SELECT doc_id, string_agg(block, ' ' ORDER BY pos) AS joined
+              FROM c GROUP BY doc_id)
+            SELECT s.doc_id,
+                   CAST(s.pos AS INT) AS block_idx,
+                   s.span_start,
+                   s.span_start + length(s.block) AS span_end,
+                   md5(s.block) AS block_hash,
+                   substr(f.joined, CAST(s.span_start AS INT) + 1,
+                          length(s.block)) = s.block AS slice_ok
+            FROM s JOIN f USING (doc_id)
+            ORDER BY doc_id, block_idx
+        """,
         "line_dedup": f"""
             WITH base AS (
               SELECT doc_id,
@@ -1244,4 +1319,8 @@ def oracle_sql() -> dict[str, str]:
     # the materialized-index probe must return EXACTLY what the in-flight
     # multi-probe returns — same oracle, different physical read path
     sqls["ann_materialized_topk"] = sqls["ann_lsh_topk"]
+    # the materialized-index IVF probe has the SAME result contract as
+    # the inline path — one oracle pins both (parity between the two
+    # Spark paths is additionally asserted in tests/test_similarity.py)
+    sqls["ann_ivf_materialized"] = sqls["ann_ivf_topk"]
     return sqls

@@ -134,6 +134,31 @@ def main() -> int:
     finally:
         _sh.rmtree(_idx, ignore_errors=True)
 
+    # same split for the IVF family: one-time cell-partitioned index
+    # build vs the per-batch partition-pruned probe
+    _ivf_dir = _tf.mkdtemp(prefix="bench_ivf_idx_")
+    try:
+        _emb2 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _cents = S._seed_centroids(_emb2)
+        run(
+            "ann_ivf_index_build",
+            lambda: S.materialize_ivf(_emb2, f"{_ivf_dir}/i", _cents) or 1,
+        )
+        from pyspark.sql import functions as _Fq
+
+        _qs = _emb2.filter(_Fq.col("vec_id") < 8).select(
+            _Fq.col("vec_id").alias("query_id"),
+            _Fq.col("embedding").alias("query_vec"),
+        )
+        run(
+            "ann_ivf_materialized_probe",
+            lambda: S.ann_ivf_materialized_topk(
+                spark, f"{_ivf_dir}/i", _qs, k=3, nprobe=4
+            ).count(),
+        )
+    finally:
+        _sh.rmtree(_ivf_dir, ignore_errors=True)
+
     run("quality_rules", lambda: q_quality_rules(spark, sf_dir).count())
     from readability_ex_spark.operators.corpus import q_repetition_stats
     from readability_ex_spark.operators.decontam import q_decontaminate
@@ -155,6 +180,60 @@ def main() -> int:
 
     run("near_dup_clusters", lambda: C.q_near_dup_clusters(spark, sf_dir).count())
     run("dedup_manifest", lambda: C.q_dedup_manifest(spark, sf_dir).count())
+
+    # incremental update: a small batch (some paraphrases of existing
+    # docs, some fresh) checked against the whole existing corpus for
+    # cross-batch near-dups. Three numbers: the legacy full-rescan plan,
+    # the one-time persisted band-index build (amortizes across
+    # updates), and the per-update indexed path — the recurring-crawl
+    # cost that actually matters.
+    from pyspark.sql import functions as _F
+
+    _docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    _para = (
+        _docs.filter(_F.col("doc_id") % 100 == 0)
+        .select(
+            (_F.col("doc_id") + 10_000_000).alias("doc_id"),
+            _F.concat(_F.col("text"), _F.lit(" extra trailing tokens")).alias(
+                "text"
+            ),
+        )
+    )
+    _fresh = _docs.filter(_F.col("doc_id") % 100 == 1).select(
+        (_F.col("doc_id") + 20_000_000).alias("doc_id"),
+        _F.concat_ws(
+            " ",
+            _F.transform(
+                _F.sequence(_F.lit(0), _F.lit(79)),
+                lambda i: _F.concat(
+                    _F.lit("fresh"), _F.col("doc_id").cast("string"),
+                    _F.lit("w"), i.cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    _batch = _para.unionByName(_fresh).localCheckpoint()
+    run(
+        "update_delta_rescan",
+        lambda: T.cross_near_dup_matches(_batch, _docs).count(),
+    )
+    _bdir = _tf.mkdtemp(prefix="bench_bands_")
+    try:
+        run(
+            "update_index_build",
+            lambda: T.band_index(_docs).write.parquet(f"{_bdir}/b") or 1,
+        )
+        _bands = spark.read.parquet(f"{_bdir}/b")
+        run(
+            "update_delta_indexed",
+            lambda: T.cross_near_dup_matches(
+                _batch, _docs, existing_bands=_bands
+            ).count(),
+        )
+    finally:
+        _sh.rmtree(_bdir, ignore_errors=True)
 
     if args.composed:
         import shutil

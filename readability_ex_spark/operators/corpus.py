@@ -68,20 +68,45 @@ MAX_DIGIT_RATIO = 0.2  # digit chars per char
 # the Gopher paper's stop set, verbatim
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
+# Per-language stop sets, keyed by BCP-47 primary subtag: 8 high-frequency
+# function words each, mirroring the Gopher set's role. ASCII-only words
+# so the \b word-boundary semantics match between Spark (Java regex) and
+# the DuckDB oracle (RE2). A language with no entry gets NO stop-word
+# rule (it passes vacuously — applying the English set to e.g. Chinese
+# would kill every document); a NULL/unknown lang falls back to English,
+# matching the rule set's documented "run after language routing"
+# precondition.
+STOPWORDS_BY_LANG: dict[str, tuple[str, ...]] = {
+    "en": GOPHER_STOPWORDS,
+    "fr": ("le", "la", "les", "de", "et", "que", "pour", "dans"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es": ("el", "la", "los", "de", "que", "y", "en", "un"),
+}
 
-def with_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+
+def with_quality_rules(
+    df: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
     """Annotate each document with the Gopher/C4 quality signals, one
     boolean per rule, and ``passes_quality`` = AND of all rules.
 
     Every signal is a JVM-side (codegen) column expression over the raw
     text — at 100 TB this is a free map stage fused into the scan.
     Empty/whitespace-only text fails the word-count rule and reports 0.0
-    for every ratio (guarded divisions). Measured kill rates on the
-    synthetic sf0.01 documents table (single-line word-salad text, so
-    the line-shape rules never trigger there): word_count 44.6% (many
-    synthetic docs are < 50 words), stopwords 55.2% (non-English docs
-    lack the English stop set — run AFTER language routing in a real
-    build), every other rule 0%; overall 64.2% dropped (rules overlap).
+    for every ratio (guarded divisions).
+
+    The stop-word rule is LANGUAGE-ROUTED when ``lang_col`` exists in
+    ``df`` (one CASE over ``STOPWORDS_BY_LANG``, still pure codegen):
+    each document is scored against its own language's stop set; a
+    language with no stop set passes the rule vacuously; NULL/unknown
+    lang falls back to English. Without a lang column the English set
+    applies to everything (the pre-routing behavior).
+
+    Measured kill rates on the synthetic sf0.01 documents table
+    (single-line word-salad text, so the line-shape rules never trigger
+    there): word_count 44.6% (many synthetic docs are < 50 words),
+    every other rule ~0% once stopwords are lang-routed; overall drop
+    dominated by word_count.
     """
     c = F.col(text_col)
     empty_arr = F.array().cast("array<string>")
@@ -101,9 +126,28 @@ def with_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     alpha_frac = ratio(
         F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))), nw
     )
-    n_stop = F.regexp_count(
-        F.lower(c), F.lit(r"\b(" + "|".join(GOPHER_STOPWORDS) + r")\b")
-    ).cast("long")
+    def _stop_count(words_tuple):
+        return F.regexp_count(
+            F.lower(c), F.lit(r"\b(" + "|".join(words_tuple) + r")\b")
+        ).cast("long")
+
+    if lang_col in df.columns:
+        lp = F.lower(F.coalesce(F.col(lang_col), F.lit("en"))).substr(1, 2)
+        n_stop = F.lit(None).cast("long")
+        for tag, words_tuple in STOPWORDS_BY_LANG.items():
+            n_stop = F.when(lp == tag, _stop_count(words_tuple)).otherwise(
+                n_stop
+            )
+        # unknown lang: English count as an informative signal only —
+        # the rule below does not bind for it
+        n_stop = F.coalesce(n_stop, _stop_count(GOPHER_STOPWORDS))
+        stop_rule = F.when(
+            lp.isin(list(STOPWORDS_BY_LANG)),
+            n_stop >= GOPHER_MIN_STOPWORDS,
+        ).otherwise(F.lit(True))
+    else:
+        n_stop = _stop_count(GOPHER_STOPWORDS)
+        stop_rule = n_stop >= GOPHER_MIN_STOPWORDS
     lines = F.when(c.isNull(), empty_arr).otherwise(
         F.filter(
             F.transform(F.split(c, "\n"), lambda l: F.trim(l)),
@@ -131,7 +175,7 @@ def with_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
         "r_bullet_frac": bullet_frac <= GOPHER_MAX_BULLET_FRAC,
         "r_ellipsis_frac": ellipsis_frac <= GOPHER_MAX_ELLIPSIS_FRAC,
         "r_alpha_frac": alpha_frac >= GOPHER_MIN_ALPHA_FRAC,
-        "r_stopwords": n_stop >= GOPHER_MIN_STOPWORDS,
+        "r_stopwords": stop_rule,
         "r_dup_lines": dup_line_frac <= C4_MAX_DUP_LINE_FRAC,
         "r_digit_ratio": digit_ratio <= MAX_DIGIT_RATIO,
     }
@@ -560,6 +604,7 @@ def incremental_corpus_update(
     existing_corpus: DataFrame,
     new_pages: DataFrame,
     near_dup_vs_existing_threshold: float | None = None,
+    existing_bands: DataFrame | None = None,
     **prepare_kwargs,
 ) -> DataFrame:
     """Docs from a NEW crawl batch that belong in an existing corpus:
@@ -578,19 +623,23 @@ def incremental_corpus_update(
 
     Returns ONLY the append delta — callers append it and union the
     manifests. Both anti-joins are keyed on columns the corpus layout
-    already clusters by, and the fingerprint side deduplicates before
-    the join so the build side stays minimal. Cross-batch NEAR-dups
+    already clusters by; kept urls AND kept fingerprints are unique by
+    construction (the exact collapse keeps one url per fingerprint
+    group, and every appended delta is anti-joined on both), so neither
+    side needs a corpus-cardinality distinct. Cross-batch NEAR-dups
     are caught when ``near_dup_vs_existing_threshold`` is set
     (``textops.cross_near_dup_matches``: batch band blocks equality-join
-    the existing corpus's band blocks, shingle-Jaccard verify) — the
-    existing side pays one linear banding pass per update, which at
-    scale is a persisted band table, not a rebuild.
+    the existing corpus's band blocks, shingle-Jaccard verify). Pass
+    ``existing_bands`` (the persisted ``textops.band_index`` artifact —
+    ``prepare_corpus.py`` writes it as ``{output}/_bands``) so the
+    existing corpus is never re-banded: the update then touches existing
+    text only for band-collision candidates.
     """
     batch = prepare_training_corpus(new_pages, **prepare_kwargs)
     delta = batch.join(
-        existing_corpus.select("url").distinct(), "url", "left_anti"
+        existing_corpus.select("url"), "url", "left_anti"
     ).join(
-        existing_corpus.select("fingerprint").distinct(),
+        existing_corpus.select("fingerprint"),
         "fingerprint",
         "left_anti",
     )
@@ -604,6 +653,7 @@ def incremental_corpus_update(
             existing_corpus.select("url", "text"),
             id_col="url",
             threshold=near_dup_vs_existing_threshold,
+            existing_bands=existing_bands,
         )
         delta = delta.join(drops, "url", "left_anti")
     return delta

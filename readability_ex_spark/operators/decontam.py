@@ -116,10 +116,14 @@ def line_dedup(
     every input doc (all-boilerplate docs keep an empty string).
 
     Plan: one explode -> df count (two-level agg on (chunk, doc) then
-    chunk) -> broadcast-eligible join of the df verdict back to the
-    exploded chunks -> order-restoring re-aggregation by doc.  Work and
-    shuffle volume are linear in corpus tokens — the same shape as exact
-    dedup, run at chunk granularity.
+    chunk) -> filter the df table down to VIOLATORS (``df > max_df``,
+    actual boilerplate only — tiny by construction) -> broadcast
+    left-anti join of the exploded chunks against that set ->
+    order-restoring re-aggregation by doc.  The corpus-scale exploded
+    side is shuffled exactly once (the df count); the verdict side never
+    re-shuffles corpus tokens because the violator set is the small,
+    broadcast side.  Work and shuffle volume are linear in corpus tokens
+    — the same shape as exact dedup, run at chunk granularity.
     """
     c = F.col(text_col)
     toks = F.when(
@@ -148,8 +152,13 @@ def line_dedup(
         .groupBy("chunk")
         .agg(F.count("*").alias("df"))
     )
-    tagged = exploded.join(dfreq, "chunk")
-    kept = tagged.filter(F.col("df") <= max_df)
+    # Heavy-hitters verdict: only chunks OVER the df cap matter, and that
+    # set is small by construction (it is the boilerplate).  Anti-joining
+    # against the broadcast violator set keeps the corpus-scale exploded
+    # side un-shuffled, where joining the full dfreq table back would be
+    # a second corpus-volume shuffle at 100 TB.
+    violators = dfreq.filter(F.col("df") > max_df).select("chunk")
+    kept = exploded.join(F.broadcast(violators), "chunk", "left_anti")
     reassembled = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

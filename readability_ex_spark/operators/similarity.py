@@ -791,6 +791,117 @@ def _seed_centroids(emb: DataFrame) -> list[list[float]]:
     return [list(c) for c in cents]
 
 
+def materialize_ivf(
+    emb: DataFrame,
+    path: str,
+    centroids,
+) -> None:
+    """Write an IVF index: the trained centroids plus the embedding
+    table partitioned by cell — the amortized-build mirror of
+    ``materialize_buckets`` for the IVF family.
+
+    Two artifacts under ``path``: ``centroids`` (one row per cell — tiny,
+    read driver-side at probe time so probes never retrain or re-collect
+    seeds) and ``table`` (cell-partitioned embeddings, repartitioned by
+    cell BEFORE the partitioned write for the same
+    tasks×partitions-file-explosion reason as the LSH index). At 100 TB
+    the assignment pass runs once; every probe after that reads only its
+    ``nprobe`` cell directories."""
+    spark = emb.sparkSession
+    cents = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(centroids)
+    ]
+    spark.createDataFrame(
+        cents, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = ivf_assign(emb, [c for _, c in cents])
+    assigned.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/table")
+
+
+def ann_ivf_materialized_topk(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe a ``materialize_ivf`` index — the amortized IVF read path.
+
+    Centroids load driver-side (n_cells rows, bounded by construction);
+    each query's ``nprobe`` nearest cells are computed with the same
+    batched numpy math as the inline path, and the index read is
+    restricted to the union of probed cells. Construction VERIFIES the
+    partition pruning exactly like ``ann_materialized_topk``: a probe
+    that full-scans the index raises. Result contract matches
+    ``ann_ivf_topk`` (same scoring, same tie order).
+    """
+    import io
+    from contextlib import redirect_stdout
+
+    cent_rows = spark.read.parquet(f"{index_path}/centroids").collect()
+    cents = [r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)]
+    probes = ivf_probe_cells(
+        queries.select("query_id", "query_vec"), cents, nprobe
+    )
+    # the probed-cell set is <= n_cells (bounded by the index, not the
+    # data) — collecting it drives the partition-pruned read
+    cell_set = sorted(
+        {r.cell for r in probes.select("cell").distinct().collect()}
+    )
+    pruned = spark.read.parquet(f"{index_path}/table").filter(
+        F.col("cell").isin([int(c) for c in cell_set])
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain(True)
+    seg = buf.getvalue().split("PartitionFilters: [", 1)
+    if len(seg) != 2 or "cell" not in seg[1][:300]:
+        raise RuntimeError(
+            "ann_ivf_materialized_topk: cell probe did not partition-prune "
+            f"the index scan at {index_path}"
+        )
+    cos = _dot(F.col("embedding"), F.col("query_vec")) / (
+        _norm(F.col("embedding")) * _norm(F.col("query_vec"))
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        probes.join(pruned, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", "label", F.round(cos, 6).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def q_ann_ivf_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF top-3 (nprobe=4, seeded cells) served from a
+    materialized cell-partitioned index — same result contract (and the
+    same oracle) as ann_ivf_topk, but the read path is the
+    partition-pruned probe, asserted at construction."""
+    emb = _emb(spark, sf_dir)
+    cents = _seed_centroids(emb)
+    path = _ann_scratch_dir()
+    materialize_ivf(emb, path, cents)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ann_ivf_materialized_topk(
+        spark, path, queries, k=3, nprobe=IVF_NPROBE
+    ).orderBy("query_id", F.col("cosine").desc(), "vec_id")
+
+
 def q_ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF cell assignment with data-seeded centroids (index stats)."""
     emb = _emb(spark, sf_dir)

@@ -452,16 +452,23 @@ def lsh_band_candidates(
     )
 
 
-def _band_blocks(
+def band_index(
     df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n_bands: int,
-    rows_per_band: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = N_LSH_BANDS,
+    rows_per_band: int = N_LSH_ROWS,
 ) -> DataFrame:
     """(id, band_id, band_hash) rows — the banded-LSH block table of one
     frame (the explode stage of lsh_band_candidates, factored so the
-    cross-corpus variant builds both sides with identical hashes)."""
+    cross-corpus variant builds both sides with identical hashes).
+
+    This is also the PERSISTABLE index shape for incremental updates:
+    a corpus build writes these rows once (``prepare_corpus.py`` ->
+    ``{output}/_bands``) and every later ``--update`` batch equality-joins
+    against the stored table instead of re-banding the whole corpus —
+    the artifact is ~40 bytes × b per document, independent of text
+    size, so at 100 TB it is a small fraction of the corpus."""
     return (
         df.select(
             F.col(id_col),
@@ -481,7 +488,21 @@ def _band_blocks(
         )
         .select(id_col, "band.band_id", "band.band_hash")
         .filter(F.col("band_hash").isNotNull())
-        .localCheckpoint(eager=False)
+    )
+
+
+def _band_blocks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """``band_index`` checkpointed: the signature pass (the expensive
+    part) runs once even when the plan consumes the blocks several
+    times (bucket-count branch + both self-join sides)."""
+    return band_index(df, id_col, text_col, n_bands, rows_per_band).localCheckpoint(
+        eager=False
     )
 
 
@@ -494,6 +515,7 @@ def cross_near_dup_matches(
     n_bands: int = N_LSH_BANDS,
     rows_per_band: int = N_LSH_ROWS,
     max_bucket: int = MAX_BAND_BUCKET,
+    existing_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Batch docs that near-duplicate an EXISTING corpus doc: the
     cross-corpus variant of banded MinHash-LSH, for incremental updates
@@ -504,10 +526,24 @@ def cross_near_dup_matches(
     blocks are linear in corpus size and capped per bucket like the
     self-join path (over-cap boilerplate buckets are the exact
     manifest's job). Verify = exact shingle Jaccard on the candidate
-    pairs only. Returns distinct batch ids (``id_col``) to drop.
+    pairs only, with the existing side's shingle computation semi-joined
+    down to CANDIDATE ids first — only pages that collided in some band
+    ever have their text read and shingled, a point lookup into the
+    url-bucketed corpus rather than a linear pass.
+
+    ``existing_bands``: a persisted ``band_index`` table for the
+    existing side (``(id_col, band_id, band_hash)`` — what
+    ``prepare_corpus.py`` writes as ``{output}/_bands``).  When given,
+    the existing corpus is NOT re-banded — its text is only touched for
+    verify candidates — which is the difference between an incremental
+    update that scales with the BATCH and one that re-reads the world.
+    Returns distinct batch ids (``id_col``) to drop.
     """
     bb = _band_blocks(batch, id_col, text_col, n_bands, rows_per_band)
-    eb = _band_blocks(existing, id_col, text_col, n_bands, rows_per_band)
+    if existing_bands is not None:
+        eb = existing_bands.select(id_col, "band_id", "band_hash")
+    else:
+        eb = _band_blocks(existing, id_col, text_col, n_bands, rows_per_band)
     counts = eb.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("_n")
     )
@@ -524,14 +560,24 @@ def cross_near_dup_matches(
         )
         .select("_batch_id", "_existing_id")
         .distinct()
+        # candidates feed the verify join AND the existing-side shingle
+        # pruning below — checkpoint so the band join runs once
+        .localCheckpoint(eager=False)
     )
     bsh = batch.select(
         F.col(id_col).alias("_batch_id"),
         shingle_expr(text_col).alias("_sh_b"),
     )
-    esh = existing.select(
-        F.col(id_col).alias("_existing_id"),
-        shingle_expr(text_col).alias("_sh_e"),
+    esh = (
+        existing.join(
+            cand.select(F.col("_existing_id").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).alias("_existing_id"),
+            shingle_expr(text_col).alias("_sh_e"),
+        )
     )
     verified = (
         cand.join(bsh, "_batch_id")

@@ -152,16 +152,42 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
 WET_EPOCH_DATE = "1970-01-01T00:00:00Z"  # deterministic default
 
 
+def _warc_safe_uri(url: str) -> str:
+    """Percent-encode a target URI down to printable ASCII: non-ASCII
+    bytes (UTF-8 percent-escaped), CR/LF, and spaces would either raise
+    in the header encode or corrupt WARC record framing.  Existing
+    percent-escapes survive (``%`` is in the safe set), so an
+    already-clean URL is unchanged."""
+    from urllib.parse import quote
+
+    return quote(url, safe="!#$%&'()*+,-./:;=?@[]_~|")
+
+
+def _warc_record_id(url: str, date: str) -> str:
+    """Deterministic ``urn:uuid`` per (url, date) — the WARC spec
+    mandates a WARC-Record-ID per record; deriving it from the record
+    identity keeps reruns byte-identical."""
+    import hashlib
+    import uuid
+
+    digest = hashlib.md5(f"{url}\n{date}".encode("utf-8")).hexdigest()
+    return f"<urn:uuid:{uuid.UUID(digest)}>"
+
+
 def wet_record_bytes(url: str, date: str, text: bytes) -> bytes:
-    """One WET conversion record (WARC/1.0 framing)."""
+    """One WET conversion record (WARC/1.0 framing).  The header block
+    is pure ASCII (URI percent-encoded via ``_warc_safe_uri``) and
+    carries the spec-mandated deterministic WARC-Record-ID."""
+    safe_url = _warc_safe_uri(url)
     return (
         "WARC/1.0\r\n"
         "WARC-Type: conversion\r\n"
-        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Record-ID: {_warc_record_id(safe_url, date)}\r\n"
+        f"WARC-Target-URI: {safe_url}\r\n"
         f"WARC-Date: {date}\r\n"
         "Content-Type: text/plain\r\n"
         f"Content-Length: {len(text)}\r\n\r\n"
-    ).encode("latin-1") + text + b"\r\n\r\n"
+    ).encode("ascii") + text + b"\r\n\r\n"
 
 
 def write_wet(

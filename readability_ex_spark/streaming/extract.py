@@ -166,6 +166,11 @@ def stream_dedup_first_seen_event_time(
     timeout timestamps are clamped above the current watermark (Spark
     rejects a timeout the watermark already passed — an url whose only
     observation is a very late row evicts at the next watermark tick).
+
+    Rows with a NULL ``warc_ts`` carry no event time and are excluded
+    from event-time dedup (Spark's watermark filter drops them before
+    the stateful operator); use the processing-time TTL variant for
+    undated feeds.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -186,10 +191,18 @@ def stream_dedup_first_seen_event_time(
         seen = state.exists
         state.update((True,))
         # evict when the watermark passes newest-observation + retention;
-        # must be strictly beyond the current watermark or Spark raises
-        max_ts_ms = int(batch["warc_ts"].max().timestamp() * 1000)
+        # must be strictly beyond the current watermark or Spark raises.
+        # NULL-dated rows carry no event time: Spark's late-row filter
+        # already excludes them from event-time dedup (documented), but a
+        # state update for the url may still fire with an all-NaT batch —
+        # NaT.timestamp() would raise, so fall back to the next tick.
         wm = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(max(max_ts_ms + retention, wm + 1))
+        dated = batch["warc_ts"].dropna()
+        if len(dated):
+            max_ts_ms = int(dated.max().timestamp() * 1000)
+            state.setTimeoutTimestamp(max(max_ts_ms + retention, wm + 1))
+        else:
+            state.setTimeoutTimestamp(wm + 1)
         if not seen and len(batch):
             batch = batch.assign(_h=[html_tiebreak_py(h) for h in batch["html"]])
             yield batch.sort_values(

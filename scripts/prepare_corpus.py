@@ -203,17 +203,21 @@ def main() -> int:
             F.col("r_top2gram") & F.col("r_top3gram") & F.col("r_dup6gram")
         )
         corpus = corpus.join(rep_ok.select("url"), "url", "left_semi")
+    bands_path = f"{args.output}/_bands"
     if args.update:
         # incremental mode: the batch-composed corpus anti-joins what the
         # existing output already covers (same url: the existing
         # canonical wins — corpus stability outranks recency; same
-        # fingerprint: cross-batch exact dup). Only the delta appends;
-        # cross-batch NEAR-dups are the periodic full rebuild's job.
+        # fingerprint: cross-batch exact dup). Only the delta appends.
+        # Kept urls/fingerprints are unique by construction (exact
+        # collapse + every prior delta anti-joined on both), so the
+        # column-pruned key scans need no distinct — the existing
+        # corpus's text column is never read on this path.
         existing = spark.read.parquet(args.output)
         corpus = corpus.join(
-            existing.select("url").distinct(), "url", "left_anti"
+            existing.select("url"), "url", "left_anti"
         ).join(
-            existing.select("fingerprint").distinct(),
+            existing.select("fingerprint"),
             "fingerprint",
             "left_anti",
         )
@@ -222,11 +226,23 @@ def main() -> int:
                 cross_near_dup_matches,
             )
 
+            # the persisted band index (written by the full build and
+            # extended by every update) replaces the per-update
+            # re-banding of the whole existing corpus; existing text is
+            # then only read for band-collision candidates. A corpus
+            # built before the artifact existed falls back to inline
+            # banding once — the delta append below starts the index.
+            existing_bands = (
+                spark.read.parquet(bands_path)
+                if Path(bands_path).exists()
+                else None
+            )
             nd_drops = cross_near_dup_matches(
                 corpus.select("url", "text"),
                 existing.select("url", "text"),
                 id_col="url",
                 threshold=args.update_near_dup,
+                existing_bands=existing_bands,
             )
             corpus = corpus.join(nd_drops, "url", "left_anti")
         # the delta must be materialized BEFORE the append below starts
@@ -252,6 +268,21 @@ def main() -> int:
     corpus.write.partitionBy("url_bucket").mode(write_mode).parquet(args.output)
     # the dedup audit trail: every extracted url's keep decision
     manifest.write.mode(write_mode).parquet(f"{args.output}/_manifest")
+    if not args.no_near_dup:
+        # persist/extend the banded-LSH index of the kept corpus so the
+        # NEXT --update equality-joins stored blocks instead of
+        # re-banding the world: full build bands all kept docs (read
+        # back from the written output — one linear pass, no pipeline
+        # recompute), update appends only the checkpointed delta's
+        # blocks (~40 bytes x b per doc)
+        from readability_ex_spark.operators.textops import band_index
+
+        band_source = (
+            corpus if args.update else spark.read.parquet(args.output)
+        )
+        band_index(band_source, id_col="url").write.mode(write_mode).parquet(
+            bands_path
+        )
     if kill_stats:
         spark.createDataFrame(
             [tuple(kill_stats.values())],

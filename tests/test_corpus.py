@@ -137,6 +137,52 @@ def test_quality_rules_each_rule_fires(spark):
             assert not out[key].passes_quality, key
 
 
+def test_quality_rules_lang_routed_stopwords(spark):
+    """Stop-word rule keys off the doc's lang: a French doc passes via
+    the French stop set (it always failed the English-only rule), a
+    language with no stop set passes vacuously, NULL lang falls back to
+    English, and a frame WITHOUT a lang column keeps English-only."""
+    from readability_ex_spark.operators.corpus import with_quality_rules
+
+    fr = (
+        "le renard brun saute par-dessus le chien paresseux et court "
+        "vers la vieille grange pour retrouver les chiens qui se sont "
+        "rassembles dans la cour pres de la riviere "
+    ) * 3
+    en = (
+        "The quick brown fox jumps over the lazy dog and runs off to be "
+        "with the pack of hounds that have gathered near the old barn. "
+    ) * 3
+    zh_like = " ".join(f"hanzi{i}" for i in range(80))  # no stop set
+    docs = [
+        ("fr_doc", fr, "fr"),
+        ("fr_doc_regional", fr, "fr-CA"),
+        ("en_doc", en, "en"),
+        ("zh_doc", zh_like, "zh"),
+        ("null_lang_en", en, None),
+        ("null_lang_salad", zh_like, None),
+        # English text tagged French: fails (wrong language's stop set)
+        ("mislabeled", " ".join(f"word{i}" for i in range(80)), "fr"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string, lang string")
+    out = {r.doc_id: r for r in with_quality_rules(df).collect()}
+    assert out["fr_doc"].r_stopwords and out["fr_doc"].n_stopwords_g >= 2
+    assert out["fr_doc_regional"].r_stopwords  # prefix match
+    assert out["en_doc"].r_stopwords
+    assert out["zh_doc"].r_stopwords  # vacuous: no stop set for zh
+    assert out["null_lang_en"].r_stopwords  # NULL -> English fallback
+    assert not out["null_lang_salad"].r_stopwords
+    assert not out["mislabeled"].r_stopwords
+
+    # no lang column -> English-only behavior is unchanged
+    no_lang = spark.createDataFrame(
+        [("fr_doc", fr), ("en_doc", en)], "doc_id string, text string"
+    )
+    out2 = {r.doc_id: r for r in with_quality_rules(no_lang).collect()}
+    assert not out2["fr_doc"].r_stopwords
+    assert out2["en_doc"].r_stopwords
+
+
 def test_prepare_corpus_quality_rules_stage(spark):
     from readability_ex_spark.operators.corpus import prepare_training_corpus
     from readability_ex_spark.sources.pages import synthesize_pages
@@ -318,3 +364,47 @@ def test_cross_near_dup_matches_direct(spark):
         batch, existing, threshold=0.5
     ).collect()}
     assert drops == {100}
+
+
+def test_cross_near_dup_uses_persisted_band_index(spark, tmp_path):
+    """With a persisted band_index the existing corpus is never
+    re-banded — same verdicts, and the plan computes band hashes for
+    the batch side only (existing text is touched only for verify
+    candidates via the semi-join)."""
+    from readability_ex_spark.operators.textops import (
+        band_index,
+        cross_near_dup_matches,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(120))
+    edited = base.replace("tok5", "tokX").replace("tok80", "tokY")
+    rows = [(1, base)] + [
+        (i, " ".join(f"e{i}w{j}" for j in range(60))) for i in range(2, 12)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "existing")
+    )
+    existing = spark.read.parquet(str(tmp_path / "existing"))
+    band_index(existing).write.parquet(str(tmp_path / "bands"))
+    bands = spark.read.parquet(str(tmp_path / "bands"))
+
+    batch = spark.createDataFrame(
+        [(100, edited), (101, " ".join(f"z{i}" for i in range(120)))],
+        "doc_id long, text string",
+    )
+    out = cross_near_dup_matches(
+        batch, existing, threshold=0.5, existing_bands=bands
+    )
+    assert {r.doc_id for r in out.collect()} == {100}
+    # same verdicts as the re-banding path
+    assert {r.doc_id for r in cross_near_dup_matches(
+        batch, existing, threshold=0.5
+    ).collect()} == {100}
+
+    # the supplied index is AUTHORITATIVE: with an empty index the
+    # paraphrase is not found, proving the existing corpus is never
+    # re-banded when an index is given (re-banding would rediscover it)
+    empty = bands.filter(F.lit(False))
+    assert cross_near_dup_matches(
+        batch, existing, threshold=0.5, existing_bands=empty
+    ).count() == 0

@@ -124,6 +124,27 @@ def test_line_dedup_plan_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_line_dedup_verdict_is_broadcast_anti_join(spark):
+    """The df verdict must be a broadcast LEFT ANTI join of the exploded
+    corpus against the small violator set — never a corpus-scale shuffle
+    join against the full chunk-frequency table (SCALE.md contract)."""
+    from readability_ex_spark.operators.decontam import line_dedup
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(35))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    plan = (
+        line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    # the only join keyed on `chunk` is the broadcast anti-join
+    assert "LeftAnti, BuildRight" in plan
+    assert "BroadcastHashJoin [chunk" in plan
+    # no shuffle (sort-merge or shuffled-hash) join anywhere on chunk
+    assert "SortMergeJoin [chunk" not in plan
+    assert "ShuffledHashJoin [chunk" not in plan
+
+
 def test_line_dedup_matches_naive_reference(spark):
     """Vectorized chunk pipeline vs a dumb dict re-derivation on random
     corpora (chunking, df counting, order-preserving reassembly)."""

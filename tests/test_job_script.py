@@ -52,6 +52,19 @@ def test_job_then_resume(jobdir, spark):
     assert out.count() == out.select("url").distinct().count() > 0
     metrics = spark.read.parquet(str(jobdir / "out" / "_metrics"))
     assert metrics.filter("run_id = 'r0'").count() > 0
+    # the north-rule text/spans artifact ships in the job output: ok
+    # rows carry block spans that tile the text (verified by slicing)
+    ok_rows = out.filter("status = 'ok' and spans is not null").collect()
+    assert ok_rows, "no ok rows with spans in job output"
+    n_spans = 0
+    for r in ok_rows:
+        prev_end = -1
+        for s in r.spans:
+            assert 0 <= s.start < s.end <= len(r.text)
+            assert s.start >= prev_end
+            prev_end = s.end
+            n_spans += 1
+    assert n_spans > 0
 
 
 def test_job_assemble_chains(spark):
@@ -246,6 +259,10 @@ def test_prepare_corpus_script_update_mode(jobdir, spark):
     assert proc.returncode == 0, proc.stderr[-1500:]
     n0 = spark.read.parquet(str(out)).count()
     urls0 = {r.url for r in spark.read.parquet(str(out)).select("url").collect()}
+    # the full build persists the banded-LSH index of every kept doc so
+    # later --update runs never re-band the existing corpus
+    bands = spark.read.parquet(str(out / "_bands"))
+    assert {r.url for r in bands.select("url").distinct().collect()} == urls0
 
     # batch 2 = the SAME pages (all dups) plus nothing new -> delta is 0
     proc = subprocess.run(
@@ -259,6 +276,12 @@ def test_prepare_corpus_script_update_mode(jobdir, spark):
     assert {r.url for r in after.select("url").collect()} == urls0
     manifest = spark.read.parquet(str(out / "_manifest"))
     assert manifest.select("url").distinct().count() == manifest.count()
+    # empty delta -> the band index is unchanged (no duplicate blocks)
+    bands_after = spark.read.parquet(str(out / "_bands"))
+    assert bands_after.count() == bands.count()
+    assert {
+        r.url for r in bands_after.select("url").distinct().collect()
+    } == urls0
 
 
 def test_run_job_export_wet(jobdir, spark):

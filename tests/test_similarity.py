@@ -187,6 +187,63 @@ def test_ann_materialized_topk_matches_inflight(spark, tmp_path):
     ]
 
 
+def test_ann_ivf_materialized_matches_inline(spark, tmp_path):
+    """The cell-partitioned IVF index returns EXACTLY the inline
+    ann_ivf_topk results (same scoring, same tie order), and its probe
+    partition-prunes (construction raises otherwise)."""
+    from readability_ex_spark.operators.similarity import (
+        IVF_NPROBE,
+        _seed_centroids,
+        ann_ivf_materialized_topk,
+        ann_ivf_topk,
+        materialize_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = _seed_centroids(emb)
+    path = str(tmp_path / "ivf_index")
+    materialize_ivf(emb, path, cents)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    order = ["query_id", F.col("cosine").desc(), "vec_id"]
+    mat = ann_ivf_materialized_topk(
+        spark, path, queries, k=3, nprobe=IVF_NPROBE
+    ).orderBy(*order).collect()
+    inline = ann_ivf_topk(
+        emb, queries, cents, k=3, nprobe=IVF_NPROBE
+    ).orderBy(*order).collect()
+    assert [(r.query_id, r.vec_id, r.cosine) for r in mat] == [
+        (r.query_id, r.vec_id, r.cosine) for r in inline
+    ]
+    assert len(mat) == 4 * 3
+
+
+def test_ann_ivf_materialized_reads_only_probed_cells(spark, tmp_path):
+    """The probe's index scan filters to the probed cell set (<=
+    n_queries * nprobe of 16 cells) — partition pruning, not a
+    full-table read."""
+    from readability_ex_spark.operators.similarity import (
+        _seed_centroids,
+        ann_ivf_materialized_topk,
+        materialize_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf_index")
+    materialize_ivf(emb, path, _seed_centroids(emb))
+    one_query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = ann_ivf_materialized_topk(spark, path, one_query, k=3, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    segs = plan.split("PartitionFilters: [")[1:]
+    assert any("cell" in s[:200] for s in segs), plan[:2000]
+    assert out.count() == 3
+
+
 def test_batch_topk_matches_single_query(spark):
     from readability_ex_spark.operators.similarity import (
         ann_batch_lsh_topk,

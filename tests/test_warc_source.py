@@ -137,6 +137,43 @@ def test_wet_write_read_roundtrip(spark, tmp_path):
     assert str(rows["http://a.test/1"].warc_ts) == "2026-01-02 03:04:05"
 
 
+def test_wet_record_headers_are_safe_and_identified():
+    """Non-latin-1 / CR-LF urls must not raise or corrupt framing, and
+    every record carries a deterministic spec-mandated WARC-Record-ID."""
+    from readability_ex_spark.sources.warc import (
+        iter_warc_records,
+        wet_record_bytes,
+    )
+
+    url = "http://ex.test/путь/ファイル?q=a b\r\nWARC-Type: sneaky"
+    rec = wet_record_bytes(url, "2026-01-02T03:04:05Z", b"body text")
+    # header block is pure ASCII and still frames exactly one record
+    ((headers, payload),) = list(iter_warc_records(rec))
+    assert payload == b"body text"
+    assert headers["warc-type"] == "conversion"
+    # CR/LF percent-encoded: the injected header never materializes
+    assert "sneaky" not in headers.get("warc-type", "")
+    assert "%0D%0A" in headers["warc-target-uri"]
+    assert "%D0%BF" in headers["warc-target-uri"]  # UTF-8 'п' escaped
+    # record id: present, urn:uuid, deterministic, distinct per url
+    rid = headers["warc-record-id"]
+    assert rid.startswith("<urn:uuid:") and rid.endswith(">")
+    rec2 = wet_record_bytes(url, "2026-01-02T03:04:05Z", b"body text")
+    assert rec2 == rec
+    ((h3, _),) = list(
+        iter_warc_records(
+            wet_record_bytes("http://ex.test/other", "2026-01-02T03:04:05Z", b"x")
+        )
+    )
+    assert h3["warc-record-id"] != rid
+    # an already-clean url is byte-unchanged (no double-encoding)
+    clean = "http://ex.test/a%20b?x=1&y=%2F"
+    ((h4, _),) = list(
+        iter_warc_records(wet_record_bytes(clean, "2026-01-02T03:04:05Z", b"x"))
+    )
+    assert h4["warc-target-uri"] == clean
+
+
 def test_wet_records_are_per_member_gzip(spark, tmp_path):
     """Each record is its own gzip member (the CC convention the reader's
     multi-member decompress consumes)."""
