@@ -105,6 +105,7 @@ def line_dedup(
     text_col: str = "text",
     chunk_tokens: int = LINE_CHUNK_TOKENS,
     max_df: int = LINE_MAX_DF,
+    broadcast_verdict: bool = True,
 ) -> DataFrame:
     """Remove cross-document boilerplate chunks and reassemble the text.
 
@@ -156,9 +157,14 @@ def line_dedup(
     # set is small by construction (it is the boilerplate).  Anti-joining
     # against the broadcast violator set keeps the corpus-scale exploded
     # side un-shuffled, where joining the full dfreq table back would be
-    # a second corpus-volume shuffle at 100 TB.
+    # a second corpus-volume shuffle at 100 TB.  ``broadcast_verdict=
+    # False`` drops the forced-broadcast hint for the rare corpus whose
+    # violator set itself outgrows executor memory (AQE then picks
+    # broadcast vs shuffle from the measured size).
     violators = dfreq.filter(F.col("df") > max_df).select("chunk")
-    kept = exploded.join(F.broadcast(violators), "chunk", "left_anti")
+    if broadcast_verdict:
+        violators = F.broadcast(violators)
+    kept = exploded.join(violators, "chunk", "left_anti")
     reassembled = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

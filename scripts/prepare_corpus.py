@@ -204,6 +204,7 @@ def main() -> int:
         )
         corpus = corpus.join(rep_ok.select("url"), "url", "left_semi")
     bands_path = f"{args.output}/_bands"
+    had_bands = Path(bands_path).exists()
     if args.update:
         # incremental mode: the batch-composed corpus anti-joins what the
         # existing output already covers (same url: the existing
@@ -233,9 +234,7 @@ def main() -> int:
             # built before the artifact existed falls back to inline
             # banding once — the delta append below starts the index.
             existing_bands = (
-                spark.read.parquet(bands_path)
-                if Path(bands_path).exists()
-                else None
+                spark.read.parquet(bands_path) if had_bands else None
             )
             nd_drops = cross_near_dup_matches(
                 corpus.select("url", "text"),
@@ -271,18 +270,25 @@ def main() -> int:
     if not args.no_near_dup:
         # persist/extend the banded-LSH index of the kept corpus so the
         # NEXT --update equality-joins stored blocks instead of
-        # re-banding the world: full build bands all kept docs (read
-        # back from the written output — one linear pass, no pipeline
-        # recompute), update appends only the checkpointed delta's
-        # blocks (~40 bytes x b per doc)
+        # re-banding the world (~40 bytes x b per doc). An update on a
+        # corpus whose index already exists appends only the
+        # checkpointed delta's blocks; a full build — or the FIRST
+        # update of a pre-index corpus (appending just the delta there
+        # would leave a silently partial index that later updates would
+        # trust) — bands the entire written output once, the one-time
+        # migration cost
         from readability_ex_spark.operators.textops import band_index
 
-        band_source = (
-            corpus if args.update else spark.read.parquet(args.output)
-        )
-        band_index(band_source, id_col="url").write.mode(write_mode).parquet(
-            bands_path
-        )
+        if args.update and had_bands:
+            band_index(corpus, id_col="url").write.mode("append").parquet(
+                bands_path
+            )
+            print("band_index=appended")
+        else:
+            band_index(
+                spark.read.parquet(args.output), id_col="url"
+            ).write.mode("overwrite").parquet(bands_path)
+            print("band_index=rebuilt")
     if kill_stats:
         spark.createDataFrame(
             [tuple(kill_stats.values())],

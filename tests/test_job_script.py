@@ -283,6 +283,21 @@ def test_prepare_corpus_script_update_mode(jobdir, spark):
         r.url for r in bands_after.select("url").distinct().collect()
     } == urls0
 
+    # migration path: an update on a corpus that PREDATES the index
+    # (no _bands) must rebuild the FULL index, not write a partial
+    # delta-only one that later updates would silently trust
+    shutil.rmtree(out / "_bands")
+    proc = subprocess.run(
+        base + ["--input", str(jobdir / "pages"), "--update",
+                "--update-near-dup", "0.8"],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    rebuilt = spark.read.parquet(str(out / "_bands"))
+    assert {
+        r.url for r in rebuilt.select("url").distinct().collect()
+    } == urls0
+
 
 def test_run_job_export_wet(jobdir, spark):
     """--export-wet writes WET conversion files alongside the parquet."""
