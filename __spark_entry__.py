@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": T.q_simhash64,
         "simhash_near_dup": T.q_simhash_near_dup,
         "near_dup": T.q_near_dup,
+        "cross_near_dup": T.q_cross_near_dup,
         "near_dup_clusters": C.q_near_dup_clusters,
         "dedup_manifest": C.q_dedup_manifest,
         "shingle_jaccard": T.q_shingle_jaccard,
@@ -190,6 +191,64 @@ def _near_dup_ctes(sig, toks: str, src: str = "documents") -> str:
               FROM cand c
               JOIN t ta ON ta.doc_id = c.doc_a
               JOIN t tb ON tb.doc_id = c.doc_b)"""
+
+
+def _cross_near_dup_sql(sig, toks: str) -> str:
+    """DuckDB twin of textops.q_cross_near_dup: batch-vs-existing band
+    blocks (bucket cap on the EXISTING side only, as the operator does),
+    candidate equality join, shingle-Jaccard verify, distinct batch ids."""
+    b, r, cap = T.N_LSH_BANDS, T.N_LSH_ROWS, T.MAX_BAND_BUCKET
+    m, thr, w = T.CROSS_SPLIT_MOD, T.CROSS_NEAR_DUP_THRESHOLD, T.W_SHINGLE
+    sig_cols = ", ".join(f"{sig(i)} AS sig{i}" for i in range(b * r))
+
+    def band_rows(src: str) -> str:
+        sep = " || '|' || "
+        return " UNION ALL ".join(
+            f"SELECT doc_id, {j} AS band_id, "
+            f"md5({sep.join(f'sig{j * r + k}' for k in range(r))}) "
+            f"AS band_hash FROM {src}"
+            for j in range(b)
+        )
+
+    shingles = (
+        f"CASE WHEN trim(text) = '' OR len({toks}) < {w} "
+        "THEN CAST([] AS VARCHAR[]) "
+        "ELSE list_distinct(list_transform("
+        f"generate_series(1, len({toks}) - {w - 1}), "
+        "i -> substr(md5(array_to_string("
+        f"list_slice({toks}, i, i + {w - 1}), ' ')), 1, 16))) END"
+    )
+    return f"""
+        WITH bsrc AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % {m} = 0),
+        esrc AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % {m} <> 0),
+        bs AS (SELECT doc_id, {sig_cols} FROM bsrc),
+        es AS (SELECT doc_id, {sig_cols} FROM esrc),
+        bbands AS (
+          SELECT * FROM ({band_rows('bs')}) WHERE band_hash IS NOT NULL),
+        ebands AS (
+          SELECT * FROM ({band_rows('es')}) WHERE band_hash IS NOT NULL),
+        ebounded AS (
+          SELECT doc_id, band_id, band_hash FROM (
+            SELECT *, count(*) OVER (PARTITION BY band_id, band_hash) AS _n
+            FROM ebands)
+          WHERE _n <= {cap}),
+        cand AS (
+          SELECT DISTINCT b.doc_id AS bid, e.doc_id AS eid
+          FROM bbands b JOIN ebounded e
+            ON b.band_id = e.band_id AND b.band_hash = e.band_hash),
+        sh AS (SELECT doc_id, {shingles} AS sh FROM documents),
+        v AS (
+          SELECT c.bid FROM cand c
+          JOIN sh sa ON sa.doc_id = c.bid
+          JOIN sh se ON se.doc_id = c.eid
+          WHERE CASE WHEN len(list_distinct(sa.sh || se.sh)) > 0
+                THEN len(list_intersect(sa.sh, se.sh)) /
+                     CAST(len(list_distinct(sa.sh || se.sh)) AS DOUBLE)
+                ELSE 0.0 END >= {thr})
+        SELECT DISTINCT bid AS doc_id FROM v ORDER BY doc_id
+    """
 
 
 def _simhash64_ctes(toks: str) -> str:
@@ -1323,4 +1382,5 @@ def oracle_sql() -> dict[str, str]:
     # the inline path — one oracle pins both (parity between the two
     # Spark paths is additionally asserted in tests/test_similarity.py)
     sqls["ann_ivf_materialized"] = sqls["ann_ivf_topk"]
+    sqls["cross_near_dup"] = _cross_near_dup_sql(sig, toks)
     return sqls

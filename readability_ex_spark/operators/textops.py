@@ -516,6 +516,8 @@ def cross_near_dup_matches(
     rows_per_band: int = N_LSH_ROWS,
     max_bucket: int = MAX_BAND_BUCKET,
     existing_bands: DataFrame | None = None,
+    existing_partition_col: str | None = None,
+    partition_of=None,
 ) -> DataFrame:
     """Batch docs that near-duplicate an EXISTING corpus doc: the
     cross-corpus variant of banded MinHash-LSH, for incremental updates
@@ -537,7 +539,15 @@ def cross_near_dup_matches(
     the existing corpus is NOT re-banded — its text is only touched for
     verify candidates — which is the difference between an incremental
     update that scales with the BATCH and one that re-reads the world.
-    Returns distinct batch ids (``id_col``) to drop.
+
+    ``existing_partition_col`` + ``partition_of``: when the existing
+    corpus is stored partitioned by a derivable key (e.g.
+    ``url_bucket = pmod(xxhash64(url), 64)``), pass the column name and
+    the ``id -> partition value`` expression builder; the candidates'
+    bounded partition-value set is then collected driver-side and the
+    verify read statically partition-prunes to those partitions — the
+    existing text scan touches only the candidates' buckets instead of
+    every file.  Returns distinct batch ids (``id_col``) to drop.
     """
     bb = _band_blocks(batch, id_col, text_col, n_bands, rows_per_band)
     if existing_bands is not None:
@@ -568,12 +578,30 @@ def cross_near_dup_matches(
         F.col(id_col).alias("_batch_id"),
         shingle_expr(text_col).alias("_sh_b"),
     )
-    esh = (
-        existing.join(
-            cand.select(F.col("_existing_id").alias(id_col)).distinct(),
-            id_col,
-            "left_semi",
+    cand_ids = cand.select(F.col("_existing_id").alias(id_col)).distinct()
+    if existing_partition_col is not None and partition_of is not None:
+        # static partition pruning for the verify read: the candidates'
+        # partition-value set is bounded by the layout's bucket count,
+        # so collecting it driver-side is a bounded action (the same
+        # pattern as the materialized-ANN probe), and the resulting
+        # isin() reaches the scan as a PartitionFilter — the existing
+        # text scan touches only candidate buckets instead of every
+        # file. (Dynamic partition pruning cannot see through the
+        # checkpointed candidate table, so the static filter is the
+        # reliable route.)
+        buckets = [
+            r[0]
+            for r in cand_ids.select(
+                partition_of(F.col(id_col)).alias("_b")
+            ).distinct().collect()
+        ]
+        existing = existing.filter(
+            F.col(existing_partition_col).isin(buckets)
+            if buckets
+            else F.lit(False)
         )
+    esh = (
+        existing.join(cand_ids, [id_col], "left_semi")
         .select(
             F.col(id_col).alias("_existing_id"),
             shingle_expr(text_col).alias("_sh_e"),
@@ -595,6 +623,27 @@ def cross_near_dup_matches(
     return verified.select(
         F.col("_batch_id").alias(id_col)
     ).distinct()
+
+
+# deterministic corpus split for the oracle-checked cross-corpus query:
+# doc_id % CROSS_SPLIT_MOD == 0 plays the incoming batch, the rest the
+# existing corpus — real dup families in the synthetic tables straddle
+# the split, so the query exercises genuine cross-side matches
+CROSS_SPLIT_MOD = 4
+CROSS_NEAR_DUP_THRESHOLD = 0.5
+
+
+def q_cross_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch docs near-duplicating the existing side of a deterministic
+    corpus split (the incremental-update drop verdict, oracle-checked:
+    banding, existing-side bucket cap, and shingle-Jaccard verify all
+    recomputed by DuckDB)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % CROSS_SPLIT_MOD == 0)
+    existing = docs.filter(F.col("doc_id") % CROSS_SPLIT_MOD != 0)
+    return cross_near_dup_matches(
+        batch, existing, threshold=CROSS_NEAR_DUP_THRESHOLD
+    ).orderBy("doc_id")
 
 
 def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:

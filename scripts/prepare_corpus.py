@@ -236,12 +236,19 @@ def main() -> int:
             existing_bands = (
                 spark.read.parquet(bands_path) if had_bands else None
             )
+            # url_bucket is the corpus's storage partition column —
+            # passing its derivation lets the verify read partition-
+            # prune to candidate buckets only
             nd_drops = cross_near_dup_matches(
                 corpus.select("url", "text"),
-                existing.select("url", "text"),
+                existing.select("url", "text", "url_bucket"),
                 id_col="url",
                 threshold=args.update_near_dup,
                 existing_bands=existing_bands,
+                existing_partition_col="url_bucket",
+                partition_of=lambda c: F.pmod(F.xxhash64(c), F.lit(64)).cast(
+                    "int"
+                ),
             )
             corpus = corpus.join(nd_drops, "url", "left_anti")
         # the delta must be materialized BEFORE the append below starts

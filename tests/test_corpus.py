@@ -408,3 +408,47 @@ def test_cross_near_dup_uses_persisted_band_index(spark, tmp_path):
     assert cross_near_dup_matches(
         batch, existing, threshold=0.5, existing_bands=empty
     ).count() == 0
+
+
+def test_cross_near_dup_verify_scan_partition_pruned(spark, tmp_path):
+    """With the corpus stored partitioned by a derivable bucket, the
+    verify read touches only the candidates' buckets — the isin over
+    the partition column must reach the scan as a PartitionFilter."""
+    from readability_ex_spark.operators.textops import (
+        band_index,
+        cross_near_dup_matches,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(120))
+    edited = base.replace("tok5", "tokX")
+    rows = [("u1", base)] + [
+        (f"u{i}", " ".join(f"e{i}w{j}" for j in range(60)))
+        for i in range(2, 40)
+    ]
+    bucket = lambda c: F.pmod(F.xxhash64(c), F.lit(8)).cast("int")
+    spark.createDataFrame(rows, "url string, text string").withColumn(
+        "url_bucket", bucket(F.col("url"))
+    ).write.partitionBy("url_bucket").parquet(str(tmp_path / "existing"))
+    existing = spark.read.parquet(str(tmp_path / "existing"))
+    band_index(existing, id_col="url").write.parquet(str(tmp_path / "bands"))
+    bands = spark.read.parquet(str(tmp_path / "bands"))
+    batch = spark.createDataFrame(
+        [("b1", edited), ("b2", " ".join(f"z{i}" for i in range(120)))],
+        "url string, text string",
+    )
+    out = cross_near_dup_matches(
+        batch,
+        existing,
+        id_col="url",
+        threshold=0.5,
+        existing_bands=bands,
+        existing_partition_col="url_bucket",
+        partition_of=bucket,
+    )
+    assert {r.url for r in out.collect()} == {"b1"}
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*url_bucket#\d+ = \d+", plan
+    ), plan[:3000]
