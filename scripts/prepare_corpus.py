@@ -215,6 +215,50 @@ def main() -> int:
         # column-pruned key scans need no distinct — the existing
         # corpus's text column is never read on this path.
         existing = spark.read.parquet(args.output)
+        # Self-heal before extending: the three artifact appends of an
+        # update (corpus, _manifest, _bands) are not atomic — a crash
+        # between them leaves corpus rows the sidecars never learned
+        # about, and every later update would silently trust the
+        # incomplete sidecars. Orphans are detected with column-pruned
+        # key scans (free when there are none) and their sidecar rows
+        # re-derived: a corpus row was keep=True with itself as
+        # canonical by construction, and its bands recompute from its
+        # text alone.
+        mpath = f"{args.output}/_manifest"
+        m_orphans = (
+            existing.select("url", "fingerprint", "n_copies")
+            .join(
+                spark.read.parquet(mpath).select("url"), "url", "left_anti"
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_repair = m_orphans.count()
+        if n_repair:
+            m_orphans.select(
+                "url",
+                "fingerprint",
+                "n_copies",
+                F.col("url").alias("canonical_url"),
+                F.lit(True).alias("keep"),
+            ).write.mode("append").parquet(mpath)
+            print(f"manifest_repaired={n_repair}")
+        if had_bands:
+            from readability_ex_spark.operators.textops import band_index
+
+            b_orphan_urls = existing.select("url").join(
+                spark.read.parquet(bands_path).select("url"),
+                "url",
+                "left_anti",
+            ).localCheckpoint(eager=True)  # key-only scans: text untouched
+            n_band_repair = b_orphan_urls.count()
+            if n_band_repair:
+                b_orphans = existing.select("url", "text").join(
+                    b_orphan_urls, "url", "left_semi"
+                )
+                band_index(b_orphans, id_col="url").write.mode(
+                    "append"
+                ).parquet(bands_path)
+                print(f"bands_repaired={n_band_repair}")
         corpus = corpus.join(
             existing.select("url"), "url", "left_anti"
         ).join(

@@ -298,6 +298,43 @@ def test_prepare_corpus_script_update_mode(jobdir, spark):
         r.url for r in rebuilt.select("url").distinct().collect()
     } == urls0
 
+    # crash-repair: simulate an update that died between artifact
+    # appends by deleting a few urls' rows from _manifest and _bands;
+    # the next --update must re-derive the missing sidecar rows instead
+    # of trusting the incomplete artifacts forever
+    from pyspark.sql import functions as F
+
+    man = spark.read.parquet(str(out / "_manifest")).toPandas()
+    victims = sorted(man[man["keep"]]["url"])[:3]
+    pruned_man = spark.createDataFrame(man[~man["url"].isin(victims)])
+    bands_pd = spark.read.parquet(str(out / "_bands")).toPandas()
+    pruned_bands = spark.createDataFrame(
+        bands_pd[~bands_pd["url"].isin(victims)]
+    )
+    shutil.rmtree(out / "_manifest")
+    shutil.rmtree(out / "_bands")
+    pruned_man.write.parquet(str(out / "_manifest"))
+    pruned_bands.write.parquet(str(out / "_bands"))
+
+    proc = subprocess.run(
+        base + ["--input", str(jobdir / "pages"), "--update",
+                "--update-near-dup", "0.8"],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    assert "manifest_repaired=3" in proc.stdout, proc.stdout
+    assert "bands_repaired=3" in proc.stdout, proc.stdout
+    healed_man = spark.read.parquet(str(out / "_manifest"))
+    healed = healed_man.filter(F.col("url").isin([str(v) for v in victims]))
+    assert healed.count() == 3
+    assert healed.filter("keep and url = canonical_url").count() == 3
+    # no duplicate manifest rows after heal + append cycles
+    assert healed_man.select("url").distinct().count() == healed_man.count()
+    healed_bands = spark.read.parquet(str(out / "_bands"))
+    assert {
+        r.url for r in healed_bands.select("url").distinct().collect()
+    } == urls0
+
 
 def test_run_job_export_wet(jobdir, spark):
     """--export-wet writes WET conversion files alongside the parquet."""
