@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_brand_stats": R.q_part_brand_stats,
         "supplier_balance": R.q_supplier_balance,
         "topk_docs": R.q_topk_docs,
+        "source_cap": R.q_source_cap,
+        "source_stats": R.q_source_stats,
         "set_diff": R.q_set_diff,
         "events_window": R.q_events_window,
         "sessionize": R.q_sessionize,
@@ -1140,6 +1142,27 @@ def oracle_sql() -> dict[str, str]:
                 ON a.source = x.source AND a.doc_id < x.doc_id)
             SELECT doc_a, doc_b, jaccard FROM p
             WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
+        """,
+        # source_cap: the oracle states the SEMANTICS (global top-3 per
+        # source, total order) — the Spark side must produce identical
+        # rows through its two-stage skew-safe plan
+        "source_cap": """
+            SELECT doc_id, source, n_chars, rk FROM (
+              SELECT doc_id, source, n_chars,
+                     CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rk
+              FROM documents)
+            WHERE rk <= 3 ORDER BY source, rk
+        """,
+        "source_stats": """
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   round(avg(n_chars), 6) AS mean_chars,
+                   count(DISTINCT lang) AS n_langs,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY source ORDER BY source
         """,
         "stratified_sample": f"""
             SELECT doc_id, lang, n_chars FROM documents

@@ -266,3 +266,82 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour", "event_type")
     )
+
+
+# -- skew-safe per-key top-k (the "cap docs per domain" stage) --------------
+
+def top_k_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_by: list,
+    k: int,
+    salt_expr=None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Deterministic top-``k`` rows per key, skew-safe.
+
+    A single ``row_number`` window over the key puts EVERY row of a key
+    into one task — at crawl scale one dominant host (10^8 pages) makes
+    that task the job. Two stages bound it: stage 1 ranks within
+    (key, salt) sub-groups and keeps each sub-group's top ``k`` (any
+    global top-k row is necessarily in its own sub-group's top-k, so no
+    candidate is lost); stage 2 re-ranks the surviving
+    ``<= k × n_salts`` rows per key. The largest task anywhere is
+    max-key-rows / n_salts for stage 1 and k × n_salts for stage 2.
+
+    ``order_by`` must be a TOTAL order (include a unique tiebreaker) or
+    the result is nondeterministic — the same requirement the naive
+    window has. The salt only spreads a key's rows across tasks; the
+    RESULT is salt-independent (stage 2 re-ranks with the total order),
+    so the default — the input partition id — is fine; pass
+    ``salt_expr`` (e.g. a hash of a unique column) to pin stage-1 task
+    shapes across runs. Output = input columns + ``rk`` (1-based rank
+    within the key).
+    """
+    salt = (
+        salt_expr
+        if salt_expr is not None
+        else F.pmod(F.spark_partition_id(), F.lit(n_salts))
+    )
+    w1 = W.partitionBy(*key_cols, "_salt").orderBy(*order_by)
+    survivors = (
+        df.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_salt", "_r1")
+    )
+    w2 = W.partitionBy(*key_cols).orderBy(*order_by)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap the corpus at 3 docs per source (domain) — largest first,
+    doc_id tiebreak — via the skew-safe two-stage top-k."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return top_k_per_key(
+        docs,
+        ["source"],
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        k=3,
+        salt_expr=F.pmod(F.xxhash64("doc_id"), F.lit(16)),
+    ).orderBy("source", "rk")
+
+
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain) accounting: doc count, volume, language
+    spread — the rollup a crawl-domination report reads."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source")
+    )

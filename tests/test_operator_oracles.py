@@ -162,3 +162,63 @@ def test_oracles_agree_on_unicode_whitespace_and_text(spark):
         got_w.setdefault(r.doc_id, set()).add(r.fingerprint)
     for doc_id, text in rows:
         assert got_w.get(doc_id, set()) == _py_winnow(text), doc_id
+
+
+def test_top_k_per_key_matches_naive_window(spark):
+    """Two-stage skew-safe top-k == the naive single-window top-k on
+    random data with a heavily skewed key, for several salts (the
+    result must be salt-independent)."""
+    from pyspark.sql import functions as F
+
+    from readability_ex_spark.operators.relational import top_k_per_key
+
+    rng = random.Random(11)
+    rows = []
+    rid = 0
+    for key, n in (("huge", 500), ("mid", 40), ("tiny", 2), ("one", 1)):
+        for _ in range(n):
+            rows.append((rid, key, rng.randrange(100)))  # many score ties
+            rid += 1
+    df = spark.createDataFrame(rows, "row_id long, key string, score long")
+    order = [F.col("score").desc(), F.col("row_id").asc()]
+
+    def naive():
+        out = {}
+        for row_id, key, score in rows:
+            out.setdefault(key, []).append((-score, row_id))
+        want = []
+        for key, lst in out.items():
+            for rk, (neg, row_id) in enumerate(sorted(lst)[:5], start=1):
+                want.append((key, row_id, -neg, rk))
+        return sorted(want)
+
+    want = naive()
+    for salt in (
+        None,
+        F.pmod(F.xxhash64("row_id"), F.lit(4)),
+        F.lit(0),  # degenerate salt: falls back to the naive shape
+    ):
+        got = sorted(
+            (r.key, r.row_id, r.score, r.rk)
+            for r in top_k_per_key(
+                df, ["key"], order, k=5, salt_expr=salt
+            ).collect()
+        )
+        assert got == want
+
+
+def test_top_k_per_key_handles_fewer_rows_than_k(spark):
+    from pyspark.sql import functions as F
+
+    from readability_ex_spark.operators.relational import top_k_per_key
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20)], "row_id long, key string, score long"
+    )
+    got = top_k_per_key(
+        df, ["key"], [F.col("score").desc(), F.col("row_id").asc()], k=5
+    ).collect()
+    assert [(r.row_id, r.rk) for r in sorted(got, key=lambda r: r.rk)] == [
+        (2, 1),
+        (1, 2),
+    ]
