@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props": R.q_events_props,
         # -- text analysis / training-data ops --
         "token_count": T.q_token_count,
+        "text_normalize": T.q_text_normalize,
         "bpe_token_count": T.q_bpe_token_count,
         "quality_score": T.q_quality_score,
         "quality_rules": CO.q_quality_rules,
@@ -1142,6 +1143,22 @@ def oracle_sql() -> dict[str, str]:
                 ON a.source = x.source AND a.doc_id < x.doc_id)
             SELECT doc_a, doc_b, jaccard FROM p
             WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
+        """,
+        # mirrors textops.normalize_text: control strip -> whitespace
+        # collapse -> trim -> NFC, same Java∩RE2 character classes
+        "text_normalize": f"""
+            SELECT doc_id,
+                   md5(norm) AS norm_hash,
+                   CAST(length(norm) AS BIGINT) AS n_chars_norm,
+                   norm <> coalesce(text, '') AS changed
+            FROM (
+              SELECT doc_id, text,
+                     nfc_normalize(trim(regexp_replace(regexp_replace(
+                       coalesce(text, ''),
+                       '{T._CTRL_CLASS}', '', 'g'),
+                       '{T._WS_CLASS}', ' ', 'g'))) AS norm
+              FROM documents)
+            ORDER BY doc_id
         """,
         # source_cap: the oracle states the SEMANTICS (global top-3 per
         # source, total order) — the Spark side must produce identical

@@ -1150,3 +1150,64 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- unicode text normalization (pre-tokenization canonical form) -----------
+# The stage every tokenizer-bound corpus runs before counting anything:
+# strip control/zero-width characters, canonicalize whitespace runs, and
+# NFC-normalize so visually identical strings (precomposed vs combining
+# marks) dedupe and tokenize identically. Character classes are written
+# in the Java-regex ∩ RE2 dialect (two-digit \xhh escapes + literal
+# chars above 0x7f) so the DuckDB oracle runs the same patterns.
+
+# C0 controls except \t \n \r, DEL + C1 controls, zero-width + BOM
+_CTRL_CLASS = (
+    "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f"
+    + "".join(chr(c) for c in range(0x80, 0xA0))
+    + "​‌‍﻿]"
+)
+_WS_CLASS = "[ \\t\\n\\r\\f]+"
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_norm"
+) -> DataFrame:
+    """Canonical text: control strip -> whitespace collapse -> trim ->
+    NFC. The regex stages are pure codegen; NFC runs in one Arrow pass
+    (``unicodedata`` — there is no JVM-side normalize expression), so
+    the whole stage is a map fused into the scan, zero shuffles.
+    """
+    from unicodedata import normalize as _nfc
+
+    from pyspark.sql.functions import pandas_udf
+
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.coalesce(F.col(text_col), F.lit("")), _CTRL_CLASS, ""
+            ),
+            _WS_CLASS,
+            " ",
+        )
+    )
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: _nfc("NFC", t))
+
+    return df.withColumn(out_col, _norm(cleaned))
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text digest per document (hash-comparable; DuckDB
+    recomputes via the same regex chain + nfc_normalize)."""
+    docs = _docs(spark, sf_dir)
+    out = normalize_text(docs)
+    return out.select(
+        "doc_id",
+        F.md5("text_norm").alias("norm_hash"),
+        F.length("text_norm").cast("long").alias("n_chars_norm"),
+        (F.col("text_norm") != F.coalesce(F.col("text"), F.lit(""))).alias(
+            "changed"
+        ),
+    ).orderBy("doc_id")

@@ -207,6 +207,48 @@ def test_top_k_per_key_matches_naive_window(spark):
         assert got == want
 
 
+def test_normalize_text_crafted_inputs(spark):
+    """Control strip, zero-width removal, whitespace canonicalization,
+    and NFC composition on crafted pathological inputs — cross-checked
+    against DuckDB's nfc_normalize on the same regex chain."""
+    import duckdb
+
+    from readability_ex_spark.operators.textops import (
+        _CTRL_CLASS,
+        _WS_CLASS,
+        normalize_text,
+    )
+
+    rows = [
+        (1, "plain text"),
+        (2, "a\x00b\x01c\x1fd\x7fe"),  # C0 + DEL stripped
+        (3, "zero​width‌ joined﻿"),  # ZW + BOM stripped
+        (4, "  runs\t\tof \n\n whitespace \f "),  # collapse + trim
+        (5, "café vs café"),  # NFC: e + combining acute -> é
+        (6, ""),
+        (7, None),
+        (8, " C1  controls "),  # C1 stripped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text_norm for r in normalize_text(df).collect()}
+    assert got[1] == "plain text"
+    assert got[2] == "abcde"
+    assert got[3] == "zerowidth joined"
+    assert got[4] == "runs of whitespace"
+    assert got[5] == "café vs café"  # both sides composed
+    assert got[6] == "" and got[7] == ""
+    assert got[8] == "C1 controls"
+
+    con = duckdb.connect()
+    for doc_id, text in rows:
+        want = con.execute(
+            "SELECT nfc_normalize(trim(regexp_replace(regexp_replace("
+            "coalesce(?, ''), ?, '', 'g'), ?, ' ', 'g')))",
+            [text, _CTRL_CLASS, _WS_CLASS],
+        ).fetchone()[0]
+        assert got[doc_id] == want, doc_id
+
+
 def test_top_k_per_key_handles_fewer_rows_than_k(spark):
     from pyspark.sql import functions as F
 
