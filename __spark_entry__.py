@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": T.q_exact_dedup,
         "decontaminate": DC.q_decontaminate,
         "line_dedup": DC.q_line_dedup,
+        "chunk_dedup_within": DC.q_chunk_dedup_within,
+        "encoding_quality": T.q_encoding_quality,
         "pii_scrub": PII.q_pii_scrub,
         "spans_tiling": SP.q_spans_tiling,
         "minhash_sig": T.q_minhash_sig,
@@ -1143,6 +1145,71 @@ def oracle_sql() -> dict[str, str]:
                 ON a.source = x.source AND a.doc_id < x.doc_id)
             SELECT doc_a, doc_b, jaccard FROM p
             WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
+        """,
+        "encoding_quality": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(coalesce(text, ''),
+                     '{T._REPLACEMENT_CHAR}')) AS BIGINT) AS n_replacement,
+                   CAST(len(regexp_extract_all(coalesce(text, ''),
+                     '{T._CTRL_CLASS}')) AS BIGINT) AS n_control,
+                   CAST(len(regexp_extract_all(coalesce(text, ''),
+                     '{T._MOJIBAKE_RE}')) AS BIGINT) AS n_mojibake,
+                   len(regexp_extract_all(coalesce(text, ''),
+                     '{T._REPLACEMENT_CHAR}'))
+                   + len(regexp_extract_all(coalesce(text, ''),
+                     '{T._CTRL_CLASS}'))
+                   + len(regexp_extract_all(coalesce(text, ''),
+                     '{T._MOJIBAKE_RE}')) = 0 AS enc_ok
+            FROM documents ORDER BY doc_id
+        """,
+        # within-doc repeated-chunk removal: same chunking CTEs as
+        # line_dedup, first occurrence kept via row_number over pos
+        "chunk_dedup_within": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR trim(text) = ''
+                          THEN CAST([] AS VARCHAR[]) ELSE {toks} END AS tk
+              FROM documents),
+            b2 AS (
+              SELECT doc_id, tk,
+                     CAST(ceil(len(tk) / {DC.LINE_CHUNK_TOKENS}.0) AS INT)
+                       AS n_chunks
+              FROM base),
+            g AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN n_chunks > 0
+                       THEN generate_series(0, n_chunks - 1)
+                       ELSE CAST([] AS BIGINT[]) END) AS pos,
+                     tk
+              FROM b2),
+            c AS (
+              SELECT doc_id, pos,
+                     array_to_string(list_slice(tk,
+                       pos * {DC.LINE_CHUNK_TOKENS} + 1,
+                       pos * {DC.LINE_CHUNK_TOKENS}
+                         + {DC.LINE_CHUNK_TOKENS}), ' ') AS chunk
+              FROM g),
+            fst AS (
+              SELECT doc_id, pos, chunk,
+                     row_number() OVER (
+                       PARTITION BY doc_id, chunk ORDER BY pos) AS rn
+              FROM c),
+            re AS (
+              SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos)
+                       AS text_clean,
+                     count(*) AS n_kept
+              FROM fst WHERE rn = 1 GROUP BY doc_id),
+            tot AS (
+              SELECT doc_id, count(*) AS n_chunks FROM c GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(tot.n_chunks, 0) AS INT) AS n_chunks,
+                   CAST(coalesce(tot.n_chunks, 0) - coalesce(re.n_kept, 0)
+                     AS INT) AS n_dupes,
+                   md5(coalesce(re.text_clean, '')) AS clean_hash
+            FROM documents d
+            LEFT JOIN tot USING (doc_id)
+            LEFT JOIN re USING (doc_id)
+            ORDER BY doc_id
         """,
         # mirrors textops.normalize_text: control strip -> whitespace
         # collapse -> trim -> NFC, same Java∩RE2 character classes

@@ -497,6 +497,7 @@ def prepare_training_corpus(
     lang: str | None = None,
     quality_rules: bool = False,
     repetition_rules: bool = False,
+    normalize_unicode: bool = False,
     scrub_pii_text: bool = False,
     drop_boilerplate_chunks: bool = False,
     eval_df: DataFrame | None = None,
@@ -521,9 +522,11 @@ def prepare_training_corpus(
     ``eval_df`` (a frame with a ``text`` column) drops documents sharing
     any 13-token gram with it (``decontam.decontaminate``) — run on the
     dedup survivors so one leaked boilerplate family costs one check.
-    ``scrub_pii_text=True`` replaces ``text`` with its PII-scrubbed form
-    BEFORE quality/repetition stats (signals must describe the text that
-    ships). ``drop_boilerplate_chunks=True`` runs C4-style cross-doc
+    ``normalize_unicode=True`` replaces ``text`` with its canonical form
+    (control strip, whitespace collapse, NFC — ``textops.normalize_text``)
+    before every later stage. ``scrub_pii_text=True`` replaces ``text``
+    with its PII-scrubbed form BEFORE quality/repetition stats (signals
+    must describe the text that ships). ``drop_boilerplate_chunks=True`` runs C4-style cross-doc
     chunk removal (``decontam.line_dedup``) on the dedup survivors,
     replacing ``text`` with the boilerplate-stripped form — ordered
     before quality/repetition so their signals score the shipping text.
@@ -559,6 +562,18 @@ def prepare_training_corpus(
         verdicts = decontaminate(survivors, eval_df, id_col="url")
         survivors = survivors.join(
             verdicts.filter("contaminated").select("url"), "url", "left_anti"
+        )
+    if normalize_unicode:
+        # canonical text BEFORE pii/quality/repetition so every later
+        # signal (and the shipping corpus) sees the normalized form;
+        # runs on dedup survivors — the dedup fingerprints upstream
+        # already whitespace-normalize their own input
+        from readability_ex_spark.operators.textops import normalize_text
+
+        survivors = (
+            normalize_text(survivors)
+            .drop("text")
+            .withColumnRenamed("text_norm", "text")
         )
     if scrub_pii_text:
         from readability_ex_spark.operators.pii import scrub_pii

@@ -219,3 +219,58 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_hit_grams")
         .orderBy("doc_id")
     )
+
+
+def dedup_chunks_within_doc(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = LINE_CHUNK_TOKENS,
+) -> DataFrame:
+    """Remove REPEATED chunks inside each document (keep the first
+    occurrence), the within-document counterpart of ``line_dedup``'s
+    cross-document pass — a templated page repeating its own nav block
+    five times keeps one copy.
+
+    Chunking is identical to ``line_dedup`` (consecutive
+    ``chunk_tokens``-token windows). Everything is document-local:
+    chunk -> ``array_distinct`` (order-preserving first occurrence,
+    asserted against a naive reference in tests) -> rejoin, one map
+    fused into the scan, ZERO shuffles — the operator costs nothing at
+    100 TB beyond reading the text. Returns ``(id_col, n_chunks,
+    n_dupes, text_clean)``.
+    """
+    c = F.col(text_col)
+    toks = F.when(
+        c.isNull() | (F.trim(c) == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(c), r"\s+"))
+    n_chunks_expr = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.when(
+        n_chunks_expr > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks_expr - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    kept = F.array_distinct(chunks)
+    return docs.select(
+        F.col(id_col),
+        F.size(chunks).alias("n_chunks"),
+        (F.size(chunks) - F.size(kept)).alias("n_dupes"),
+        F.array_join(kept, " ").alias("text_clean"),
+    )
+
+
+def q_chunk_dedup_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-chunk removal verdict per doc (cleaned
+    text rides as an md5, like line_dedup)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup_chunks_within_doc(docs)
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        "n_dupes",
+        F.md5("text_clean").alias("clean_hash"),
+    ).orderBy("doc_id")

@@ -1211,3 +1211,36 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "changed"
         ),
     ).orderBy("doc_id")
+
+
+# -- encoding quality (mojibake / replacement-char detection) ---------------
+# A crawl's charset handling fails in recognizable ways: U+FFFD
+# replacement characters from invalid byte sequences, stray control
+# bytes, and UTF-8-decoded-as-latin1 artifacts (the "mojibake"
+# signatures). These are cheap codegen counters a corpus build uses to
+# route documents to re-decoding or the reject pile.
+
+# classic UTF-8-read-as-latin1 artifacts: 'â€¦' family (punctuation) and
+# 'Ã' + accented-latin continuation ('Ã©' = é, 'Ã¼' = ü, ...)
+_MOJIBAKE_RE = "(â€|Ã[©¨¼±³¤¶«»¯])"
+_REPLACEMENT_CHAR = "�"
+
+
+def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document encoding-health counters: replacement chars,
+    control chars, mojibake signatures, and an all-clear verdict."""
+    docs = _docs(spark, sf_dir)
+    c = F.coalesce(F.col("text"), F.lit(""))
+    n_repl = F.regexp_count(c, F.lit(_REPLACEMENT_CHAR)).cast("long")
+    n_ctrl = F.regexp_count(c, F.lit(_CTRL_CLASS)).cast("long")
+    n_moji = F.regexp_count(c, F.lit(_MOJIBAKE_RE)).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            n_repl.alias("n_replacement"),
+            n_ctrl.alias("n_control"),
+            n_moji.alias("n_mojibake"),
+            ((n_repl + n_ctrl + n_moji) == 0).alias("enc_ok"),
+        )
+        .orderBy("doc_id")
+    )

@@ -56,6 +56,11 @@ def main() -> int:
         "every doc's text before quality stats",
     )
     ap.add_argument(
+        "--normalize-text", action="store_true",
+        help="replace text with its unicode-canonical form (control "
+        "strip, whitespace collapse, NFC) before all later stages",
+    )
+    ap.add_argument(
         "--scrub-pii", action="store_true",
         help="replace text with its PII-scrubbed form before quality stats",
     )
@@ -141,6 +146,14 @@ def main() -> int:
         verdicts = decontaminate(survivors, eval_df, id_col="url")
         survivors = survivors.join(
             verdicts.filter("contaminated").select("url"), "url", "left_anti"
+        )
+    if args.normalize_text:
+        from readability_ex_spark.operators.textops import normalize_text
+
+        survivors = (
+            normalize_text(survivors)
+            .drop("text")
+            .withColumnRenamed("text_norm", "text")
         )
     if args.scrub_pii:
         from readability_ex_spark.operators.pii import scrub_pii

@@ -87,6 +87,24 @@ def test_near_dup_pairs_on_extracted(spark):
     assert all(r.url_a < r.url_b for r in rows)
 
 
+def test_prepare_corpus_normalize_unicode_stage(spark):
+    """normalize_unicode=True ships NFC-canonical, control-free,
+    whitespace-collapsed text; the stage composes before quality
+    signals so they describe the shipping text."""
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001").limit(8)
+    corpus = prepare_training_corpus(
+        pages, near_dup_threshold=None, normalize_unicode=True
+    )
+    rows = corpus.select("url", "text", "n_tokens").collect()
+    assert rows
+    import re as _re
+
+    for r in rows:
+        assert not _re.search(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]", r.text)
+        assert "  " not in r.text  # whitespace runs collapsed
+        assert r.text == r.text.strip()
+
+
 def test_quality_rules_each_rule_fires(spark):
     """One crafted document per Gopher/C4 rule; each fails EXACTLY its
     target rule (plus rules its construction necessarily violates)."""

@@ -124,6 +124,43 @@ def test_line_dedup_plan_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_chunk_dedup_within_doc(spark):
+    """Within-doc repeated chunks collapse to the FIRST occurrence
+    (order preserved — pins Spark array_distinct's first-occurrence
+    semantics against a naive reference), cross-doc repeats untouched."""
+    from readability_ex_spark.operators.decontam import (
+        dedup_chunks_within_doc,
+    )
+
+    a = " ".join(f"a{i}" for i in range(30))
+    b = " ".join(f"b{i}" for i in range(30))
+    z = " ".join(f"z{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join([a, b, a, z, b])),  # dupes interleaved
+            (2, a),  # same chunk as doc 1 -> NOT a within-doc dupe
+            (3, ""),
+            (4, " ".join([z, z, z])),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_chunks_within_doc(docs).collect()}
+    assert out[1].n_chunks == 5 and out[1].n_dupes == 2
+    assert out[1].text_clean == " ".join([a, b, z])  # first-occurrence order
+    assert out[2].n_dupes == 0 and out[2].text_clean == a
+    assert out[3].n_chunks == 0 and out[3].text_clean == ""
+    assert out[4].n_chunks == 3 and out[4].n_dupes == 2
+    assert out[4].text_clean == z
+    # document-local: the plan has no exchange at all
+    plan = (
+        dedup_chunks_within_doc(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_line_dedup_verdict_is_broadcast_anti_join(spark):
     """The df verdict must be a broadcast LEFT ANTI join of the exploded
     corpus against the small violator set — never a corpus-scale shuffle

@@ -249,6 +249,33 @@ def test_normalize_text_crafted_inputs(spark):
         assert got[doc_id] == want, doc_id
 
 
+def test_encoding_quality_counters(spark, tmp_path):
+    """Replacement-char / control / mojibake counters on crafted docs
+    (via the checked query against a temp documents table)."""
+    import shutil
+
+    from readability_ex_spark.operators.textops import q_encoding_quality
+
+    rows = [
+        (1, "clean text here", "en", "s", 15),
+        (2, "bad � bytes �", "en", "s", 10),
+        (3, "ctrl\x01chars\x9fhere", "en", "s", 10),
+        (4, "moji Ã© and â€™ artifacts", "en", "s", 20),
+    ]
+    d = tmp_path / "enc"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+    try:
+        out = {r.doc_id: r for r in q_encoding_quality(spark, str(d)).collect()}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert out[1].enc_ok and out[1].n_replacement == 0
+    assert out[2].n_replacement == 2 and not out[2].enc_ok
+    assert out[3].n_control == 2 and not out[3].enc_ok
+    assert out[4].n_mojibake == 2 and not out[4].enc_ok
+
+
 def test_top_k_per_key_handles_fewer_rows_than_k(spark):
     from pyspark.sql import functions as F
 
