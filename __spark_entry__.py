@@ -31,6 +31,7 @@ from readability_ex_spark.operators import sampling as SA  # noqa: E402
 from readability_ex_spark.operators import similarity as S  # noqa: E402
 from readability_ex_spark.operators import spanops as SP  # noqa: E402
 from readability_ex_spark.operators import textops as T  # noqa: E402
+from readability_ex_spark.operators import urlops as U  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -59,6 +60,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": R.q_events_window,
         "sessionize": R.q_sessionize,
         "events_props": R.q_events_props,
+        "url_canonicalize": U.q_url_canonicalize,
+        "canonical_dedup": U.q_canonical_dedup,
         # -- text analysis / training-data ops --
         "token_count": T.q_token_count,
         "text_normalize": T.q_text_normalize,
@@ -426,6 +429,83 @@ def _ivf_ctes() -> str:
               WHERE rn = 1)"""
 
 
+# Shared CTE chain mirroring operators/urlops.py byte-for-byte: the
+# deterministic synthetic url per doc_id, then the canonicalizer
+# decomposed with regexp_extract + concat (no capture-group replacements
+# — the one regex feature whose spelling differs between engines).
+_URL_CTES = f"""
+    WITH urls AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 20 = 19
+                  THEN 'urn:doc:' || CAST(doc_id AS VARCHAR)
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN '#Section-2' ELSE '' END
+                  ELSE 'HTTP://WWW.Site' || CAST(doc_id % 40 AS VARCHAR)
+                       || '.Example.COM'
+                       || CASE WHEN doc_id % 4 = 0 THEN ':80'
+                               WHEN doc_id % 4 = 1 THEN ':8080'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0 THEN '/'
+                               ELSE '/Articles/item-'
+                                    || CAST(doc_id % 40 AS VARCHAR) END
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN '?utm_source=feed&b='
+                                    || CAST(doc_id % 2 AS VARCHAR)
+                                    || '&A=1&fbclid=XYZ'
+                               WHEN doc_id % 3 = 1
+                               THEN '?UTM_CAMPAIGN=x&gclid=abc'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN '#Section-2' ELSE '' END
+             END AS url
+      FROM documents),
+    u1 AS (
+      SELECT doc_id, url,
+             regexp_extract(url, '^[^#]*', 0) AS nofrag
+      FROM urls),
+    u2 AS (
+      SELECT *, regexp_extract(nofrag,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0) AS auth
+      FROM u1),
+    u3 AS (
+      SELECT *, substring(nofrag, length(auth) + 1) AS rest
+      FROM u2),
+    u4 AS (
+      SELECT *, regexp_extract(rest, '^[^?]*', 0) AS path
+      FROM u3),
+    u5 AS (
+      SELECT *,
+             CASE WHEN length(rest) > length(path)
+                  THEN substring(rest, length(path) + 2)
+                  ELSE '' END AS query
+      FROM u4),
+    u6 AS (
+      SELECT *,
+             CASE WHEN lower(auth) LIKE 'http://%'
+                       AND lower(auth) LIKE '%:80'
+                  THEN substring(lower(auth), 1, length(auth) - 3)
+                  WHEN lower(auth) LIKE 'https://%'
+                       AND lower(auth) LIKE '%:443'
+                  THEN substring(lower(auth), 1, length(auth) - 4)
+                  ELSE lower(auth) END AS lauth,
+             array_to_string(list_sort(list_filter(
+                 str_split(query, '&'),
+                 p -> p <> '' AND NOT regexp_matches(
+                     lower(regexp_extract(p, '^[^=]*', 0)),
+                     '{U.TRACKING_PARAM_RE}'))), '&') AS qjoin
+      FROM u5),
+    canon AS (
+      SELECT doc_id, url,
+             CASE WHEN auth = '' THEN nofrag
+                  ELSE lauth
+                       || (CASE WHEN path = '/' THEN '' ELSE path END)
+                       || (CASE WHEN qjoin <> '' THEN '?' || qjoin
+                                ELSE '' END)
+             END AS canonical_url
+      FROM u6)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks = "regexp_split_to_array(trim(text), '\\s+')"
     ntoks = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({toks}) END"
@@ -569,6 +649,18 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_k,
                    max(CAST(props ->> '$.k' AS BIGINT)) AS max_k
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "url_canonicalize": f"""
+            {_URL_CTES}
+            SELECT doc_id, url, canonical_url
+            FROM canon ORDER BY doc_id
+        """,
+        "canonical_dedup": f"""
+            {_URL_CTES}
+            SELECT canonical_url,
+                   count(*) AS n_dupes,
+                   min(doc_id) AS keeper
+            FROM canon GROUP BY canonical_url ORDER BY canonical_url
         """,
         "token_count": f"""
             SELECT doc_id,

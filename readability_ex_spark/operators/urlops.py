@@ -1,0 +1,189 @@
+"""URL canonicalization + canonical-url dedup — the crawl-side twin of
+content dedup.
+
+Common-Crawl-style corpora carry the same page under many url spellings
+(case-varied host, default ports, tracking parameters, fragments,
+shuffled query order).  Canonicalizing BEFORE url-keyed dedup collapses
+those families without touching page bytes, which at 100 TB removes
+whole fetches from the pipeline before any content work runs.  The
+rules here are the widely used safe subset (RFC 3986 §6 syntax-based
+normalization plus the tracking-param strip every crawl pipeline
+applies); anything lossy (path case, % -decoding) is deliberately NOT
+done.
+
+Everything is pure codegen column expressions — no UDF, no shuffle; the
+operator is free at scan time.  The expressions stay inside the
+Java-regex ∩ RE2 ∩ DuckDB dialect (same discipline as
+``operators/pii.py``) and avoid capture-group REPLACEMENTS entirely
+(Spark spells them ``$1``, DuckDB ``\\1`` — a silent portability trap),
+decomposing with ``regexp_extract`` + ``concat`` instead, so the DuckDB
+oracle runs the byte-identical algorithm.
+
+No reference counterpart (training-data layer; the reference's URL code
+is the per-document absolutizer, ported in ``kernel/cleaner.py``).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+# Query parameters that never change page identity: analytics /
+# click-tracking ids. Matched against the lowercased param NAME.
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z0-9_]*|fbclid|gclid|dclid|msclkid|mc_eid|igshid|"
+    r"yclid|_hsenc|_hsmi|ref_src)$"
+)
+
+_SCHEME_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical form of ``url`` as one codegen expression.
+
+    Rules, in order:
+
+    1. strip the fragment (``#...``);
+    2. lowercase ``scheme://authority`` (path/query case is meaningful
+       and kept);
+    3. drop the scheme's default port (``:80`` for http, ``:443`` for
+       https);
+    4. drop tracking query params (:data:`TRACKING_PARAM_RE`), sort the
+       survivors bytewise, rejoin with ``&``; a query left empty loses
+       its ``?``;
+    5. collapse a bare root path: ``scheme://host/`` -> ``scheme://host``
+       (only when the path is exactly ``/``).
+
+    A value with no ``scheme://authority`` prefix only gets the
+    fragment strip (rule 1) — opaque ids are passed through, not
+    mangled.  NULL stays NULL.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    nofrag = F.regexp_extract(u, r"^[^#]*", 0)
+    auth = F.regexp_extract(nofrag, _SCHEME_AUTH_RE, 0)
+    rest = F.substring(nofrag, F.length(auth) + 1, F.lit(2_000_000_000))
+    path = F.regexp_extract(rest, r"^[^?]*", 0)
+    query = F.when(
+        F.length(rest) > F.length(path),
+        F.substring(rest, F.length(path) + 2, F.lit(2_000_000_000)),
+    ).otherwise(F.lit(""))
+
+    lauth = F.lower(auth)
+    lauth = (
+        F.when(
+            lauth.startswith("http://") & lauth.endswith(":80"),
+            F.substring(lauth, 1, F.length(lauth) - 3),
+        )
+        .when(
+            lauth.startswith("https://") & lauth.endswith(":443"),
+            F.substring(lauth, 1, F.length(lauth) - 4),
+        )
+        .otherwise(lauth)
+    )
+
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~F.lower(F.regexp_extract(p, r"^[^=]*", 0)).rlike(
+            TRACKING_PARAM_RE
+        ),
+    )
+    qjoin = F.array_join(F.array_sort(params), "&")
+
+    canon_path = F.when(path == "/", F.lit("")).otherwise(path)
+    canonical = F.concat(
+        lauth,
+        canon_path,
+        F.when(qjoin != "", F.concat(F.lit("?"), qjoin)).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when(auth == "", nofrag).otherwise(canonical)
+
+
+def canonical_dedup(
+    pages: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Collapse rows sharing a canonical url: one row per canonical
+    form with the family size and the deterministic keeper (minimum
+    ``id_col`` — engine-portable, unlike "first seen").
+
+    Plan: the canonicalizer is a free map fused into the scan, then ONE
+    hash aggregation keyed on the canonical url — identical shuffle
+    shape (and cost) to exact content dedup, run before any content is
+    read.  Skewed canonical keys (a crawl hammering one url) are
+    ordinary agg skew: AQE splits them, and the partial agg has already
+    collapsed per-partition duplicates before the exchange.
+    """
+    return (
+        pages.select(
+            F.col(id_col),
+            canonicalize_url(url_col).alias("canonical_url"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_dupes"),
+            F.min(id_col).alias("keeper"),
+        )
+    )
+
+
+# -- checked queries --------------------------------------------------------
+# The testdata tables carry no url column, so the checked queries derive
+# a deterministic url per doc_id — same arithmetic in both engines —
+# covering every rule: cased scheme/host, default + explicit ports,
+# fragments, tracking params mixed into unsorted queries, root paths,
+# and schemeless opaque ids. doc_id % 40 collides families onto shared
+# canonical urls so canonical_dedup has real work.
+
+
+def synth_url_expr(id_col: str = "doc_id") -> Column:
+    d = F.col(id_col).cast("long")
+    host = F.concat(
+        F.lit("WWW.Site"), (d % 40).cast("string"), F.lit(".Example.COM")
+    )
+    port = (
+        F.when(d % 4 == 0, F.lit(":80"))
+        .when(d % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.when(d % 5 == 0, F.lit("/")).otherwise(
+        F.concat(F.lit("/Articles/item-"), (d % 40).cast("string"))
+    )
+    query = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&b="),
+                (d % 2).cast("string"),
+                F.lit("&A=1&fbclid=XYZ"),
+            ),
+        )
+        .when(d % 3 == 1, F.lit("?UTM_CAMPAIGN=x&gclid=abc"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 2 == 0, F.lit("#Section-2")).otherwise(F.lit(""))
+    with_scheme = F.concat(
+        F.lit("HTTP://"), host, port, path, query, frag
+    )
+    return F.when(
+        d % 20 == 19, F.concat(F.lit("urn:doc:"), d.cast("string"), frag)
+    ).otherwise(with_scheme)
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc canonical url over the synthetic url derivation."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(
+            "doc_id",
+            synth_url_expr().alias("url"),
+        )
+        .withColumn("canonical_url", canonicalize_url("url"))
+        .orderBy("doc_id")
+    )
+
+
+def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-url families (size + keeper) over the synthetic urls."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select("doc_id", synth_url_expr().alias("url"))
+    return canonical_dedup(pages).orderBy("canonical_url")

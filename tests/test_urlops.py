@@ -1,0 +1,89 @@
+"""URL canonicalization: rule-by-rule edges + the dedup rollup + plan
+shape (pure codegen, no exchange before the dedup agg)."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from readability_ex_spark.operators.urlops import (
+    canonical_dedup,
+    canonicalize_url,
+)
+
+CASES = [
+    # fragment stripped, scheme/host lowercased, path case kept
+    ("HTTP://WWW.Example.COM/Path/Item#frag", "http://www.example.com/Path/Item"),
+    # default ports dropped; explicit non-default ports kept
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("https://Example.com:443/a", "https://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    # https:80 is NOT http's default — kept
+    ("https://example.com:80/a", "https://example.com:80/a"),
+    # tracking params dropped, survivors sorted, '?' dropped when empty
+    (
+        "http://e.com/p?utm_source=x&b=2&A=1&fbclid=zz",
+        "http://e.com/p?A=1&b=2",
+    ),
+    ("http://e.com/p?gclid=1&UTM_CAMPAIGN=x", "http://e.com/p"),
+    # bare root path collapses; deeper trailing slashes kept
+    ("http://e.com/", "http://e.com"),
+    ("http://e.com/a/", "http://e.com/a/"),
+    # query containing a second '?' stays inside the query
+    ("http://e.com/p?b=1?c=2&a=3", "http://e.com/p?a=3&b=1?c=2"),
+    # schemeless opaque id: only the fragment strip applies
+    ("urn:doc:42#frag", "urn:doc:42"),
+    ("no scheme at all", "no scheme at all"),
+    # empty param segments vanish
+    ("http://e.com/p?&&a=1&", "http://e.com/p?a=1"),
+]
+
+
+@pytest.fixture(scope="module")
+def canon(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(CASES)], "i long, url string"
+    )
+    out = df.select("i", canonicalize_url("url").alias("c")).collect()
+    return {r.i: r.c for r in out}
+
+
+@pytest.mark.parametrize("i", range(len(CASES)))
+def test_canonical_cases(canon, i):
+    assert canon[i] == CASES[i][1], CASES[i][0]
+
+
+def test_null_passthrough(spark):
+    df = spark.createDataFrame([(1, None)], "i long, url string")
+    assert df.select(canonicalize_url("url").alias("c")).first().c is None
+
+
+def test_canonical_dedup_families(spark):
+    pages = spark.createDataFrame(
+        [
+            (3, "HTTP://A.com:80/x?utm_source=1"),
+            (1, "http://a.com/x"),
+            (2, "http://a.com/x#frag"),
+            (9, "http://b.com/y?q=1"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r.canonical_url: r for r in canonical_dedup(pages).collect()}
+    assert rows["http://a.com/x"].n_dupes == 3
+    assert rows["http://a.com/x"].keeper == 1
+    assert rows["http://b.com/y?q=1"].n_dupes == 1
+
+
+def test_plan_is_pure_codegen(spark):
+    """The canonicalizer itself must add no exchange and no Python —
+    the only exchange in canonical_dedup is the final hash agg."""
+    pages = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("http://h"), F.col("id") % 7, F.lit(".com/p")).alias(
+            "url"
+        ),
+    )
+    plan = canonical_dedup(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan  # the one dedup agg
+    assert plan.count("Exchange") == 1
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "mapInPandas"):
+        assert marker not in plan
