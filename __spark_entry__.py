@@ -31,6 +31,7 @@ from readability_ex_spark.operators import sampling as SA  # noqa: E402
 from readability_ex_spark.operators import similarity as S  # noqa: E402
 from readability_ex_spark.operators import spanops as SP  # noqa: E402
 from readability_ex_spark.operators import textops as T  # noqa: E402
+from readability_ex_spark.operators import lmquality as LM  # noqa: E402
 from readability_ex_spark.operators import urlops as U  # noqa: E402
 
 
@@ -68,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": T.q_bpe_token_count,
         "quality_score": T.q_quality_score,
         "quality_rules": CO.q_quality_rules,
+        "unigram_logprob": LM.q_unigram_logprob,
         "repetition_stats": CO.q_repetition_stats,
         "lang_id": T.q_lang_id,
         "fingerprint": T.q_fingerprint,
@@ -649,6 +651,43 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_k,
                    max(CAST(props ->> '$.k' AS BIGINT)) AS max_k
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # mirrors lmquality.unigram_logprob: top-V unigram model from
+        # corpus counts, OOV floor 1/total, mean ln-prob per doc
+        "unigram_logprob": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN text IS NULL OR trim(text) = ''
+                                 THEN CAST([] AS VARCHAR[])
+                                 ELSE regexp_split_to_array(trim(text),
+                                                            '\\s+') END)
+                       AS token
+              FROM documents),
+            tf AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+            top AS (
+              SELECT token, ln(CAST(c AS DOUBLE)) AS ln_c
+              FROM tf ORDER BY c DESC, token ASC
+              LIMIT {LM.DEFAULT_VOCAB_SIZE}),
+            tot AS (
+              SELECT ln(CAST(sum(c) AS DOUBLE)) AS ln_total FROM tf),
+            per AS (
+              SELECT t.doc_id, count(*) AS n_tokens,
+                     CAST(sum(CASE WHEN v.ln_c IS NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_oov,
+                     sum(coalesce(v.ln_c, 0.0)) AS s
+              FROM toks t LEFT JOIN top v USING (token)
+              GROUP BY t.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+                   CASE WHEN coalesce(p.n_tokens, 0) > 0
+                        THEN round(p.s / p.n_tokens - tot.ln_total,
+                                   {LM.LOGPROB_DECIMALS}) END
+                     AS lm_logprob
+            FROM documents d
+            LEFT JOIN per p USING (doc_id) CROSS JOIN tot
+            ORDER BY d.doc_id
         """,
         "url_canonicalize": f"""
             {_URL_CTES}

@@ -1,0 +1,132 @@
+"""Corpus-statistics language-model quality scoring (CCNet-style).
+
+CCNet (Wenzek et al. 2020) ranks crawl documents by language-model
+perplexity and keeps the low-perplexity head; pipelines without a
+trained LM use the corpus's OWN unigram statistics as the model — a
+document full of common words scores near the corpus average, while
+gibberish / boilerplate-id / non-linguistic pages fall into the OOV
+floor and score far below it.  This module is that stage: a unigram LM
+estimated from corpus term frequencies, scored per document.
+
+Model: ``p(tok) = c_tok / total`` for the top-``vocab_size`` tokens by
+corpus frequency (ties broken bytewise — deterministic across engines),
+``p(oov) = 1 / total`` (count-1 floor).  Per-document score is the mean
+natural-log probability over the doc's whitespace tokens:
+
+    lm_logprob = (sum over in-vocab tokens of ln(c_tok)) / n - ln(total)
+
+(the OOV terms contribute ``ln 1 = 0`` to the sum), NULL for empty docs.
+
+Plan shape at 100 TB:
+
+- the VOCAB BUILD is one token-level hash aggregation (the same shuffle
+  as any document-frequency count) followed by a top-K on the
+  vocab-cardinality table — this is the expensive, amortizable half,
+  so :func:`unigram_vocab`'s output is a plain DataFrame a pipeline
+  persists next to its other sidecar artifacts and reuses across runs
+  (pass it back via ``vocab=``);
+- SCORING is a broadcast join of exploded tokens against the bounded
+  vocab (vocab_size + 1 rows) and a per-document partial aggregation —
+  the corpus is scanned once and never shuffled on token; the only
+  exchange is doc-cardinality after map-side combine.
+
+No reference counterpart (training-data layer).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_VOCAB_SIZE = 24  # < the 31 distinct synthetic tokens -> real OOV
+LOGPROB_DECIMALS = 4  # absorbs summation-order ulps across engines
+
+
+def _tokens(text_col: str):
+    c = F.col(text_col)
+    return F.when(
+        c.isNull() | (F.trim(c) == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(c), r"\s+"))
+
+
+def unigram_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = DEFAULT_VOCAB_SIZE,
+) -> DataFrame:
+    """Top-``vocab_size`` corpus tokens with their counts plus a single
+    ``_total`` row (token NULL) carrying the corpus token total.
+
+    The total rides inside the same small artifact so a persisted vocab
+    is self-contained: re-scoring a new batch against last month's
+    corpus model needs this one table and nothing else.
+    """
+    toks = docs.select(F.explode(_tokens(text_col)).alias("token"))
+    tf = toks.groupBy("token").agg(F.count("*").alias("c"))
+    top = tf.orderBy(F.col("c").desc(), F.col("token").asc()).limit(
+        vocab_size
+    )
+    total = tf.agg(F.sum("c").alias("c")).select(
+        F.lit(None).cast("string").alias("token"), "c"
+    )
+    return top.unionByName(total)
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = DEFAULT_VOCAB_SIZE,
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean unigram log-probability vs the corpus model.
+
+    Returns ``(id_col, n_tokens, n_oov, lm_logprob)``; ``lm_logprob``
+    is rounded to :data:`LOGPROB_DECIMALS` (engine-portable) and NULL
+    for token-less docs.  Pass a persisted :func:`unigram_vocab` result
+    as ``vocab`` to skip the corpus-wide build (the incremental-update
+    path); by default the model is estimated from ``docs`` itself.
+    """
+    if vocab is None:
+        vocab = unigram_vocab(docs, text_col, vocab_size)
+    vocab = vocab.localCheckpoint(eager=False)  # built once, used twice
+    total_df = vocab.filter(F.col("token").isNull()).select(
+        F.log(F.col("c").cast("double")).alias("_ln_total")
+    )
+    entries = vocab.filter(F.col("token").isNotNull()).select(
+        "token", F.log(F.col("c").cast("double")).alias("_ln_c")
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("token")
+    )
+    per_doc = (
+        toks.join(F.broadcast(entries), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_ln_c").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+            F.sum(F.coalesce("_ln_c", F.lit(0.0))).alias("_s"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .crossJoin(F.broadcast(total_df))
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.round(
+                    F.col("_s") / F.col("n_tokens") - F.col("_ln_total"),
+                    LOGPROB_DECIMALS,
+                ),
+            ).alias("lm_logprob"),
+        )
+    )
+
+
+def q_unigram_logprob(spark, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_logprob(docs).orderBy("doc_id")

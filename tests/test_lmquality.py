@@ -1,0 +1,110 @@
+"""Unigram LM quality scoring: hand-computed scores, OOV floor,
+persisted-vocab reuse, and the broadcast-scored plan shape."""
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from readability_ex_spark.operators.lmquality import (
+    unigram_logprob,
+    unigram_vocab,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # counts: a=4, b=3, c=2, d=1 -> total=10
+    return spark.createDataFrame(
+        [
+            (1, "a a b c"),
+            (2, "a b d"),
+            (3, "a b c"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_hand_computed_scores(corpus):
+    # vocab_size=3 keeps {a,b,c}; d is OOV with p = 1/10
+    out = {
+        r.doc_id: r
+        for r in unigram_logprob(corpus, vocab_size=3).collect()
+    }
+    ln = math.log
+    # doc 1: (ln4 + ln4 + ln3 + ln2)/4 - ln10
+    exp1 = (ln(4) + ln(4) + ln(3) + ln(2)) / 4 - ln(10)
+    assert out[1].lm_logprob == pytest.approx(exp1, abs=1e-4)
+    assert out[1].n_oov == 0
+    # doc 2: d OOV contributes ln(1)=0 to the sum
+    exp2 = (ln(4) + ln(3)) / 3 - ln(10)
+    assert out[2].lm_logprob == pytest.approx(exp2, abs=1e-4)
+    assert out[2].n_oov == 1
+    # empty / NULL docs: zero tokens, NULL score
+    for d in (4, 5):
+        assert out[d].n_tokens == 0
+        assert out[d].lm_logprob is None
+
+
+def test_common_words_beat_rare_words(corpus):
+    out = {
+        r.doc_id: r
+        for r in unigram_logprob(corpus, vocab_size=3).collect()
+    }
+    # doc 3 (all in-vocab) must outscore doc 2 (one OOV floor hit)
+    assert out[3].lm_logprob > out[2].lm_logprob
+
+
+def test_vocab_artifact(corpus):
+    v = unigram_vocab(corpus, vocab_size=3).collect()
+    total = [r for r in v if r.token is None]
+    assert len(total) == 1 and total[0].c == 10
+    by_tok = {r.token: r.c for r in v if r.token is not None}
+    assert by_tok == {"a": 4, "b": 3, "c": 2}
+
+
+def test_persisted_vocab_reuse(spark, corpus):
+    """Scoring a NEW batch against a persisted model must equal scoring
+    with the same model inline — and use the model's counts, not the
+    batch's."""
+    vocab = unigram_vocab(corpus, vocab_size=3)
+    batch = spark.createDataFrame(
+        [(10, "a d d"), (11, "c c")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in unigram_logprob(batch, vocab=vocab).collect()
+    }
+    ln = math.log
+    assert out[10].lm_logprob == pytest.approx(
+        ln(4) / 3 - ln(10), abs=1e-4
+    )
+    assert out[10].n_oov == 2
+    assert out[11].lm_logprob == pytest.approx(ln(2) - ln(10), abs=1e-4)
+
+
+def test_scoring_join_is_broadcast(corpus):
+    plan = (
+        unigram_logprob(corpus, vocab_size=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+
+
+def test_deterministic_vocab_tiebreak(spark):
+    """Equal-count tokens cut bytewise: with vocab_size=1 of {x:1, y:1},
+    'x' wins."""
+    df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    v = [
+        r.token
+        for r in unigram_vocab(df, vocab_size=1).collect()
+        if r.token is not None
+    ]
+    assert v == ["x"]
