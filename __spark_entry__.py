@@ -33,6 +33,7 @@ from readability_ex_spark.operators import spanops as SP  # noqa: E402
 from readability_ex_spark.operators import textops as T  # noqa: E402
 from readability_ex_spark.operators import lmquality as LM  # noqa: E402
 from readability_ex_spark.operators import urlops as U  # noqa: E402
+from readability_ex_spark.operators import wordlist as WL  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -70,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": T.q_quality_score,
         "quality_rules": CO.q_quality_rules,
         "unigram_logprob": LM.q_unigram_logprob,
+        "wordlist_filter": WL.q_wordlist_filter,
         "repetition_stats": CO.q_repetition_stats,
         "lang_id": T.q_lang_id,
         "fingerprint": T.q_fingerprint,
@@ -651,6 +653,19 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_k,
                    max(CAST(props ->> '$.k' AS BIGINT)) AS max_k
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # mirrors wordlist.wordlist_hits over the same compiled pattern
+        "wordlist_filter": f"""
+            SELECT doc_id,
+                   CAST(CASE WHEN text IS NULL THEN 0
+                        ELSE len(regexp_extract_all(lower(text),
+                                 '{WL.blocklist_pattern(WL.DEFAULT_BLOCKLIST)}'))
+                        END AS BIGINT) AS n_hits,
+                   (CASE WHEN text IS NULL THEN 0
+                         ELSE len(regexp_extract_all(lower(text),
+                                  '{WL.blocklist_pattern(WL.DEFAULT_BLOCKLIST)}'))
+                         END) > 0 AS flagged
+            FROM documents ORDER BY doc_id
         """,
         # mirrors lmquality.unigram_logprob: top-V unigram model from
         # corpus counts, OOV floor 1/total, mean ln-prob per doc
