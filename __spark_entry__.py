@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": T.q_corpus_stats,
         "corpus_cardinality": T.q_corpus_cardinality,
         "stratified_sample": SA.q_stratified_sample,
+        "mixture_sample": SA.q_mixture_sample,
         "token_budget_pack": SA.q_token_budget_pack,
         "text_embedding": E.q_text_embedding,
         "text_emb_near_dup": E.q_text_emb_near_dup,
@@ -1405,6 +1406,34 @@ def oracle_sql() -> dict[str, str]:
                     )}
                     ELSE '{SA.sample_hex_threshold(0.0)}' END
             ORDER BY doc_id
+        """,
+        # mirrors sampling.mixture_sample: rates derived from corpus
+        # counts (T = min n/w; rate = min(1, w*T/n)), md5-prefix draw
+        "mixture_sample": f"""
+            WITH w(lang, w) AS (VALUES {", ".join(
+                f"('{k}', {v})"
+                for k, v in sorted(SA.MIXTURE_WEIGHTS.items())
+            )}),
+            cnt AS (
+              SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            cw AS (SELECT c.lang, c.n, w.w FROM cnt c JOIN w USING (lang)),
+            t AS (SELECT min(CAST(n AS DOUBLE) / w) AS t FROM cw),
+            th AS (
+              SELECT lang,
+                     CASE WHEN least(1.0, w * t.t / CAST(n AS DOUBLE))
+                               >= 1.0
+                          THEN 'g'
+                          ELSE lpad(lower(hex(CAST(floor(
+                                 least(1.0, w * t.t / CAST(n AS DOUBLE))
+                                 * {float(16 ** SA.SAMPLE_HEX_DIGITS)})
+                               AS BIGINT))), {SA.SAMPLE_HEX_DIGITS}, '0')
+                     END AS thresh
+              FROM cw CROSS JOIN t)
+            SELECT d.doc_id, d.lang
+            FROM documents d LEFT JOIN th USING (lang)
+            WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1,
+                         {SA.SAMPLE_HEX_DIGITS}) < coalesce(thresh, '')
+            ORDER BY d.doc_id
         """,
         "token_budget_pack": f"""
             WITH s AS (

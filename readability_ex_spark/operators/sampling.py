@@ -120,6 +120,101 @@ def _docs_with_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sample to TARGET MIX PROPORTIONS (Pile-style corpus mixing):
+    ``weights[s]`` is the share stratum ``s`` should hold in the
+    output, and the output is the largest mix the data can support —
+    the binding stratum (smallest ``n_s / w_s``) is kept whole and
+    every other stratum is downsampled to match.  Strata without a
+    weight are dropped.
+
+    Unlike :func:`deterministic_sample` (caller-fixed per-stratum
+    rates), the rates here are DERIVED from the corpus: with totals
+    ``n_s``, the achievable mix size is ``T = min_s(n_s / w_s)`` and
+    stratum ``s`` keeps ``rate_s = min(1, w_s * T / n_s)``.  The keep
+    decision reuses the same md5-prefix draw, so membership is stable
+    under reruns and engine-portable.
+
+    Plan shape: one tiny per-stratum count aggregation (rows =
+    #strata), a scalar min over it, and a BROADCAST join of the rate
+    table back to the corpus followed by a codegen string-compare
+    filter — the corpus is scanned once and never shuffled.  At 100 TB
+    the count agg is the only extra pass, and pipelines that already
+    materialize per-stratum stats can feed them in instead.
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        sorted(weights.items()), f"{stratum_col} string, _w double"
+    )
+    # Spark plans are trees, not DAGs: without the checkpoint the
+    # per-stratum count agg (a full corpus scan) would run twice —
+    # once under the rate table and once under the scalar min.  The
+    # checkpointed frame is #strata rows.
+    counts = (
+        df.groupBy(stratum_col)
+        .agg(F.count("*").alias("_n"))
+        .join(F.broadcast(wdf), stratum_col)
+        .localCheckpoint(eager=False)
+    )
+    tmax = counts.agg(
+        F.min(F.col("_n").cast("double") / F.col("_w")).alias("_t")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tmax))
+        .select(
+            stratum_col,
+            F.least(
+                F.lit(1.0),
+                F.col("_w") * F.col("_t") / F.col("_n").cast("double"),
+            ).alias("_rate"),
+        )
+        .select(
+            stratum_col,
+            F.when(F.col("_rate") >= 1.0, F.lit("g"))
+            .otherwise(
+                F.lpad(
+                    F.lower(
+                        F.hex(
+                            F.floor(
+                                F.col("_rate") * F.lit(float(16**SAMPLE_HEX_DIGITS))
+                            )
+                        )
+                    ),
+                    SAMPLE_HEX_DIGITS,
+                    "0",
+                )
+            )
+            .alias("_thresh"),
+        )
+    )
+    draw = F.substring(
+        F.md5(F.col(id_col).cast("string")), 1, SAMPLE_HEX_DIGITS
+    )
+    return (
+        df.join(F.broadcast(rates), stratum_col, "left")
+        .filter(draw < F.coalesce(F.col("_thresh"), F.lit("")))
+        .drop("_thresh")
+    )
+
+
+# Target mix for the checked query: weights sum to 1; 'es'/'zh' carry
+# no weight and are dropped. One weighted stratum (smallest n/w) is
+# kept whole, the others downsample to the 50/30/20 mix.
+MIXTURE_WEIGHTS = {"en": 0.5, "fr": 0.3, "de": 0.2}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    return mixture_sample(docs, MIXTURE_WEIGHTS).orderBy("doc_id")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language sample (en 50%, de 25%, fr 10%,
     others dropped) — the reproducible alternative to sampleBy."""
