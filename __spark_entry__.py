@@ -30,6 +30,7 @@ from readability_ex_spark.operators import relational as R  # noqa: E402
 from readability_ex_spark.operators import sampling as SA  # noqa: E402
 from readability_ex_spark.operators import similarity as S  # noqa: E402
 from readability_ex_spark.operators import spanops as SP  # noqa: E402
+from readability_ex_spark.operators import substrdedup as SD  # noqa: E402
 from readability_ex_spark.operators import textops as T  # noqa: E402
 from readability_ex_spark.operators import lmquality as LM  # noqa: E402
 from readability_ex_spark.operators import urlops as U  # noqa: E402
@@ -81,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": DC.q_decontaminate,
         "line_dedup": DC.q_line_dedup,
         "chunk_dedup_within": DC.q_chunk_dedup_within,
+        "substring_dedup": SD.q_substring_dedup,
         "encoding_quality": T.q_encoding_quality,
         "pii_scrub": PII.q_pii_scrub,
         "spans_tiling": SP.q_spans_tiling,
@@ -1311,6 +1313,52 @@ def oracle_sql() -> dict[str, str]:
         """,
         # within-doc repeated-chunk removal: same chunking CTEs as
         # line_dedup, first occurrence kept via row_number over pos
+        # mirrors substrdedup.substring_dedup: stride-1 k-token window
+        # hashes, first occurrence (min doc_id, pos) of a duplicated
+        # window survives, other occurrences' spans removed (merged)
+        "substring_dedup": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR trim(text) = ''
+                          THEN CAST([] AS VARCHAR[]) ELSE {toks} END
+                       AS tk
+              FROM documents),
+            w AS (
+              SELECT doc_id, u.i - 1 AS pos,
+                     substr(md5(array_to_string(
+                       tk[u.i:u.i + {SD.K_SUBSTR} - 1], ' ')), 1, 16) AS h
+              FROM t, unnest(range(1, len(tk) - {SD.K_SUBSTR} + 2)) AS u(i)
+              WHERE len(tk) >= {SD.K_SUBSTR}),
+            v AS (
+              SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY h) AS c,
+                     row_number() OVER (
+                       PARTITION BY h ORDER BY doc_id, pos) AS rn
+              FROM w),
+            d AS (SELECT doc_id, pos FROM v WHERE c > 1 AND rn > 1),
+            tok AS (
+              SELECT doc_id, u.i - 1 AS idx, tk[u.i] AS tokval
+              FROM t, unnest(range(1, len(tk) + 1)) AS u(i)),
+            rem AS (
+              SELECT DISTINCT tok.doc_id, idx
+              FROM tok JOIN d ON tok.doc_id = d.doc_id
+                   AND idx >= d.pos AND idx < d.pos + {SD.K_SUBSTR}),
+            kept AS (
+              SELECT tok.doc_id, idx, tokval
+              FROM tok ANTI JOIN rem USING (doc_id, idx)),
+            agg AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(tokval, ' ' ORDER BY idx) AS text_clean
+              FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, len(tk) AS n_tokens FROM t)
+            SELECT tot.doc_id,
+                   CAST(tot.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(tot.n_tokens - coalesce(agg.n_kept, 0) AS BIGINT)
+                     AS n_dup_tokens,
+                   md5(coalesce(agg.text_clean, '')) AS clean_hash
+            FROM tot LEFT JOIN agg USING (doc_id)
+            ORDER BY tot.doc_id
+        """,
         "chunk_dedup_within": f"""
             WITH base AS (
               SELECT doc_id,

@@ -169,6 +169,11 @@ def main() -> int:
 
     run("decontaminate", lambda: q_decontaminate(spark, sf_dir).count())
     run("line_dedup", lambda: q_line_dedup(spark, sf_dir).count())
+    from readability_ex_spark.operators.substrdedup import q_substring_dedup
+
+    run(
+        "substring_dedup", lambda: q_substring_dedup(spark, sf_dir).count()
+    )
     run("pii_scrub", lambda: q_pii_scrub(spark, sf_dir).count())
     run("text_embedding", lambda: E.q_text_embedding(spark, sf_dir).count())
     run(

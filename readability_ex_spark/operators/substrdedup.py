@@ -1,0 +1,136 @@
+"""Exact substring deduplication (Lee et al. 2021, "Deduplicating
+Training Data Makes Language Models Better"), distributed.
+
+The published ExactSubstr algorithm builds one suffix array over the
+whole corpus and removes every duplicated run of >= 50 tokens, keeping
+a single copy.  A suffix array is a single-machine structure; the
+distributed equivalent used here works at fixed window granularity:
+every ``k``-token window (stride 1) is hashed, a window whose hash
+occurs more than once corpus-wide is duplicated, its FIRST occurrence
+(minimum ``(doc_id, pos)`` — deterministic, engine-portable) survives,
+and every other occurrence's token span is removed.  Overlapping
+removed windows merge into maximal spans, so a long duplicated run is
+cut exactly like the suffix-array version; runs shorter than ``k``
+are below the detection floor (the same contract as the published
+50-token threshold).  Unlike ``line_dedup`` (fixed chunk GRID, C4
+semantics) this catches duplicated runs at ARBITRARY offsets.
+
+Plan shape at 100 TB:
+
+- window hashing is one Arrow map pass (re-using the shingle hash unit
+  so the DuckDB oracle stays exact);
+- ONE token-scale shuffle keyed on window hash: a window over the hash
+  partition yields both the occurrence count and the first-occurrence
+  rank in a single exchange (an agg + self-join would shuffle the same
+  data twice).  A boilerplate window occurring 10^6 times concentrates
+  its partition on one task — the known skew of any group-on-content
+  plan; salt the hash with ``pos % s`` and union s passes if a corpus
+  ever hits it (counts and ranks both recombine);
+- duplicated positions fold back per document (doc-cardinality
+  shuffle after map-side combine) and the span cut + text rebuild is
+  one Arrow map pass.
+"""
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from readability_ex_spark.operators.textops import _text_tokens
+
+K_SUBSTR = 20  # detection floor, tokens (Lee et al. use 50 at web scale)
+
+_WS = re.compile(r"\s+", re.ASCII)  # == Java \s+ on ASCII input
+
+
+def window_hash_expr(text_col: str = "text", k: int = K_SUBSTR):
+    """ALL ``k``-token windows in positional order (stride 1), each
+    reduced to the first 16 hex chars of its md5 — ``shingle_expr``'s
+    hash unit without the set-dedup, so position ``i`` of the array is
+    the window starting at token ``i``."""
+    from hashlib import md5 as _md5
+
+    @pandas_udf("array<string>")
+    def _wh(tok_arrs: pd.Series) -> pd.Series:
+        out = []
+        join = " ".join
+        for toks in tok_arrs:
+            if toks is None or len(toks) < k:
+                out.append([])
+                continue
+            out.append(
+                [
+                    _md5(join(toks[i : i + k]).encode("utf-8")).hexdigest()[
+                        :16
+                    ]
+                    for i in range(len(toks) - k + 1)
+                ]
+            )
+        return pd.Series(out)
+
+    return _wh(_text_tokens(text_col))
+
+
+def substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = K_SUBSTR,
+) -> DataFrame:
+    """``(id_col, n_tokens, n_dup_tokens, text_clean)`` per document
+    with every non-first occurrence of a corpus-duplicated ``k``-token
+    run removed (overlaps merged into maximal spans)."""
+    occ = docs.select(
+        F.col(id_col),
+        F.posexplode(window_hash_expr(text_col, k)).alias("pos", "h"),
+    )
+    wspec = Window.partitionBy("h")
+    worder = wspec.orderBy(id_col, "pos")
+    dup_occ = (
+        occ.withColumn("_c", F.count("*").over(wspec))
+        .withColumn("_rn", F.row_number().over(worder))
+        .filter((F.col("_c") > 1) & (F.col("_rn") > 1))
+        .select(id_col, "pos")
+    )
+    dup_pos = dup_occ.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("_dup_pos")
+    )
+
+    @pandas_udf("struct<n_tokens:long,n_dup_tokens:long,text_clean:string>")
+    def _cut(text: pd.Series, dup_pos: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t, ps in zip(text, dup_pos):
+            toks = _WS.split(t.strip()) if t is not None and t.strip() else []
+            n = len(toks)
+            if ps is None or len(ps) == 0:
+                rows.append((n, 0, " ".join(toks)))
+                continue
+            removed = bytearray(n)
+            for p in ps:
+                removed[p : p + k] = b"\x01" * min(k, n - p)
+            kept = [tok for i, tok in enumerate(toks) if not removed[i]]
+            rows.append((n, n - len(kept), " ".join(kept)))
+        return pd.DataFrame(
+            rows, columns=["n_tokens", "n_dup_tokens", "text_clean"]
+        )
+
+    out = docs.join(dup_pos, id_col, "left").select(
+        F.col(id_col),
+        _cut(F.col(text_col), F.col("_dup_pos")).alias("_r"),
+    )
+    return out.select(id_col, "_r.n_tokens", "_r.n_dup_tokens", "_r.text_clean")
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup verdict per doc (cleaned text rides as an md5,
+    like line_dedup)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = substring_dedup(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_dup_tokens",
+        F.md5("text_clean").alias("clean_hash"),
+    ).orderBy("doc_id")
