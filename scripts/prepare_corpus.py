@@ -65,6 +65,28 @@ def main() -> int:
         help="replace text with its PII-scrubbed form before quality stats",
     )
     ap.add_argument(
+        "--blocklist", default=None, metavar="WORDS",
+        help="comma-separated lowercase words/phrases; drop any doc "
+        "containing one (C4 bad-words rule)",
+    )
+    ap.add_argument(
+        "--drop-substring-dups", action="store_true",
+        help="remove non-first occurrences of corpus-duplicated 20-token "
+        "runs from every doc's text (exact substring dedup)",
+    )
+    ap.add_argument(
+        "--min-lm-logprob", type=float, default=None, metavar="LOGPROB",
+        help="drop docs whose mean unigram log-probability vs the "
+        "corpus's own term statistics is below this (CCNet-style; "
+        "token-less docs always drop)",
+    )
+    ap.add_argument(
+        "--mixture", default=None, metavar="LANG=W,...",
+        help="downsample to target language proportions, e.g. "
+        "en=0.5,fr=0.3,de=0.2 (largest achievable mix; languages "
+        "without a weight are dropped)",
+    )
+    ap.add_argument(
         "--decontaminate", default=None, metavar="EVAL_PATH",
         help="parquet table with a text column; drop docs sharing any "
         "13-token gram with it",
@@ -175,12 +197,57 @@ def main() -> int:
             .withColumnRenamed("text_clean", "text")
             .withColumnRenamed("n_dropped", "n_boilerplate_chunks")
         )
+    if args.blocklist:
+        from readability_ex_spark.operators.wordlist import wordlist_hits
+
+        words = tuple(
+            w.strip() for w in args.blocklist.split(",") if w.strip()
+        )
+        flagged = wordlist_hits(survivors, words=words, id_col="url")
+        survivors = survivors.join(
+            flagged.filter("flagged").select("url"), "url", "left_anti"
+        )
+    if args.drop_substring_dups:
+        from readability_ex_spark.operators.substrdedup import (
+            substring_dedup,
+        )
+
+        cleaned = substring_dedup(survivors, id_col="url").select(
+            "url", "text_clean", "n_dup_tokens"
+        )
+        survivors = (
+            survivors.drop("text")
+            .join(cleaned, "url")
+            .withColumnRenamed("text_clean", "text")
+            .withColumnRenamed("n_dup_tokens", "n_substr_dup_tokens")
+        )
     corpus = with_quality_signals(survivors)
     if args.emb_near_dup is not None:
         drops = embedding_dedup_drops(corpus, args.emb_near_dup)
         corpus = corpus.join(drops, "url", "left_anti")
     if args.min_quality > 0:
         corpus = corpus.filter(F.col("quality_score") >= args.min_quality)
+    if args.min_lm_logprob is not None:
+        from readability_ex_spark.operators.lmquality import unigram_logprob
+
+        lm = unigram_logprob(corpus, id_col="url")
+        corpus = corpus.join(
+            lm.filter(
+                F.col("lm_logprob") >= args.min_lm_logprob
+            ).select("url"),
+            "url",
+            "left_semi",
+        )
+    if args.mixture:
+        from readability_ex_spark.operators.sampling import mixture_sample
+
+        weights = {}
+        for part in args.mixture.split(","):
+            lang_tag, w = part.split("=")
+            weights[lang_tag.strip()] = float(w)
+        corpus = mixture_sample(
+            corpus, weights, stratum_col="lang", id_col="url"
+        )
     # per-rule kill-rate accounting: one extra aggregation per rule
     # stage (a single summary row each), written as the _quality_stats
     # artifact — the number an operator tuning thresholds actually needs

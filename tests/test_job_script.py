@@ -245,6 +245,43 @@ def test_prepare_corpus_script_safety_stages(jobdir, spark):
     assert {"n_email", "n_ipv4", "n_phone"} <= set(corpus.columns)
 
 
+def test_prepare_corpus_script_filter_stages(jobdir, spark):
+    """--blocklist --drop-substring-dups --min-lm-logprob --mixture
+    compose: the corpus ships blocklist-clean, substring-deduped text
+    restricted to the weighted language mix."""
+    out = jobdir / "corpus_filtered"
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(jobdir / "pages"),
+            "--output", str(out),
+            "--partitions", "4",
+            "--blocklist", "dup,casino",
+            "--drop-substring-dups",
+            "--min-lm-logprob", "-30.0",
+            "--mixture", "en=0.5,fr=0.3,de=0.2",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    corpus = spark.read.parquet(str(out))
+    assert corpus.count() > 0
+    # substring-dedup lineage column rides in the output
+    assert "n_substr_dup_tokens" in corpus.columns
+    # blocklist verdict enforced on the shipped text
+    from pyspark.sql import functions as F
+
+    assert (
+        corpus.filter(
+            F.lower("text").rlike(r"\b(dup|casino)\b")
+        ).count()
+        == 0
+    )
+    # mixture drops unweighted languages
+    langs = {r.lang for r in corpus.select("lang").distinct().collect()}
+    assert langs <= {"en", "fr", "de"}
+
+
 def test_prepare_corpus_script_update_mode(jobdir, spark):
     """--update appends only the new batch's delta to an existing corpus."""
     out = jobdir / "corpus_inc"
