@@ -65,6 +65,13 @@ def main() -> int:
         help="replace text with its PII-scrubbed form before quality stats",
     )
     ap.add_argument(
+        "--canonical-urls", action="store_true",
+        help="rewrite every url to its canonical form at read time so "
+        "url-spelling duplicates collapse in the latest-fetch dedup "
+        "before extraction; all url-keyed artifacts then live in "
+        "canonical space — use consistently across --update runs",
+    )
+    ap.add_argument(
         "--blocklist", default=None, metavar="WORDS",
         help="comma-separated lowercase words/phrases; drop any doc "
         "containing one (C4 bad-words rule)",
@@ -135,6 +142,10 @@ def main() -> int:
 
     spark = SparkSession.builder.appName("prepare_corpus").getOrCreate()
     pages = read_pages(spark, args.input, table_format=args.table_format)
+    if args.canonical_urls:
+        from readability_ex_spark.operators.urlops import canonicalize_url
+
+        pages = pages.withColumn("url", canonicalize_url(F.col("url")))
 
     # extraction is the expensive stage — run it ONCE and cache; both the
     # corpus and the manifest artifact derive from it

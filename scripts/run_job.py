@@ -43,6 +43,15 @@ def main() -> int:
     )
     ap.add_argument("--no-dedup", action="store_true")
     ap.add_argument(
+        "--canonical-urls", action="store_true",
+        help="rewrite every url to its canonical form at read time "
+        "(tracking-param/fragment/case/port normalization) so "
+        "url-spelling duplicates collapse in the latest-fetch dedup "
+        "BEFORE the extraction kernel runs. All url-keyed state "
+        "(--urls allowlist, resume set, output) then lives in "
+        "canonical space — use the flag consistently across runs",
+    )
+    ap.add_argument(
         "--chain-pages", type=int, default=0, metavar="MAX",
         help="also emit a multi-page chain table (url -> root_url, "
         "page_number) via next-link corpus self-joins, up to MAX pages",
@@ -97,6 +106,12 @@ def main() -> int:
     # warc input still writes/reads parquet on the output side
     out_format = "parquet" if args.table_format == "warc" else args.table_format
     pages = read_pages(spark, args.input, table_format=args.table_format)
+    if args.canonical_urls:
+        from pyspark.sql import functions as F
+
+        from readability_ex_spark.operators.urlops import canonicalize_url
+
+        pages = pages.withColumn("url", canonicalize_url(F.col("url")))
     if args.urls:
         allow = spark.read.parquet(args.urls).select("url")
         pages = pages.join(allow, "url", "left_semi")

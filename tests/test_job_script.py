@@ -256,6 +256,7 @@ def test_prepare_corpus_script_filter_stages(jobdir, spark):
             "--input", str(jobdir / "pages"),
             "--output", str(out),
             "--partitions", "4",
+            "--canonical-urls",
             "--blocklist", "dup,casino",
             "--drop-substring-dups",
             "--min-lm-logprob", "-30.0",

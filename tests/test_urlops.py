@@ -73,6 +73,41 @@ def test_canonical_dedup_families(spark):
     assert rows["http://b.com/y?q=1"].n_dupes == 1
 
 
+def test_canonical_rewrite_collapses_fetches_before_kernel(spark):
+    """Rewriting urls to canonical form upstream makes the existing
+    latest-fetch dedup collapse url-SPELLING duplicates too — the
+    kernel then runs once per page, not once per spelling."""
+    import datetime
+
+    from readability_ex_spark.pipeline import run_extraction
+
+    def page(marker: bytes) -> bytes:
+        return (
+            b"<html><body><article><p>stale "
+            + (marker + b" words here. ") * 30
+            + b"</p></article></body></html>"
+        )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 6, 1)
+    pages = spark.createDataFrame(
+        [
+            ("HTTP://E.com/p?utm_source=x", t0, page(b"january"), "", "en"),
+            ("http://e.com/p", t1, page(b"june"), "", "en"),
+            ("http://other.test/q", t0, page(b"other"), "", "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    canon = pages.withColumn("url", canonicalize_url("url"))
+    out = run_extraction(canon, n_partitions=2).collect()
+    by_url = {}
+    for r in out:
+        by_url.setdefault(r.url, []).append(r)
+    assert set(by_url) == {"http://e.com/p", "http://other.test/q"}
+    assert len(by_url["http://e.com/p"]) == 1  # one kernel row, not two
+    assert "june" in by_url["http://e.com/p"][0].text  # latest fetch won
+
+
 def test_plan_is_pure_codegen(spark):
     """The canonicalizer itself must add no exchange and no Python —
     the only exchange in canonical_dedup is the final hash agg."""
