@@ -126,6 +126,16 @@ def canonical_dedup(
     )
 
 
+def host_expr(url: Column | str) -> Column:
+    """Lowercased hostname of ``url`` (no scheme, port, or path); empty
+    string for values without a ``scheme://authority`` prefix.  The
+    domain key for per-host caps and stats."""
+    u = F.col(url) if isinstance(url, str) else url
+    return F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:@]*@)?([^/?#:]*)", 2)
+    )
+
+
 # -- checked queries --------------------------------------------------------
 # The testdata tables carry no url column, so the checked queries derive
 # a deterministic url per doc_id — same arithmetic in both engines —

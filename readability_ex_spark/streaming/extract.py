@@ -33,6 +33,8 @@ def stream_extraction(
     max_files_per_trigger: int | None = None,
     quality_rules: bool = False,
     scrub_pii_text: bool = False,
+    canonical_urls: bool = False,
+    blocklist: tuple[str, ...] | None = None,
 ):
     """Start the streaming extraction query. Returns the StreamingQuery.
 
@@ -40,8 +42,9 @@ def stream_extraction(
     stops (batch-like test/backfill mode); set False for a continuous
     tail of an arriving crawl.
 
-    ``quality_rules``/``scrub_pii_text`` run the SAME stateless
-    corpus-safety stages as the batch job inside each micro-batch
+    ``quality_rules``/``scrub_pii_text``/``canonical_urls``/
+    ``blocklist`` run the SAME stateless corpus-safety stages as the
+    batch job inside each micro-batch
     (per-doc column expressions — no cross-batch state, so streaming
     and batch verdicts agree row-for-row by construction; cross-batch
     work like dedup stays with the stateful operators below)."""
@@ -51,7 +54,26 @@ def stream_extraction(
     pages = reader.parquet(input_path)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        if canonical_urls:
+            from readability_ex_spark.operators.urlops import (
+                canonicalize_url,
+            )
+
+            batch_df = batch_df.withColumn(
+                "url", canonicalize_url(F.col("url"))
+            )
         extracted = run_extraction(batch_df, dedup=True)
+        if blocklist:
+            from readability_ex_spark.operators.wordlist import (
+                wordlist_hits,
+            )
+
+            flagged = wordlist_hits(
+                extracted, words=blocklist, id_col="url"
+            ).filter("flagged")
+            extracted = extracted.join(
+                flagged.select("url"), "url", "left_anti"
+            )
         if scrub_pii_text:
             from readability_ex_spark.operators.pii import scrub_pii
 

@@ -88,6 +88,11 @@ def main() -> int:
         "token-less docs always drop)",
     )
     ap.add_argument(
+        "--max-per-domain", type=int, default=None, metavar="N",
+        help="cap each hostname's contribution at its N highest-quality "
+        "docs (skew-safe two-stage top-k; C4/Gopher dominant-host rule)",
+    )
+    ap.add_argument(
         "--mixture", default=None, metavar="LANG=W,...",
         help="downsample to target language proportions, e.g. "
         "en=0.5,fr=0.3,de=0.2 (largest achievable mix; languages "
@@ -248,6 +253,19 @@ def main() -> int:
             ).select("url"),
             "url",
             "left_semi",
+        )
+    if args.max_per_domain is not None:
+        from readability_ex_spark.operators.relational import top_k_per_key
+        from readability_ex_spark.operators.urlops import host_expr
+
+        corpus = (
+            top_k_per_key(
+                corpus.withColumn("_domain", host_expr("url")),
+                ["_domain"],
+                [F.col("quality_score").desc(), F.col("url").asc()],
+                args.max_per_domain,
+            )
+            .drop("_domain", "rk")
         )
     if args.mixture:
         from readability_ex_spark.operators.sampling import mixture_sample

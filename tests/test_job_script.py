@@ -283,6 +283,33 @@ def test_prepare_corpus_script_filter_stages(jobdir, spark):
     assert langs <= {"en", "fr", "de"}
 
 
+def test_prepare_corpus_script_domain_cap(jobdir, spark):
+    """--max-per-domain binds: every synthesized page shares one host,
+    so the corpus collapses to the N highest-quality docs."""
+    out = jobdir / "corpus_capped"
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(jobdir / "pages"),
+            "--output", str(out),
+            "--partitions", "4",
+            "--max-per-domain", "5",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    corpus = spark.read.parquet(str(out))
+    rows = corpus.select("url", "quality_score").collect()
+    assert len(rows) == 5
+    # the cap kept the best: no excluded doc outscores a kept one
+    from pyspark.sql import functions as F
+
+    kept_min = min(r.quality_score for r in rows)
+    full = spark.read.parquet(str(jobdir / "corpus"))  # uncapped run
+    better = full.filter(F.col("quality_score") > kept_min).count()
+    assert better <= 5
+
+
 def test_prepare_corpus_script_update_mode(jobdir, spark):
     """--update appends only the new batch's delta to an existing corpus."""
     out = jobdir / "corpus_inc"

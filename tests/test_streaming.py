@@ -333,3 +333,57 @@ def test_stream_extraction_quality_stage_matches_batch(spark, tmpdir):
     got = {r.url for r in streamed.select("url").collect()}
     assert got == expect_keep
     assert 0 < len(got) < pages.select("url").distinct().count()
+
+
+def test_stream_extraction_canonical_and_blocklist_match_batch(
+    spark, tmpdir
+):
+    """canonical_urls + blocklist in the stream produce exactly the
+    batch pipeline's surviving canonical urls."""
+    from readability_ex_spark.operators.urlops import canonicalize_url
+    from readability_ex_spark.operators.wordlist import wordlist_hits
+    from readability_ex_spark.pipeline import run_extraction
+
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001").limit(60)
+    # re-spell some urls with tracking params so canonicalization has
+    # real collapsing to do inside the stream
+    respelled = pages.withColumn(
+        "url",
+        F.when(
+            F.xxhash64("url") % 2 == 0,
+            F.concat(F.col("url"), F.lit("?utm_source=feed")),
+        ).otherwise(F.col("url")),
+    )
+    respelled.write.mode("overwrite").parquet(str(tmpdir / "pages_cb"))
+
+    words = ("dup", "casino")
+    q = stream_extraction(
+        spark,
+        str(tmpdir / "pages_cb"),
+        str(tmpdir / "out_cb"),
+        str(tmpdir / "ckpt_cb"),
+        available_now=True,
+        canonical_urls=True,
+        blocklist=words,
+    )
+    q.awaitTermination(300)
+    streamed = spark.read.parquet(str(tmpdir / "out_cb"))
+
+    batch = run_extraction(
+        respelled.withColumn("url", canonicalize_url(F.col("url"))),
+        dedup=True,
+    )
+    flagged = wordlist_hits(batch, words=words, id_col="url").filter(
+        "flagged"
+    )
+    expect = {
+        r.url
+        for r in batch.join(flagged.select("url"), "url", "left_anti")
+        .select("url")
+        .collect()
+    }
+    got = {r.url for r in streamed.select("url").collect()}
+    assert got == expect
+    assert 0 < len(got)
+    # the tracking-param respellings never reach the output
+    assert not any("utm_source" in u for u in got)
