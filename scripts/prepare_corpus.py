@@ -243,10 +243,27 @@ def main() -> int:
         corpus = corpus.join(drops, "url", "left_anti")
     if args.min_quality > 0:
         corpus = corpus.filter(F.col("quality_score") >= args.min_quality)
+    lm_vocab_df = None
     if args.min_lm_logprob is not None:
-        from readability_ex_spark.operators.lmquality import unigram_logprob
+        from readability_ex_spark.operators.lmquality import (
+            unigram_logprob,
+            unigram_vocab,
+        )
 
-        lm = unigram_logprob(corpus, id_col="url")
+        # the vocab is the amortizable half: a full build estimates it
+        # from its own corpus and persists it as {output}/_lm_vocab; an
+        # --update scores the BATCH against the existing corpus's model
+        # (the statistics the kept corpus was filtered by) instead of
+        # re-counting the world per batch
+        lm_vocab_path = f"{args.output}/_lm_vocab"
+        lm_vocab_loaded = args.update and Path(lm_vocab_path).exists()
+        if lm_vocab_loaded:
+            lm_vocab_df = spark.read.parquet(lm_vocab_path)
+            print("lm_vocab=loaded")
+        else:
+            lm_vocab_df = unigram_vocab(corpus, text_col="text")
+            print("lm_vocab=estimated")
+        lm = unigram_logprob(corpus, id_col="url", vocab=lm_vocab_df)
         corpus = corpus.join(
             lm.filter(
                 F.col("lm_logprob") >= args.min_lm_logprob
@@ -449,6 +466,13 @@ def main() -> int:
                 spark.read.parquet(args.output), id_col="url"
             ).write.mode("overwrite").parquet(bands_path)
             print("band_index=rebuilt")
+    if lm_vocab_df is not None and not lm_vocab_loaded:
+        # persist the model the corpus was filtered by (tiny: V+1 rows)
+        # so later --update batches score against it without a
+        # corpus-wide token count
+        lm_vocab_df.coalesce(1).write.mode("overwrite").parquet(
+            f"{args.output}/_lm_vocab"
+        )
     if kill_stats:
         spark.createDataFrame(
             [tuple(kill_stats.values())],

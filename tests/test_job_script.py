@@ -281,6 +281,29 @@ def test_prepare_corpus_script_filter_stages(jobdir, spark):
     # mixture drops unweighted languages
     langs = {r.lang for r in corpus.select("lang").distinct().collect()}
     assert langs <= {"en", "fr", "de"}
+    # the LM model the corpus was filtered by persists as an artifact
+    vocab = spark.read.parquet(str(out / "_lm_vocab"))
+    assert vocab.filter("token is null").count() == 1  # the total row
+    assert "lm_vocab=estimated" in proc.stdout
+    # an --update batch loads the persisted model instead of
+    # re-counting the corpus
+    upd = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(jobdir / "pages"),
+            "--output", str(out),
+            "--partitions", "4",
+            "--canonical-urls",
+            "--blocklist", "dup,casino",
+            "--drop-substring-dups",
+            "--min-lm-logprob", "-30.0",
+            "--mixture", "en=0.5,fr=0.3,de=0.2",
+            "--update",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert upd.returncode == 0, upd.stderr[-1500:]
+    assert "lm_vocab=loaded" in upd.stdout
 
 
 def test_prepare_corpus_script_domain_cap(jobdir, spark):
