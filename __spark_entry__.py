@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": DC.q_line_dedup,
         "chunk_dedup_within": DC.q_chunk_dedup_within,
         "substring_dedup": SD.q_substring_dedup,
+        "decontaminate_spans": DC.q_decontaminate_spans,
         "encoding_quality": T.q_encoding_quality,
         "pii_scrub": PII.q_pii_scrub,
         "spans_tiling": SP.q_spans_tiling,
@@ -998,6 +999,58 @@ def oracle_sql() -> dict[str, str]:
             FROM t JOIN e USING (gram)
             GROUP BY t.doc_id
             ORDER BY doc_id
+        """,
+        # mirrors decontam.decontaminate_spans: eval 13-gram set, train
+        # side positional windows, overlapping hit spans cut and merged
+        "decontaminate_spans": f"""
+            WITH t0 AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR trim(text) = ''
+                          THEN CAST([] AS VARCHAR[]) ELSE {toks} END
+                       AS tk,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1,
+                            {DC.EVAL_HEX_BITS}) = '{DC.EVAL_HEX_PREFIX}'
+                       AS is_eval
+              FROM documents),
+            e AS (
+              SELECT DISTINCT substr(md5(array_to_string(
+                       tk[u.i:u.i + {DC.N_DECONTAM} - 1], ' ')), 1, 16)
+                       AS gram
+              FROM t0, unnest(range(1, len(tk) - {DC.N_DECONTAM} + 2))
+                     AS u(i)
+              WHERE is_eval AND len(tk) >= {DC.N_DECONTAM}),
+            t AS (SELECT doc_id, tk FROM t0 WHERE NOT is_eval),
+            w AS (
+              SELECT doc_id, u.i - 1 AS pos,
+                     substr(md5(array_to_string(
+                       tk[u.i:u.i + {DC.N_DECONTAM} - 1], ' ')), 1, 16)
+                       AS gram
+              FROM t, unnest(range(1, len(tk) - {DC.N_DECONTAM} + 2))
+                     AS u(i)
+              WHERE len(tk) >= {DC.N_DECONTAM}),
+            d AS (SELECT doc_id, pos FROM w JOIN e USING (gram)),
+            tok AS (
+              SELECT doc_id, u.i - 1 AS idx, tk[u.i] AS tokval
+              FROM t, unnest(range(1, len(tk) + 1)) AS u(i)),
+            rem AS (
+              SELECT DISTINCT tok.doc_id, idx
+              FROM tok JOIN d ON tok.doc_id = d.doc_id
+                   AND idx >= d.pos AND idx < d.pos + {DC.N_DECONTAM}),
+            kept AS (
+              SELECT tok.doc_id, idx, tokval
+              FROM tok ANTI JOIN rem USING (doc_id, idx)),
+            agg AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(tokval, ' ' ORDER BY idx) AS text_clean
+              FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, len(tk) AS n_tokens FROM t)
+            SELECT tot.doc_id,
+                   CAST(tot.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(tot.n_tokens - coalesce(agg.n_kept, 0) AS BIGINT)
+                     AS n_dup_tokens,
+                   md5(coalesce(agg.text_clean, '')) AS clean_hash
+            FROM tot LEFT JOIN agg USING (doc_id)
+            ORDER BY tot.doc_id
         """,
         # mirrors decontam.line_dedup: fixed token windows, df over
         # distinct docs, drop df > LINE_MAX_DF, order-preserving rejoin

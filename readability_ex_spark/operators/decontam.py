@@ -73,6 +73,41 @@ def decontaminate(
     )
 
 
+def decontaminate_spans(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = N_DECONTAM,
+) -> DataFrame:
+    """Surgical decontamination: CUT every eval-overlapping ``n``-token
+    span (overlaps merged to maximal runs) instead of dropping whole
+    documents — the variant pipelines use when a page is fine except
+    for one quoted benchmark item.  Returns ``(id_col, n_tokens,
+    n_dup_tokens, text_clean)``.
+
+    Same plan family as :func:`decontaminate`: the corpus side is one
+    positional window pass (stride-1 hashes, the shingle unit) joined
+    BROADCAST against the distinct eval gram set — the corpus is never
+    shuffled on gram — then the shared span-cut tail
+    (:func:`~readability_ex_spark.operators.substrdedup.cut_spans`:
+    doc-cardinality fold + one Arrow map).
+    """
+    from readability_ex_spark.operators.substrdedup import (
+        cut_spans,
+        window_hash_expr,
+    )
+
+    occ = docs.select(
+        F.col(id_col),
+        F.posexplode(window_hash_expr(text_col, n)).alias("pos", "gram"),
+    )
+    hits = occ.join(
+        F.broadcast(eval_ngram_set(eval_df, text_col, n)), "gram"
+    ).select(id_col, "pos")
+    return cut_spans(docs, hits, id_col, text_col, n)
+
+
 # Deterministic synthetic eval set for the checked query: documents whose
 # md5(doc_id) starts with this prefix (1/16 of the corpus) stand in for
 # a benchmark. Their dup-family members contaminate against them.
@@ -219,6 +254,21 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_hit_grams")
         .orderBy("doc_id")
     )
+
+
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-cut decontamination verdict per training doc (cleaned text
+    rides as an md5, like line_dedup)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eval_df = _eval_split(docs)
+    train = docs.join(eval_df.select("doc_id"), "doc_id", "left_anti")
+    out = decontaminate_spans(train, eval_df)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_dup_tokens",
+        F.md5("text_clean").alias("clean_hash"),
+    ).orderBy("doc_id")
 
 
 def dedup_chunks_within_doc(

@@ -73,28 +73,25 @@ def window_hash_expr(text_col: str = "text", k: int = K_SUBSTR):
     return _wh(_text_tokens(text_col))
 
 
-def substring_dedup(
+def cut_spans(
     docs: DataFrame,
+    marked: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = K_SUBSTR,
 ) -> DataFrame:
-    """``(id_col, n_tokens, n_dup_tokens, text_clean)`` per document
-    with every non-first occurrence of a corpus-duplicated ``k``-token
-    run removed (overlaps merged into maximal spans)."""
-    occ = docs.select(
-        F.col(id_col),
-        F.posexplode(window_hash_expr(text_col, k)).alias("pos", "h"),
-    )
-    wspec = Window.partitionBy("h")
-    worder = wspec.orderBy(id_col, "pos")
-    dup_occ = (
-        occ.withColumn("_c", F.count("*").over(wspec))
-        .withColumn("_rn", F.row_number().over(worder))
-        .filter((F.col("_c") > 1) & (F.col("_rn") > 1))
-        .select(id_col, "pos")
-    )
-    dup_pos = dup_occ.groupBy(id_col).agg(
+    """Remove every ``k``-token span starting at a position in
+    ``marked`` (columns ``(id_col, pos)``) from each doc's text,
+    merging overlaps into maximal spans; rows absent from ``marked``
+    pass through untouched.  Returns ``(id_col, n_tokens,
+    n_dup_tokens, text_clean)``.
+
+    The marked positions fold to one sorted array per doc
+    (doc-cardinality shuffle after map-side combine) and the cut +
+    rebuild is a single Arrow map pass — the shared tail of every
+    span-removal operator here (substring dedup, span
+    decontamination)."""
+    dup_pos = marked.groupBy(id_col).agg(
         F.sort_array(F.collect_list("pos")).alias("_dup_pos")
     )
 
@@ -121,6 +118,30 @@ def substring_dedup(
         _cut(F.col(text_col), F.col("_dup_pos")).alias("_r"),
     )
     return out.select(id_col, "_r.n_tokens", "_r.n_dup_tokens", "_r.text_clean")
+
+
+def substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = K_SUBSTR,
+) -> DataFrame:
+    """``(id_col, n_tokens, n_dup_tokens, text_clean)`` per document
+    with every non-first occurrence of a corpus-duplicated ``k``-token
+    run removed (overlaps merged into maximal spans)."""
+    occ = docs.select(
+        F.col(id_col),
+        F.posexplode(window_hash_expr(text_col, k)).alias("pos", "h"),
+    )
+    wspec = Window.partitionBy("h")
+    worder = wspec.orderBy(id_col, "pos")
+    dup_occ = (
+        occ.withColumn("_c", F.count("*").over(wspec))
+        .withColumn("_rn", F.row_number().over(worder))
+        .filter((F.col("_c") > 1) & (F.col("_rn") > 1))
+        .select(id_col, "pos")
+    )
+    return cut_spans(docs, dup_occ, id_col, text_col, k)
 
 
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

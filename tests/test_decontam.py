@@ -231,3 +231,45 @@ def test_line_dedup_matches_naive_reference(spark):
         for r in line_dedup(spark_df).collect()
     }
     assert got == want
+
+
+def test_decontaminate_spans_cuts_only_the_overlap(spark):
+    """A training doc quoting an eval n-gram loses exactly that span;
+    surrounding text and clean docs survive."""
+    from readability_ex_spark.operators.decontam import decontaminate_spans
+
+    leak = " ".join(f"q{i}" for i in range(13))
+    eval_df = spark.createDataFrame(
+        [(100, f"intro {leak} outro")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {leak} gamma delta"),
+            (2, "totally clean document text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r for r in decontaminate_spans(docs, eval_df).collect()
+    }
+    assert out[1].n_dup_tokens == 13
+    assert out[1].text_clean == "alpha beta gamma delta"
+    assert out[2].n_dup_tokens == 0
+    assert out[2].text_clean == "totally clean document text"
+
+
+def test_decontaminate_spans_merges_long_quotes(spark):
+    """A 20-token quote (8 overlapping 13-gram hits) cuts as ONE
+    maximal span, not 8 separate windows."""
+    from readability_ex_spark.operators.decontam import decontaminate_spans
+
+    quote = " ".join(f"s{i}" for i in range(20))
+    eval_df = spark.createDataFrame(
+        [(100, quote)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, f"pre {quote} post")], "doc_id long, text string"
+    )
+    r = decontaminate_spans(docs, eval_df).collect()[0]
+    assert r.n_dup_tokens == 20
+    assert r.text_clean == "pre post"
