@@ -104,6 +104,12 @@ def main() -> int:
         "13-token gram with it",
     )
     ap.add_argument(
+        "--decontaminate-spans", default=None, metavar="EVAL_PATH",
+        help="cut eval-overlapping 13-token spans from each doc's text "
+        "(surgical variant of --decontaminate: the page survives, the "
+        "quoted benchmark item doesn't)",
+    )
+    ap.add_argument(
         "--emb-near-dup", type=float, default=None, metavar="COSINE",
         help="additionally drop embedding-space near-dups at this cosine",
     )
@@ -184,6 +190,21 @@ def main() -> int:
         verdicts = decontaminate(survivors, eval_df, id_col="url")
         survivors = survivors.join(
             verdicts.filter("contaminated").select("url"), "url", "left_anti"
+        )
+    if args.decontaminate_spans:
+        from readability_ex_spark.operators.decontam import (
+            decontaminate_spans,
+        )
+
+        eval_df = spark.read.parquet(args.decontaminate_spans)
+        cut = decontaminate_spans(survivors, eval_df, id_col="url").select(
+            "url", "text_clean", "n_dup_tokens"
+        )
+        survivors = (
+            survivors.drop("text")
+            .join(cut, "url")
+            .withColumnRenamed("text_clean", "text")
+            .withColumnRenamed("n_dup_tokens", "n_decontam_tokens")
         )
     if args.normalize_text:
         from readability_ex_spark.operators.textops import normalize_text

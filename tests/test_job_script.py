@@ -245,6 +245,48 @@ def test_prepare_corpus_script_safety_stages(jobdir, spark):
     assert {"n_email", "n_ipv4", "n_phone"} <= set(corpus.columns)
 
 
+def test_prepare_corpus_script_decontaminate_spans(jobdir, spark):
+    """--decontaminate-spans cuts quoted eval text from survivors'
+    shipped text (run without quality rules: a self-quoted page is
+    almost fully cut, and the later quality floor would then drop the
+    very rows that prove the stage ran)."""
+    from pyspark.sql import functions as F
+
+    out = jobdir / "corpus_spans"
+    # eval set = raw body text of pages IN the job input: their own
+    # extracted pages quote it verbatim (second paragraph of the synth
+    # template is a clean token run)
+    eval_path = jobdir / "evalset"
+    (
+        spark.read.parquet(str(jobdir / "pages"))
+        .filter(F.col("html").isNotNull())
+        .orderBy("url")
+        .limit(5)
+        .select(F.monotonically_increasing_id().alias("doc_id"), "text")
+        .write.mode("overwrite")
+        .parquet(str(eval_path))
+    )
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(jobdir / "pages"),
+            "--output", str(out),
+            "--partitions", "4",
+            "--decontaminate-spans", str(eval_path),
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    corpus = spark.read.parquet(str(out))
+    assert "n_decontam_tokens" in corpus.columns
+    cut = corpus.filter(F.col("n_decontam_tokens") > 0)
+    assert cut.count() > 0
+    # the cut text really lost the tokens: shipped text is shorter than
+    # the cut count implies impossible otherwise
+    r = cut.orderBy(F.col("n_decontam_tokens").desc()).first()
+    assert len(r.text.split()) < r.n_decontam_tokens + 400
+
+
 def test_prepare_corpus_script_filter_stages(jobdir, spark):
     """--blocklist --drop-substring-dups --min-lm-logprob --mixture
     compose: the corpus ships blocklist-clean, substring-deduped text
