@@ -168,6 +168,12 @@ def main() -> int:
     from readability_ex_spark.operators.decontam import q_line_dedup
 
     run("decontaminate", lambda: q_decontaminate(spark, sf_dir).count())
+    from readability_ex_spark.operators.decontam import q_decontaminate_spans
+
+    run(
+        "decontaminate_spans",
+        lambda: q_decontaminate_spans(spark, sf_dir).count(),
+    )
     run("line_dedup", lambda: q_line_dedup(spark, sf_dir).count())
     from readability_ex_spark.operators.substrdedup import q_substring_dedup
 
