@@ -80,6 +80,35 @@ def write_extracted(
     )
 
 
+JSONL_EXPORT_COLUMNS = ("url", "title", "text", "lang")
+
+
+def write_jsonl(
+    extracted: DataFrame,
+    path: str,
+    *,
+    columns: tuple[str, ...] = JSONL_EXPORT_COLUMNS,
+    compression: str | None = "gzip",
+) -> None:
+    """Training-ready JSON-lines export: one object per document, one
+    ``part-*.json.gz`` file per partition — the interchange format most
+    LLM data loaders consume directly.
+
+    Plain ``DataFrameWriter.json``: serialization stays JVM-side and
+    the file-per-partition layout makes each output file an independent
+    unit of downstream parallelism, same contract as the WET export.
+    Requested columns must exist (a silent subset would ship a
+    different schema than the caller asked for).
+    """
+    missing = [c for c in columns if c not in extracted.columns]
+    if missing:
+        raise ValueError(f"jsonl export columns not in frame: {missing}")
+    writer = extracted.select(*columns).write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
 def merge_extracted_iceberg(
     spark: SparkSession,
     extracted: DataFrame,

@@ -79,6 +79,12 @@ def main() -> int:
         "Common-Crawl WET files (conversion records) under DIR; the "
         "parquet/iceberg output stays the canonical, resumable artifact",
     )
+    ap.add_argument(
+        "--export-jsonl", default=None, metavar="DIR",
+        help="additionally export the ok-rows as gzipped JSON-lines "
+        "(url/title/text/lang per object) under DIR — the format LLM "
+        "data loaders consume directly",
+    )
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
 
@@ -144,6 +150,14 @@ def main() -> int:
 
         write_wet(
             extracted.filter(F.col("status") == "ok"), args.export_wet
+        )
+    if args.export_jsonl:
+        from pyspark.sql import functions as F
+
+        from readability_ex_spark.sinks import write_jsonl
+
+        write_jsonl(
+            extracted.filter(F.col("status") == "ok"), args.export_jsonl
         )
     write_metrics(
         metrics_rollup(extracted), args.output, run_id,

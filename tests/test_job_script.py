@@ -476,6 +476,7 @@ def test_run_job_export_wet(jobdir, spark):
             "--output", str(d / "out"),
             "--partitions", "4",
             "--export-wet", str(d / "wet"),
+            "--export-jsonl", str(d / "jsonl"),
         ],
         capture_output=True, text=True, timeout=420, cwd=str(REPO),
     )
@@ -487,3 +488,13 @@ def test_run_job_export_wet(jobdir, spark):
     assert {r.url for r in wet.select("url").collect()} == {
         r.url for r in parq.select("url").collect()
     }
+    # JSONL export round-trips through a plain json reader with the
+    # same ok-row url set and the training-loader field shape
+    jl = spark.read.json(str(d / "jsonl"))
+    assert set(jl.columns) >= {"url", "title", "text", "lang"}
+    assert {r.url for r in jl.select("url").collect()} == {
+        r.url for r in parq.select("url").collect()
+    }
+    import glob
+
+    assert glob.glob(str(d / "jsonl" / "*.json.gz"))

@@ -148,3 +148,15 @@ def test_salting_spreads_skewed_url(spark):
     salted = hist(8)
     assert len(salted) >= 4  # spread across several partitions
     assert max(r["count"] for r in salted) <= 3000 * 0.6
+
+
+def test_write_jsonl_rejects_missing_columns(spark, tmp_path):
+    """A silent column subset would ship a different schema than
+    requested — write_jsonl must refuse instead."""
+    import pytest as _pytest
+
+    from readability_ex_spark.sinks import write_jsonl
+
+    df = spark.createDataFrame([(1, "t")], "url string, text string")
+    with _pytest.raises(ValueError, match="title"):
+        write_jsonl(df, str(tmp_path / "x"))

@@ -52,6 +52,42 @@ def test_canonical_cases(canon, i):
     assert canon[i] == CASES[i][1], CASES[i][0]
 
 
+def test_canonicalization_is_idempotent(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) over a fuzzed
+    url space — the property that makes re-running a crawl pipeline
+    over already-canonical data a no-op.  Drives the whole batch
+    through Spark once (hypothesis would pay a Spark job per example)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    schemes = ["http://", "HTTPS://", "HtTp://", ""]
+    hosts = ["A.b.C", "x.io", "WWW.Example.COM", "host"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/A/b", "/x/", "/%20y"]
+    queries = [
+        "", "?a=1", "?b=2&a=1", "?utm_source=x", "?utm_a=1&z=", "?&",
+        "?a=1?b=2", "?A=%3d&ref=r",
+    ]
+    frags = ["", "#f", "#A#B"]
+    urls = [
+        "".join(c)
+        for c in itertools.product(
+            schemes, hosts, ports, paths, queries, frags
+        )
+    ]
+    urls += ["".join(rng.choice("aZ:/?#&=%.~ ") for _ in range(12)) for _ in range(200)]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    )
+    once = canonicalize_url("url").alias("c1")
+    out = df.select(
+        "url", once, canonicalize_url(canonicalize_url("url")).alias("c2")
+    ).collect()
+    bad = [(r.url, r.c1, r.c2) for r in out if r.c1 != r.c2]
+    assert not bad, bad[:5]
+
+
 def test_null_passthrough(spark):
     df = spark.createDataFrame([(1, None)], "i long, url string")
     assert df.select(canonicalize_url("url").alias("c")).first().c is None
