@@ -160,6 +160,15 @@ def main() -> int:
         _sh.rmtree(_ivf_dir, ignore_errors=True)
 
     run("quality_rules", lambda: q_quality_rules(spark, sf_dir).count())
+    from readability_ex_spark.operators.lmquality import q_unigram_logprob
+    from readability_ex_spark.operators.sampling import q_mixture_sample
+    from readability_ex_spark.operators.urlops import q_canonical_dedup
+    from readability_ex_spark.operators.wordlist import q_wordlist_filter
+
+    run("unigram_logprob", lambda: q_unigram_logprob(spark, sf_dir).count())
+    run("wordlist_filter", lambda: q_wordlist_filter(spark, sf_dir).count())
+    run("canonical_dedup", lambda: q_canonical_dedup(spark, sf_dir).count())
+    run("mixture_sample", lambda: q_mixture_sample(spark, sf_dir).count())
     from readability_ex_spark.operators.corpus import q_repetition_stats
     from readability_ex_spark.operators.decontam import q_decontaminate
     from readability_ex_spark.operators.pii import q_pii_scrub
