@@ -132,7 +132,7 @@ def host_expr(url: Column | str) -> Column:
     domain key for per-host caps and stats."""
     u = F.col(url) if isinstance(url, str) else url
     return F.lower(
-        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:@]*@)?([^/?#:]*)", 2)
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#@]*@)?([^/?#:]*)", 2)
     )
 
 

@@ -273,3 +273,27 @@ def test_decontaminate_spans_merges_long_quotes(spark):
     r = decontaminate_spans(docs, eval_df).collect()[0]
     assert r.n_dup_tokens == 20
     assert r.text_clean == "pre post"
+
+
+def test_decontaminate_spans_gram_join_is_broadcast(spark):
+    """The corpus-side window stream must meet the eval gram set via a
+    broadcast join — never a shuffle keyed on gram."""
+    from readability_ex_spark.operators.decontam import decontaminate_spans
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 40) for i in range(8)], "doc_id long, text string"
+    )
+    eval_df = spark.createDataFrame(
+        [(99, "w " * 20)], "doc_id long, text string"
+    )
+    plan = (
+        decontaminate_spans(docs, eval_df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin [gram" not in plan
+    # the ONLY gram exchange allowed is the eval side's tiny distinct;
+    # the corpus-side window stream must reach the join unshuffled
+    assert plan.count("Exchange hashpartitioning(gram") == 1

@@ -158,3 +158,21 @@ def test_plan_is_pure_codegen(spark):
     assert plan.count("Exchange") == 1
     for marker in ("BatchEvalPython", "ArrowEvalPython", "mapInPandas"):
         assert marker not in plan
+
+
+def test_host_expr(spark):
+    from readability_ex_spark.operators.urlops import host_expr
+
+    cases = [
+        ("http://WWW.Example.COM/p", "www.example.com"),
+        ("https://Host.io:8443/a?b#c", "host.io"),
+        ("ftp://user:pw@Files.Example.net:21/x", "files.example.net"),
+        ("urn:doc:42", ""),
+        ("", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {r.i: r.h for r in df.select("i", host_expr("url").alias("h")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want
