@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cardinality": T.q_corpus_cardinality,
         "stratified_sample": SA.q_stratified_sample,
         "mixture_sample": SA.q_mixture_sample,
+        "shard_assign": SA.q_shard_assign,
         "token_budget_pack": SA.q_token_budget_pack,
         "text_embedding": E.q_text_embedding,
         "text_emb_near_dup": E.q_text_emb_near_dup,
@@ -1507,6 +1508,23 @@ def oracle_sql() -> dict[str, str]:
                     )}
                     ELSE '{SA.sample_hex_threshold(0.0)}' END
             ORDER BY doc_id
+        """,
+        # mirrors sampling.shard_assign: per-stratum running token
+        # total in doc_id order; shard = floor(start_offset / size)
+        "shard_assign": f"""
+            WITH s AS (
+              SELECT doc_id, lang, CAST({ntoks} AS BIGINT) AS n_tokens
+              FROM documents),
+            w AS (
+              SELECT doc_id, lang, n_tokens,
+                     sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM s)
+            SELECT doc_id, lang, n_tokens,
+                   CAST(floor((cum - n_tokens)
+                        / {SA.SHARD_TOKENS}.0) AS BIGINT) AS shard_id
+            FROM w ORDER BY doc_id
         """,
         # mirrors sampling.mixture_sample: rates derived from corpus
         # counts (T = min n/w; rate = min(1, w*T/n)), md5-prefix draw

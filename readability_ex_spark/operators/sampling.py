@@ -202,6 +202,55 @@ def mixture_sample(
     )
 
 
+def shard_assign(
+    df: DataFrame,
+    shard_tokens: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign each doc to a training shard of ~``shard_tokens`` tokens
+    (per stratum) — the step between "filtered corpus" and "training
+    files", where loaders want same-language files of roughly equal
+    token mass.
+
+    A doc belongs to ``floor(start_offset / shard_tokens)`` where
+    ``start_offset`` is the running token total of all earlier docs in
+    its stratum (deterministic ``id_col`` order).  A doc straddling a
+    boundary stays in the shard its offset starts in, so shards
+    overflow by at most one document — the standard cheap rule; exact
+    bin packing would need a stateful scan for no downstream benefit.
+    Appending docs with larger ids never reassigns existing shards
+    (monotone, like the md5-draw samplers).
+
+    One window per stratum (a single hash exchange on the stratum key)
+    — same budget and same skew caveat as :func:`token_budget_pack`:
+    strata are languages/domains (dozens); shard WITHIN a stratum by
+    hash-bucketing ``id_col`` first if one stratum ever dominates.
+    Output = input columns + ``shard_id`` (0-based within stratum).
+    """
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col)).over(w)
+    return df.withColumn(
+        "shard_id",
+        F.floor((cum - F.col(tokens_col)) / F.lit(float(shard_tokens))),
+    )
+
+
+SHARD_TOKENS = 3_000  # binds at every sf (per-lang totals are 3.5k-12k)
+
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_signals(spark, sf_dir).select(
+        "doc_id", "lang", "n_tokens"
+    )
+    return shard_assign(docs, SHARD_TOKENS).orderBy("doc_id")
+
+
 # Target mix for the checked query: weights sum to 1; 'es'/'zh' carry
 # no weight and are dropped. One weighted stratum (smallest n/w) is
 # kept whole, the others downsample to the 50/30/20 mix.

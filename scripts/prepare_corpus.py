@@ -93,6 +93,12 @@ def main() -> int:
         "docs (skew-safe two-stage top-k; C4/Gopher dominant-host rule)",
     )
     ap.add_argument(
+        "--shard-tokens", type=int, default=None, metavar="N",
+        help="annotate each doc with a per-language shard_id assigning "
+        "~N tokens per shard (deterministic url order; training "
+        "loaders regroup by (lang, shard_id))",
+    )
+    ap.add_argument(
         "--mixture", default=None, metavar="LANG=W,...",
         help="downsample to target language proportions, e.g. "
         "en=0.5,fr=0.3,de=0.2 (largest achievable mix; languages "
@@ -314,6 +320,12 @@ def main() -> int:
             weights[lang_tag.strip()] = float(w)
         corpus = mixture_sample(
             corpus, weights, stratum_col="lang", id_col="url"
+        )
+    if args.shard_tokens is not None:
+        from readability_ex_spark.operators.sampling import shard_assign
+
+        corpus = shard_assign(
+            corpus, args.shard_tokens, stratum_col="lang", id_col="url"
         )
     # per-rule kill-rate accounting: one extra aggregation per rule
     # stage (a single summary row each), written as the _quality_stats

@@ -359,6 +359,7 @@ def test_prepare_corpus_script_domain_cap(jobdir, spark):
             "--output", str(out),
             "--partitions", "4",
             "--max-per-domain", "5",
+            "--shard-tokens", "400",
         ],
         capture_output=True, text=True, timeout=420, cwd=str(REPO),
     )
@@ -366,6 +367,18 @@ def test_prepare_corpus_script_domain_cap(jobdir, spark):
     corpus = spark.read.parquet(str(out))
     rows = corpus.select("url", "quality_score").collect()
     assert len(rows) == 5
+    # shard ids annotated: 0-based per language, start-offset rule in
+    # url order (recomputed naively over the written corpus)
+    shards = corpus.select("lang", "shard_id", "n_tokens", "url").collect()
+    assert all(r.shard_id >= 0 for r in shards)
+    by_lang: dict[str, list] = {}
+    for r in shards:
+        by_lang.setdefault(r.lang, []).append(r)
+    for rs in by_lang.values():
+        cum = 0
+        for r in sorted(rs, key=lambda r: r.url):
+            assert r.shard_id == cum // 400
+            cum += r.n_tokens
     # the cap kept the best: no excluded doc outscores a kept one
     from pyspark.sql import functions as F
 

@@ -62,3 +62,37 @@ def test_token_budget_pack_greedy_by_quality(spark):
         "doc_id long, lang string, n_tokens long, quality_score double",
     )
     assert {r.doc_id for r in token_budget_pack(ties, 700).collect()} == {10}
+
+
+def test_shard_assign_properties(spark):
+    """Shards fill to ~shard_tokens in id order, overflow by at most
+    one doc, and appending new ids never reassigns existing docs."""
+    from pyspark.sql import functions as F
+
+    from readability_ex_spark.operators.sampling import shard_assign
+
+    rows = [(i, "en", 100 + (i % 7) * 30) for i in range(40)] + [
+        (100 + i, "fr", 250) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = shard_assign(df, 1_000).collect()
+    by_doc = {r.doc_id: r.shard_id for r in out}
+    # recompute naively
+    for lang in ("en", "fr"):
+        docs = sorted(
+            [r for r in rows if r[1] == lang], key=lambda r: r[0]
+        )
+        cum = 0
+        for d, _, n in docs:
+            assert by_doc[d] == cum // 1_000, d
+            cum += n
+    # monotone under append
+    more = spark.createDataFrame(
+        [(500, "en", 999)], "doc_id long, lang string, n_tokens long"
+    )
+    out2 = {
+        r.doc_id: r.shard_id
+        for r in shard_assign(df.unionByName(more), 1_000).collect()
+    }
+    for d, s in by_doc.items():
+        assert out2[d] == s
