@@ -24,6 +24,7 @@ audit trail: url, fingerprint, n_copies, canonical_url, keep).
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 from pathlib import Path
 
@@ -516,6 +517,44 @@ def main() -> int:
 
     n_docs = spark.read.parquet(args.output).count()
     n_in = manifest.count()
+    # dataset card: per-language rollup + the exact stage configuration
+    # that produced the corpus — the provenance record a downstream
+    # trainer (or an auditor) reads first. One bounded collect
+    # (#languages rows); rewritten whole on every run including
+    # updates, since it describes the corpus as it now stands.
+    final = spark.read.parquet(args.output)
+    lang_rows = (
+        final.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+        )
+        .orderBy("lang")
+        .collect()
+    )
+    card = {
+        "docs": n_docs,
+        "extracted_ok": n_in,
+        "languages": {
+            (r.lang or ""): {
+                "docs": r.docs,
+                "tokens": int(r.tokens or 0),
+                "mean_quality": r.mean_quality,
+            }
+            for r in lang_rows
+        },
+        "stages": {
+            k: v
+            for k, v in sorted(vars(args).items())
+            if v not in (None, False) and k not in ("input", "output")
+        },
+    }
+    card_dir = Path(args.output) / "_datacard"
+    card_dir.mkdir(parents=True, exist_ok=True)
+    (card_dir / "datacard.json").write_text(
+        json.dumps(card, indent=1, sort_keys=True)
+    )
     print(f"corpus_docs={n_docs} extracted_ok={n_in}")
     extracted.unpersist()
     manifest.unpersist()

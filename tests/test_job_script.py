@@ -217,6 +217,16 @@ def test_prepare_corpus_script(jobdir, spark):
         r.url for r in manifest.filter("keep").select("url").collect()
     }
     assert "quality_score" in corpus.columns
+    # the dataset card records what was built and how
+    import json as _json
+
+    card = _json.loads(
+        (jobdir / "corpus" / "_datacard" / "datacard.json").read_text()
+    )
+    assert card["docs"] == n_keep
+    assert sum(v["docs"] for v in card["languages"].values()) == n_keep
+    assert all(v["tokens"] > 0 for v in card["languages"].values())
+    assert card["stages"]["partitions"] == 4
 
 
 def test_prepare_corpus_script_safety_stages(jobdir, spark):
