@@ -139,6 +139,12 @@ def main() -> int:
         "vs ANY existing doc reaches this threshold (cross-corpus band "
         "join; exact urls/fingerprints are always dropped)",
     )
+    ap.add_argument(
+        "--export-jsonl", default=None, metavar="DIR",
+        help="additionally export the final corpus as gzipped "
+        "JSON-lines (url/text/lang + shard_id when --shard-tokens is "
+        "set) under DIR",
+    )
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument(
         "--table-format", choices=("parquet", "iceberg"), default="parquet",
@@ -517,6 +523,15 @@ def main() -> int:
 
     n_docs = spark.read.parquet(args.output).count()
     n_in = manifest.count()
+    if args.export_jsonl:
+        from readability_ex_spark.sinks import write_jsonl
+
+        cols = ("url", "text", "lang") + (
+            ("shard_id",) if args.shard_tokens is not None else ()
+        )
+        write_jsonl(
+            spark.read.parquet(args.output), args.export_jsonl, columns=cols
+        )
     # dataset card: per-language rollup + the exact stage configuration
     # that produced the corpus — the provenance record a downstream
     # trainer (or an auditor) reads first. One bounded collect

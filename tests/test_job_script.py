@@ -370,6 +370,7 @@ def test_prepare_corpus_script_domain_cap(jobdir, spark):
             "--partitions", "4",
             "--max-per-domain", "5",
             "--shard-tokens", "400",
+            "--export-jsonl", str(jobdir / "corpus_capped_jsonl"),
         ],
         capture_output=True, text=True, timeout=420, cwd=str(REPO),
     )
@@ -389,6 +390,10 @@ def test_prepare_corpus_script_domain_cap(jobdir, spark):
         for r in sorted(rs, key=lambda r: r.url):
             assert r.shard_id == cum // 400
             cum += r.n_tokens
+    # jsonl export of the final corpus carries the shard ids
+    jl = spark.read.json(str(jobdir / "corpus_capped_jsonl"))
+    assert set(jl.columns) >= {"url", "text", "lang", "shard_id"}
+    assert jl.count() == 5
     # the cap kept the best: no excluded doc outscores a kept one
     from pyspark.sql import functions as F
 
