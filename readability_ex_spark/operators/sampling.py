@@ -147,6 +147,11 @@ def mixture_sample(
     the count agg is the only extra pass, and pipelines that already
     materialize per-stratum stats can feed them in instead.
     """
+    bad = {s: w for s, w in weights.items() if not w > 0}
+    if bad or not weights:
+        # w <= 0 makes n/w infinite (or the rate NaN) inside the plan —
+        # reject up front; "drop this stratum" is spelled by omission
+        raise ValueError(f"mixture weights must be > 0, got: {bad}")
     spark = df.sparkSession
     wdf = spark.createDataFrame(
         sorted(weights.items()), f"{stratum_col} string, _w double"
@@ -229,6 +234,8 @@ def shard_assign(
     hash-bucketing ``id_col`` first if one stratum ever dominates.
     Output = input columns + ``shard_id`` (0-based within stratum).
     """
+    if shard_tokens <= 0:
+        raise ValueError(f"shard_tokens must be > 0, got {shard_tokens}")
     w = (
         Window.partitionBy(stratum_col)
         .orderBy(F.col(id_col).asc())

@@ -33,6 +33,11 @@ def blocklist_pattern(words: tuple[str, ...] | list[str]) -> str:
     anything else would need dialect-specific escaping, so it is
     rejected rather than silently mis-matched."""
     ws = sorted(set(words))
+    if not ws:
+        # r"\b()\b" would match at every token boundary — flag nothing
+        # by matching nothing is NOT what an empty list means; make the
+        # caller say what they want
+        raise ValueError("blocklist is empty")
     for w in ws:
         if not _WORD_RE.match(w):
             raise ValueError(f"blocklist word not lowercase-alnum: {w!r}")

@@ -76,3 +76,13 @@ def test_corpus_never_shuffled(skewed):
     assert "BroadcastHashJoin" in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"):
         assert marker not in plan
+
+
+def test_degenerate_weights_rejected(spark, skewed):
+    """w <= 0 would turn rates into inf/NaN inside the plan — rejected
+    up front; dropping a stratum is spelled by omitting it."""
+    import pytest as _pytest
+
+    for bad in ({"en": 0.0}, {"en": -1.0}, {}):
+        with _pytest.raises(ValueError):
+            mixture_sample(skewed, bad)

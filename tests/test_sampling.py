@@ -96,3 +96,16 @@ def test_shard_assign_properties(spark):
     }
     for d, s in by_doc.items():
         assert out2[d] == s
+
+
+def test_shard_assign_rejects_nonpositive_size(spark):
+    import pytest as _pytest
+
+    from readability_ex_spark.operators.sampling import shard_assign
+
+    df = spark.createDataFrame(
+        [(1, "en", 10)], "doc_id long, lang string, n_tokens long"
+    )
+    for bad in (0, -5):
+        with _pytest.raises(ValueError):
+            shard_assign(df, bad)

@@ -68,3 +68,8 @@ def test_plan_exchange_free(spark):
     assert "Exchange" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "mapInPandas"):
         assert marker not in plan
+
+
+def test_empty_blocklist_rejected():
+    with pytest.raises(ValueError, match="empty"):
+        blocklist_pattern([])
