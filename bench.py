@@ -40,7 +40,9 @@ def main() -> int:
         action="store_true",
         help="like --composed but with every corpus-safety stage on "
         "(decontamination vs a held-out eval split, PII scrub, Gopher "
-        "quality + repetition rules) — the maximal build a user runs",
+        "quality + repetition rules, canonical urls, blocklist, "
+        "substring dedup, LM floor, domain cap, shard ids) — the "
+        "maximal build a user runs",
     )
     args, _ = ap.parse_known_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -308,6 +310,12 @@ def main() -> int:
                     scrub_pii_text=True,
                     quality_rules=True,
                     repetition_rules=True,
+                    canonical_urls=True,
+                    blocklist=("casino", "lottery"),
+                    drop_substring_dups=True,
+                    min_lm_logprob=-30.0,
+                    max_per_domain=100_000,
+                    shard_tokens=50_000,
                 ).withColumn(
                     "url_bucket",
                     F.pmod(F.xxhash64("url"), F.lit(64)).cast("int"),

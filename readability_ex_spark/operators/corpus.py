@@ -503,6 +503,15 @@ def prepare_training_corpus(
     eval_df: DataFrame | None = None,
     near_dup_threshold: float | None = 0.8,
     emb_near_dup_threshold: float | None = None,
+    canonical_urls: bool = False,
+    blocklist: tuple[str, ...] | None = None,
+    drop_substring_dups: bool = False,
+    span_decontaminate_df: DataFrame | None = None,
+    min_lm_logprob: float | None = None,
+    lm_vocab: DataFrame | None = None,
+    mixture_weights: dict[str, float] | None = None,
+    max_per_domain: int | None = None,
+    shard_tokens: int | None = None,
     **extraction_kwargs,
 ) -> DataFrame:
     """pages -> deduped, quality-annotated text corpus.
@@ -531,7 +540,24 @@ def prepare_training_corpus(
     replacing ``text`` with the boilerplate-stripped form — ordered
     before quality/repetition so their signals score the shipping text.
     ``repetition_rules=True`` drops docs failing any Gopher n-gram
-    repetition rule (``repetition_stats``)."""
+    repetition rule (``repetition_stats``).
+
+    Crawl-filter stages (same semantics as the ``prepare_corpus.py``
+    flags): ``canonical_urls`` rewrites urls before extraction so
+    url-spelling duplicates collapse in the latest-fetch dedup;
+    ``blocklist`` drops docs containing a listed word (C4 bad-words);
+    ``drop_substring_dups`` cuts corpus-duplicated 20-token runs;
+    ``span_decontaminate_df`` cuts eval-overlapping spans (vs
+    ``eval_df``'s whole-doc drop); ``min_lm_logprob`` applies the
+    unigram-LM floor (pass ``lm_vocab`` to score against a persisted
+    model); ``max_per_domain`` caps each host's contribution
+    (quality-ordered, skew-safe); ``mixture_weights`` downsamples to
+    target language shares; ``shard_tokens`` annotates per-language
+    training shards."""
+    if canonical_urls:
+        from readability_ex_spark.operators.urlops import canonicalize_url
+
+        pages = pages.withColumn("url", canonicalize_url(F.col("url")))
     extracted = run_extraction(pages, **extraction_kwargs).filter(
         F.col("status") == "ok"
     )
@@ -562,6 +588,20 @@ def prepare_training_corpus(
         verdicts = decontaminate(survivors, eval_df, id_col="url")
         survivors = survivors.join(
             verdicts.filter("contaminated").select("url"), "url", "left_anti"
+        )
+    if span_decontaminate_df is not None:
+        from readability_ex_spark.operators.decontam import (
+            decontaminate_spans,
+        )
+
+        cut = decontaminate_spans(
+            survivors, span_decontaminate_df, id_col="url"
+        ).select("url", "text_clean", "n_dup_tokens")
+        survivors = (
+            survivors.drop("text")
+            .join(cut, "url")
+            .withColumnRenamed("text_clean", "text")
+            .withColumnRenamed("n_dup_tokens", "n_decontam_tokens")
         )
     if normalize_unicode:
         # canonical text BEFORE pii/quality/repetition so every later
@@ -595,6 +635,27 @@ def prepare_training_corpus(
             .withColumnRenamed("text_clean", "text")
             .withColumnRenamed("n_dropped", "n_boilerplate_chunks")
         )
+    if blocklist:
+        from readability_ex_spark.operators.wordlist import wordlist_hits
+
+        flagged = wordlist_hits(survivors, words=blocklist, id_col="url")
+        survivors = survivors.join(
+            flagged.filter("flagged").select("url"), "url", "left_anti"
+        )
+    if drop_substring_dups:
+        from readability_ex_spark.operators.substrdedup import (
+            substring_dedup,
+        )
+
+        cleaned = substring_dedup(survivors, id_col="url").select(
+            "url", "text_clean", "n_dup_tokens"
+        )
+        survivors = (
+            survivors.drop("text")
+            .join(cleaned, "url")
+            .withColumnRenamed("text_clean", "text")
+            .withColumnRenamed("n_dup_tokens", "n_substr_dup_tokens")
+        )
     corpus = with_quality_signals(survivors)
     if repetition_rules:
         rep_ok = repetition_stats(corpus, id_col="url").filter(
@@ -611,6 +672,37 @@ def prepare_training_corpus(
             with_quality_rules(corpus)
             .filter(F.col("passes_quality"))
             .select(*corpus.columns)
+        )
+    if min_lm_logprob is not None:
+        from readability_ex_spark.operators.lmquality import unigram_logprob
+
+        lm = unigram_logprob(corpus, id_col="url", vocab=lm_vocab)
+        corpus = corpus.join(
+            lm.filter(F.col("lm_logprob") >= min_lm_logprob).select("url"),
+            "url",
+            "left_semi",
+        )
+    if max_per_domain is not None:
+        from readability_ex_spark.operators.relational import top_k_per_key
+        from readability_ex_spark.operators.urlops import host_expr
+
+        corpus = top_k_per_key(
+            corpus.withColumn("_domain", host_expr("url")),
+            ["_domain"],
+            [F.col("quality_score").desc(), F.col("url").asc()],
+            max_per_domain,
+        ).drop("_domain", "rk")
+    if mixture_weights:
+        from readability_ex_spark.operators.sampling import mixture_sample
+
+        corpus = mixture_sample(
+            corpus, mixture_weights, stratum_col="lang", id_col="url"
+        )
+    if shard_tokens is not None:
+        from readability_ex_spark.operators.sampling import shard_assign
+
+        corpus = shard_assign(
+            corpus, shard_tokens, stratum_col="lang", id_col="url"
         )
     return corpus
 

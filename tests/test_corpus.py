@@ -470,3 +470,46 @@ def test_cross_near_dup_verify_scan_partition_pruned(spark, tmp_path):
     assert re.search(
         r"PartitionFilters: \[[^\]]*url_bucket#\d+ = \d+", plan
     ), plan[:3000]
+
+
+def test_prepare_training_corpus_crawl_filter_stages(spark):
+    """The library-level composition carries the crawl-filter stages:
+    canonical urls, blocklist, substring dedup, LM floor, domain cap,
+    mixture, shard ids — matching the script's flag semantics."""
+    from pyspark.sql import functions as F
+
+    from readability_ex_spark.operators.corpus import (
+        prepare_training_corpus,
+    )
+    from readability_ex_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001").limit(80)
+    # re-spell some urls with tracking params to give canonicalization
+    # real work
+    pages = pages.withColumn(
+        "url",
+        F.when(
+            F.xxhash64("url") % 2 == 0,
+            F.concat(F.col("url"), F.lit("?utm_source=x")),
+        ).otherwise(F.col("url")),
+    )
+    corpus = prepare_training_corpus(
+        pages,
+        canonical_urls=True,
+        blocklist=("dup",),
+        drop_substring_dups=True,
+        min_lm_logprob=-30.0,
+        max_per_domain=1_000,
+        mixture_weights={"en": 0.5, "fr": 0.3, "de": 0.2},
+        shard_tokens=400,
+        n_partitions=4,
+    )
+    rows = corpus.collect()
+    assert rows
+    for r in rows:
+        assert "utm_source" not in r.url  # canonical space
+        assert " dup " not in f" {r.text} "  # blocklist enforced
+        assert r.shard_id >= 0
+    langs = {r.lang for r in rows}
+    assert langs <= {"en", "fr", "de"}  # mixture dropped the rest
+    assert "n_substr_dup_tokens" in corpus.columns
