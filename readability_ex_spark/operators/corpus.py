@@ -558,9 +558,17 @@ def prepare_training_corpus(
         from readability_ex_spark.operators.urlops import canonicalize_url
 
         pages = pages.withColumn("url", canonicalize_url(F.col("url")))
+    # Spark plans are trees: the dedup manifest AND every text-replacing
+    # self-join stage (boilerplate, substring dedup, span decontam)
+    # re-derive their input from this frame, and without a cache each
+    # one re-runs the extraction kernel — the expensive stage — once
+    # more (the script caches for the same reason). MEMORY_AND_DISK by
+    # default, so oversized corpora spill instead of failing; at real
+    # scale the batch job materializes extraction to its output table
+    # once and this composition runs over that read.
     extracted = run_extraction(pages, **extraction_kwargs).filter(
         F.col("status") == "ok"
-    )
+    ).cache()
     if lang is not None:
         # route by language BEFORE the English-centric stopword/quality
         # rules (their documented precondition); prefix match keeps
@@ -676,6 +684,11 @@ def prepare_training_corpus(
     if min_lm_logprob is not None:
         from readability_ex_spark.operators.lmquality import unigram_logprob
 
+        # the LM stage reads the corpus for the vocab (when none is
+        # passed), the scoring pass, and the verdict join target —
+        # checkpoint once so the composed upstream (dedup manifest +
+        # every text stage) doesn't re-run per reference
+        corpus = corpus.localCheckpoint(eager=False)
         lm = unigram_logprob(corpus, id_col="url", vocab=lm_vocab)
         corpus = corpus.join(
             lm.filter(F.col("lm_logprob") >= min_lm_logprob).select("url"),

@@ -94,36 +94,38 @@ def unigram_logprob(
     entries = vocab.filter(F.col("token").isNotNull()).select(
         "token", F.log(F.col("c").cast("double")).alias("_ln_c")
     )
+    # explode_outer keeps a NULL-token row for empty docs, so the doc
+    # set survives one single pass — a "restore empty docs" join back
+    # to ``docs`` would re-derive the whole upstream plan a second time
+    # (Spark plans are trees), which inside a composed corpus build
+    # means re-running the dedup pipeline
     toks = docs.select(
-        F.col(id_col), F.explode(_tokens(text_col)).alias("token")
+        F.col(id_col), F.explode_outer(_tokens(text_col)).alias("token")
     )
     per_doc = (
         toks.join(F.broadcast(entries), "token", "left")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_tokens"),
+            F.count("token").alias("n_tokens"),
             F.sum(
-                F.when(F.col("_ln_c").isNull(), 1).otherwise(0)
+                F.when(
+                    F.col("token").isNotNull() & F.col("_ln_c").isNull(), 1
+                ).otherwise(0)
             ).alias("n_oov"),
             F.sum(F.coalesce("_ln_c", F.lit(0.0))).alias("_s"),
         )
     )
-    return (
-        docs.select(id_col)
-        .join(per_doc, id_col, "left")
-        .crossJoin(F.broadcast(total_df))
-        .select(
-            id_col,
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
-            F.when(
-                F.coalesce("n_tokens", F.lit(0)) > 0,
-                F.round(
-                    F.col("_s") / F.col("n_tokens") - F.col("_ln_total"),
-                    LOGPROB_DECIMALS,
-                ),
-            ).alias("lm_logprob"),
-        )
+    return per_doc.crossJoin(F.broadcast(total_df)).select(
+        id_col,
+        "n_tokens",
+        "n_oov",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.col("_s") / F.col("n_tokens") - F.col("_ln_total"),
+                LOGPROB_DECIMALS,
+            ),
+        ).alias("lm_logprob"),
     )
 
 
