@@ -125,22 +125,50 @@ def substring_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = K_SUBSTR,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """``(id_col, n_tokens, n_dup_tokens, text_clean)`` per document
     with every non-first occurrence of a corpus-duplicated ``k``-token
-    run removed (overlaps merged into maximal spans)."""
+    run removed (overlaps merged into maximal spans).
+
+    Two equivalent physical plans (equivalence-tested):
+
+    - default: ONE exchange on the window hash; a window function
+      yields occurrence count and first-occurrence rank together.
+      Cheapest, but a window partition cannot be split — a boilerplate
+      window occurring 10^6 times puts all its rows in one task.
+    - ``skew_safe=True``: hash aggregation (count + min occurrence per
+      hash — partial aggregation bounds any hot key's reducer input to
+      one row per map partition) followed by a verdict equi-join that
+      AQE's skew-join can split.  Two token-scale exchanges instead of
+      one — pay it when the corpus has pathological boilerplate.
+    """
     occ = docs.select(
         F.col(id_col),
         F.posexplode(window_hash_expr(text_col, k)).alias("pos", "h"),
     )
-    wspec = Window.partitionBy("h")
-    worder = wspec.orderBy(id_col, "pos")
-    dup_occ = (
-        occ.withColumn("_c", F.count("*").over(wspec))
-        .withColumn("_rn", F.row_number().over(worder))
-        .filter((F.col("_c") > 1) & (F.col("_rn") > 1))
-        .select(id_col, "pos")
-    )
+    if skew_safe:
+        first = F.struct(F.col(id_col), F.col("pos"))
+        verdict = (
+            occ.groupBy("h")
+            .agg(F.count("*").alias("_c"), F.min(first).alias("_first"))
+            .filter(F.col("_c") > 1)
+            .select("h", "_first")
+        )
+        dup_occ = (
+            occ.join(verdict, "h")
+            .filter(first != F.col("_first"))
+            .select(id_col, "pos")
+        )
+    else:
+        wspec = Window.partitionBy("h")
+        worder = wspec.orderBy(id_col, "pos")
+        dup_occ = (
+            occ.withColumn("_c", F.count("*").over(wspec))
+            .withColumn("_rn", F.row_number().over(worder))
+            .filter((F.col("_c") > 1) & (F.col("_rn") > 1))
+            .select(id_col, "pos")
+        )
     return cut_spans(docs, dup_occ, id_col, text_col, k)
 
 

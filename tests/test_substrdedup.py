@@ -119,3 +119,31 @@ def test_single_token_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning(h#") <= 1
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_skew_safe_plan_equivalent(spark, seed):
+    """The agg+join skew-safe plan returns byte-identical results to
+    the single-exchange window plan."""
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(20)]
+    hot = " ".join(rng.choice(vocab) for _ in range(10))
+    corpus = {}
+    for d in range(12):
+        words = [rng.choice(vocab) for _ in range(rng.randrange(0, 50))]
+        if d % 2 == 0:  # a hot run repeated in half the docs
+            at = rng.randrange(0, len(words) + 1)
+            words[at:at] = hot.split()
+        corpus[d] = " ".join(words)
+    df = spark.createDataFrame(
+        sorted(corpus.items()), "doc_id long, text string"
+    )
+    a = {
+        r.doc_id: (r.n_tokens, r.n_dup_tokens, r.text_clean)
+        for r in substring_dedup(df, k=8).collect()
+    }
+    b = {
+        r.doc_id: (r.n_tokens, r.n_dup_tokens, r.text_clean)
+        for r in substring_dedup(df, k=8, skew_safe=True).collect()
+    }
+    assert a == b
