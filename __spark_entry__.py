@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": T.q_quality_score,
         "quality_rules": CO.q_quality_rules,
         "unigram_logprob": LM.q_unigram_logprob,
+        "dsir_weights": LM.q_dsir_weights,
         "wordlist_filter": WL.q_wordlist_filter,
         "repetition_stats": CO.q_repetition_stats,
         "lang_id": T.q_lang_id,
@@ -671,6 +672,75 @@ def oracle_sql() -> dict[str, str]:
                                   '{WL.blocklist_pattern(WL.DEFAULT_BLOCKLIST)}'))
                          END) > 0 AS flagged
             FROM documents ORDER BY doc_id
+        """,
+        # mirrors lmquality.dsir_weights: train docs scored under the
+        # eval-split target unigram model AND the train corpus's own
+        "dsir_weights": f"""
+            WITH t0 AS (
+              SELECT doc_id, text,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1,
+                            {DC.EVAL_HEX_BITS}) = '{DC.EVAL_HEX_PREFIX}'
+                       AS is_eval
+              FROM documents),
+            train AS (SELECT doc_id, text FROM t0 WHERE NOT is_eval),
+            toks AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN text IS NULL OR trim(text) = ''
+                                 THEN CAST([] AS VARCHAR[])
+                                 ELSE regexp_split_to_array(trim(text),
+                                                            '\\s+') END)
+                       AS token
+              FROM train),
+            ttoks AS (
+              SELECT unnest(CASE WHEN text IS NULL OR trim(text) = ''
+                                 THEN CAST([] AS VARCHAR[])
+                                 ELSE regexp_split_to_array(trim(text),
+                                                            '\\s+') END)
+                       AS token
+              FROM t0 WHERE is_eval),
+            stf AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+            stop AS (
+              SELECT token, ln(CAST(c AS DOUBLE)) AS ln_c
+              FROM stf ORDER BY c DESC, token ASC
+              LIMIT {LM.DEFAULT_VOCAB_SIZE}),
+            stot AS (
+              SELECT ln(CAST(sum(c) AS DOUBLE)) AS ln_total FROM stf),
+            ttf AS (SELECT token, count(*) AS c FROM ttoks GROUP BY token),
+            ttop AS (
+              SELECT token, ln(CAST(c AS DOUBLE)) AS ln_c
+              FROM ttf ORDER BY c DESC, token ASC
+              LIMIT {LM.DEFAULT_VOCAB_SIZE}),
+            ttot AS (
+              SELECT ln(CAST(sum(c) AS DOUBLE)) AS ln_total FROM ttf),
+            per_s AS (
+              SELECT t.doc_id, count(t.token) AS n_tokens,
+                     sum(coalesce(v.ln_c, 0.0)) AS s
+              FROM toks t LEFT JOIN stop v USING (token)
+              GROUP BY t.doc_id),
+            per_t AS (
+              SELECT t.doc_id, sum(coalesce(v.ln_c, 0.0)) AS s
+              FROM toks t LEFT JOIN ttop v USING (token)
+              GROUP BY t.doc_id),
+            scored AS (
+              SELECT tr.doc_id,
+                     CAST(coalesce(ps.n_tokens, 0) AS BIGINT)
+                       AS n_tokens,
+                     CASE WHEN coalesce(ps.n_tokens, 0) > 0
+                          THEN round(pt.s / ps.n_tokens - ttot.ln_total,
+                                     {LM.LOGPROB_DECIMALS}) END
+                       AS target_logprob,
+                     CASE WHEN coalesce(ps.n_tokens, 0) > 0
+                          THEN round(ps.s / ps.n_tokens - stot.ln_total,
+                                     {LM.LOGPROB_DECIMALS}) END
+                       AS self_logprob
+              FROM train tr
+              LEFT JOIN per_s ps USING (doc_id)
+              LEFT JOIN per_t pt USING (doc_id)
+              CROSS JOIN stot CROSS JOIN ttot)
+            SELECT doc_id, n_tokens, target_logprob, self_logprob,
+                   round(target_logprob - self_logprob,
+                         {LM.LOGPROB_DECIMALS}) AS dsir_weight
+            FROM scored ORDER BY doc_id
         """,
         # mirrors lmquality.unigram_logprob: top-V unigram model from
         # corpus counts, OOV floor 1/total, mean ln-prob per doc

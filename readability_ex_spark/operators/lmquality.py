@@ -129,6 +129,70 @@ def unigram_logprob(
     )
 
 
+def dsir_weights(
+    docs: DataFrame,
+    target_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = DEFAULT_VOCAB_SIZE,
+    target_vocab: DataFrame | None = None,
+    self_vocab: DataFrame | None = None,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per document,
+    ``log p_target(doc) - log p_self(doc)`` under unigram models of a
+    small TARGET corpus (the domain you want more of) and of the
+    training corpus itself.  Documents that look more like the target
+    than like the average of their own corpus get positive weights;
+    resample/keep by descending weight.
+
+    Returns ``(id_col, n_tokens, target_logprob, self_logprob,
+    dsir_weight)`` (all NULL-scored rows are token-less docs).  Both
+    models are :func:`unigram_vocab` artifacts — pass persisted ones to
+    skip the builds.  Plan: the target build is tiny (the target corpus
+    is a sample by construction), the self build is the one
+    amortizable token shuffle, and the two scoring passes are
+    broadcast joins + doc-level partial aggs joined on the id — the
+    corpus is never shuffled on token.
+    """
+    if target_vocab is None:
+        target_vocab = unigram_vocab(target_df, text_col, vocab_size)
+    if self_vocab is None:
+        self_vocab = unigram_vocab(docs, text_col, vocab_size)
+    t = unigram_logprob(
+        docs, id_col, text_col, vocab=target_vocab
+    ).select(
+        id_col,
+        "n_tokens",
+        F.col("lm_logprob").alias("target_logprob"),
+    )
+    s = unigram_logprob(docs, id_col, text_col, vocab=self_vocab).select(
+        id_col, F.col("lm_logprob").alias("self_logprob")
+    )
+    return t.join(s, id_col).select(
+        id_col,
+        "n_tokens",
+        "target_logprob",
+        "self_logprob",
+        F.round(
+            F.col("target_logprob") - F.col("self_logprob"),
+            LOGPROB_DECIMALS,
+        ).alias("dsir_weight"),
+    )
+
+
 def q_unigram_logprob(spark, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return unigram_logprob(docs).orderBy("doc_id")
+
+
+def q_dsir_weights(spark, sf_dir: str) -> DataFrame:
+    """DSIR weights of the training split against the eval-split
+    'target domain' (the same deterministic md5 split decontamination
+    uses)."""
+    from readability_ex_spark.operators.decontam import _eval_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = _eval_split(docs)
+    train = docs.join(target.select("doc_id"), "doc_id", "left_anti")
+    return dsir_weights(train, target).orderBy("doc_id")

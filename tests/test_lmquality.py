@@ -108,3 +108,55 @@ def test_deterministic_vocab_tiebreak(spark):
         if r.token is not None
     ]
     assert v == ["x"]
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """A doc written in the target domain's vocabulary outweighs a doc
+    written in the corpus's own background vocabulary."""
+    from readability_ex_spark.operators.lmquality import dsir_weights
+
+    target = spark.createDataFrame(
+        [(100, "quantum physics lattice " * 5)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "quantum physics lattice quantum physics"),
+            (2, "celebrity gossip news celebrity gossip"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dsir_weights(docs, target).collect()}
+    assert out[1].dsir_weight > out[2].dsir_weight
+    assert out[1].dsir_weight > 0  # more target-like than corpus-average
+    assert out[3].n_tokens == 0 and out[3].dsir_weight is None
+
+
+def test_dsir_persisted_vocabs(spark):
+    """Passing persisted models reproduces the inline result."""
+    from readability_ex_spark.operators.lmquality import (
+        dsir_weights,
+        unigram_vocab,
+    )
+
+    target = spark.createDataFrame(
+        [(100, "alpha beta alpha")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "alpha gamma"), (2, "delta delta")],
+        "doc_id long, text string",
+    )
+    inline = {
+        r.doc_id: r.dsir_weight
+        for r in dsir_weights(docs, target).collect()
+    }
+    persisted = {
+        r.doc_id: r.dsir_weight
+        for r in dsir_weights(
+            docs,
+            None,
+            target_vocab=unigram_vocab(target),
+            self_vocab=unigram_vocab(docs),
+        ).collect()
+    }
+    assert inline == persisted
