@@ -168,6 +168,9 @@ def main() -> int:
     from readability_ex_spark.operators.wordlist import q_wordlist_filter
 
     run("unigram_logprob", lambda: q_unigram_logprob(spark, sf_dir).count())
+    from readability_ex_spark.operators.lmquality import q_dsir_weights
+
+    run("dsir_weights", lambda: q_dsir_weights(spark, sf_dir).count())
     run("wordlist_filter", lambda: q_wordlist_filter(spark, sf_dir).count())
     run("canonical_dedup", lambda: q_canonical_dedup(spark, sf_dir).count())
     run("mixture_sample", lambda: q_mixture_sample(spark, sf_dir).count())
