@@ -89,6 +89,17 @@ def main() -> int:
         "token-less docs always drop)",
     )
     ap.add_argument(
+        "--dsir-target", default=None, metavar="TARGET_PATH",
+        help="parquet table with a text column describing the TARGET "
+        "domain; keep only docs whose DSIR importance weight "
+        "(log p_target - log p_self) is >= --min-dsir-weight",
+    )
+    ap.add_argument(
+        "--min-dsir-weight", type=float, default=0.0, metavar="W",
+        help="DSIR weight floor used with --dsir-target (default 0: "
+        "keep docs at least as target-like as the corpus average)",
+    )
+    ap.add_argument(
         "--max-per-domain", type=int, default=None, metavar="N",
         help="cap each hostname's contribution at its N highest-quality "
         "docs (skew-safe two-stage top-k; C4/Gopher dominant-host rule)",
@@ -301,6 +312,21 @@ def main() -> int:
         corpus = corpus.join(
             lm.filter(
                 F.col("lm_logprob") >= args.min_lm_logprob
+            ).select("url"),
+            "url",
+            "left_semi",
+        )
+    if args.dsir_target:
+        from readability_ex_spark.operators.lmquality import dsir_weights
+
+        target_df = spark.read.parquet(args.dsir_target)
+        # like the LM floor: the stage references the corpus three
+        # times (self model, scoring, verdict target) — checkpoint once
+        corpus = corpus.localCheckpoint(eager=False)
+        dw = dsir_weights(corpus, target_df, id_col="url")
+        corpus = corpus.join(
+            dw.filter(
+                F.col("dsir_weight") >= args.min_dsir_weight
             ).select("url"),
             "url",
             "left_semi",

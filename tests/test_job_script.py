@@ -283,6 +283,11 @@ def test_prepare_corpus_script_decontaminate_spans(jobdir, spark):
             "--output", str(out),
             "--partitions", "4",
             "--decontaminate-spans", str(eval_path),
+            # DSIR against the same eval target with a floor low enough
+            # to keep rows — exercises the stage without starving the
+            # span assertions below
+            "--dsir-target", str(eval_path),
+            "--min-dsir-weight", "-10.0",
         ],
         capture_output=True, text=True, timeout=420, cwd=str(REPO),
     )
