@@ -147,3 +147,20 @@ def test_skew_safe_plan_equivalent(spark, seed):
         for r in substring_dedup(df, k=8, skew_safe=True).collect()
     }
     assert a == b
+
+
+def test_skew_safe_plan_has_no_window(spark):
+    """skew_safe=True must really avoid the unsplittable window: no
+    Window node, and the verdict arrives via join."""
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(4)],
+        "doc_id long, text string",
+    )
+    plan = (
+        substring_dedup(df, k=5, skew_safe=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "Join" in plan
