@@ -142,7 +142,12 @@ def main() -> int:
         "append only the new batch's delta (existing urls and exact-text "
         "fingerprints win; see corpus.incremental_corpus_update). Run "
         "with the SAME stage flags as the original build so the "
-        "appended schema matches",
+        "appended schema matches. Cross-batch closure comes from the "
+        "persisted artifacts (_bands near-dups, _lm_vocab LM floor, "
+        "--update-near-dup); corpus-global df statistics inside "
+        "--drop-boilerplate / --drop-substring-dups are computed over "
+        "the BATCH only — boilerplate spanning old and new batches is "
+        "not re-counted against the union",
     )
     ap.add_argument(
         "--update-near-dup", type=float, default=None, metavar="JACCARD",
