@@ -134,6 +134,55 @@ LINE_CHUNK_TOKENS = 30
 LINE_MAX_DF = 2
 
 
+def _chunk_structs(text_col: str, chunk_tokens: int):
+    c = F.col(text_col)
+    toks = F.when(
+        c.isNull() | (F.trim(c) == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(c), r"\s+"))
+    n_chunks_expr = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    # sequence(0, -1) counts DOWN in Spark — empty docs must short-circuit
+    return F.when(
+        n_chunks_expr > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks_expr - 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(
+                    " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+                ).alias("chunk"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,chunk:string>>"))
+
+
+def chunk_document_frequency(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = LINE_CHUNK_TOKENS,
+) -> DataFrame:
+    """``(chunk_h, df)``: per 16-hex-md5 chunk hash, the number of
+    DISTINCT docs containing it.  This is :func:`line_dedup`'s
+    frequency table exposed as a persistable sidecar (~24 bytes per
+    distinct chunk, text-size-independent): a pipeline stores it next
+    to its corpus and feeds it back as ``extra_chunk_df`` so
+    incremental batches count boilerplate against PRIOR batches too.
+    Counts are additive across disjoint doc sets — append each batch's
+    table and SUM per hash at read time.
+    """
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode(_chunk_structs(text_col, chunk_tokens)).alias("c"),
+    ).select(
+        id_col, F.substring(F.md5(F.col("c.chunk")), 1, 16).alias("chunk_h")
+    )
+    return (
+        exploded.distinct()
+        .groupBy("chunk_h")
+        .agg(F.count("*").alias("df"))
+    )
+
+
 def line_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -141,6 +190,7 @@ def line_dedup(
     chunk_tokens: int = LINE_CHUNK_TOKENS,
     max_df: int = LINE_MAX_DF,
     broadcast_verdict: bool = True,
+    extra_chunk_df: DataFrame | None = None,
 ) -> DataFrame:
     """Remove cross-document boilerplate chunks and reassemble the text.
 
@@ -160,34 +210,36 @@ def line_dedup(
     re-shuffles corpus tokens because the violator set is the small,
     broadcast side.  Work and shuffle volume are linear in corpus tokens
     — the same shape as exact dedup, run at chunk granularity.
+
+    ``extra_chunk_df`` (a persisted :func:`chunk_document_frequency`
+    table, possibly multi-appended) adds PRIOR batches' counts to this
+    corpus's own before the verdict, so a chunk under the cap within
+    the batch but over it across batches is dropped too — the
+    cross-batch closure for incremental updates.
     """
-    c = F.col(text_col)
-    toks = F.when(
-        c.isNull() | (F.trim(c) == ""), F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(c), r"\s+"))
-    n_chunks_expr = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
-    # sequence(0, -1) counts DOWN in Spark — empty docs must short-circuit
-    chunks = F.when(
-        n_chunks_expr > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_chunks_expr - 1),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.concat_ws(
-                    " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
-                ).alias("chunk"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,chunk:string>>"))
     exploded = docs.select(
-        F.col(id_col), F.explode(chunks).alias("c")
-    ).select(id_col, "c.pos", "c.chunk")
+        F.col(id_col),
+        F.explode(_chunk_structs(text_col, chunk_tokens)).alias("c"),
+    ).select(
+        id_col,
+        "c.pos",
+        "c.chunk",
+        F.substring(F.md5(F.col("c.chunk")), 1, 16).alias("chunk_h"),
+    )
     dfreq = (
-        exploded.select(id_col, "chunk")
+        exploded.select(id_col, "chunk_h")
         .distinct()
-        .groupBy("chunk")
+        .groupBy("chunk_h")
         .agg(F.count("*").alias("df"))
     )
+    if extra_chunk_df is not None:
+        dfreq = (
+            dfreq.unionByName(
+                extra_chunk_df.select("chunk_h", F.col("df").cast("long"))
+            )
+            .groupBy("chunk_h")
+            .agg(F.sum("df").alias("df"))
+        )
     # Heavy-hitters verdict: only chunks OVER the df cap matter, and that
     # set is small by construction (it is the boilerplate).  Anti-joining
     # against the broadcast violator set keeps the corpus-scale exploded
@@ -196,10 +248,10 @@ def line_dedup(
     # False`` drops the forced-broadcast hint for the rare corpus whose
     # violator set itself outgrows executor memory (AQE then picks
     # broadcast vs shuffle from the measured size).
-    violators = dfreq.filter(F.col("df") > max_df).select("chunk")
+    violators = dfreq.filter(F.col("df") > max_df).select("chunk_h")
     if broadcast_verdict:
         violators = F.broadcast(violators)
-    kept = exploded.join(violators, "chunk", "left_anti")
+    kept = exploded.join(violators, "chunk_h", "left_anti")
     reassembled = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

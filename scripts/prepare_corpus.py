@@ -251,12 +251,25 @@ def main() -> int:
             .drop("text")
             .withColumnRenamed("text_scrubbed", "text")
         )
+    chunk_df_path = f"{args.output}/_chunk_df"
+    had_chunk_df = Path(chunk_df_path).exists()
     if args.drop_boilerplate:
         from readability_ex_spark.operators.decontam import line_dedup
 
-        cleaned = line_dedup(survivors, id_col="url").select(
-            "url", "text_clean", "n_dropped"
-        )
+        # cross-batch closure: prior batches' chunk counts (persisted
+        # additive sidecar) join this batch's own, so boilerplate whose
+        # occurrences straddle old and new batches still trips the cap
+        extra = None
+        if args.update and had_chunk_df:
+            extra = (
+                spark.read.parquet(chunk_df_path)
+                .groupBy("chunk_h")
+                .agg(F.sum("df").alias("df"))
+            )
+            print("chunk_df=loaded")
+        cleaned = line_dedup(
+            survivors, id_col="url", extra_chunk_df=extra
+        ).select("url", "text_clean", "n_dropped")
         survivors = (
             survivors.drop("text")
             .join(cleaned, "url")
@@ -537,6 +550,28 @@ def main() -> int:
                 spark.read.parquet(args.output), id_col="url"
             ).write.mode("overwrite").parquet(bands_path)
             print("band_index=rebuilt")
+    if args.drop_boilerplate:
+        from readability_ex_spark.operators.decontam import (
+            chunk_document_frequency,
+        )
+
+        # the sidecar describes the corpus AS WRITTEN (post-cleaning):
+        # a full build (or the first update of a pre-sidecar corpus —
+        # appending only the delta would leave a partial table later
+        # updates silently trust) derives it from the whole output; an
+        # update appends only the delta's counts (additive, summed at
+        # read time)
+        if args.update and had_chunk_df:
+            chunk_document_frequency(
+                corpus.select("url", "text"), id_col="url"
+            ).write.mode("append").parquet(chunk_df_path)
+            print("chunk_df=appended")
+        else:
+            chunk_document_frequency(
+                spark.read.parquet(args.output).select("url", "text"),
+                id_col="url",
+            ).write.mode("overwrite").parquet(chunk_df_path)
+            print("chunk_df=rebuilt")
     if lm_vocab_df is not None and not lm_vocab_loaded:
         # persist the model the corpus was filtered by (tiny: V+1 rows)
         # so later --update batches score against it without a

@@ -297,3 +297,55 @@ def test_decontaminate_spans_gram_join_is_broadcast(spark):
     # the ONLY gram exchange allowed is the eval side's tiny distinct;
     # the corpus-side window stream must reach the join unshuffled
     assert plan.count("Exchange hashpartitioning(gram") == 1
+
+
+def test_line_dedup_cross_batch_counts(spark):
+    """A chunk under the df cap within the batch but over it once prior
+    batches' persisted counts are added is dropped — and without the
+    sidecar it survives (the exact incremental-update closure)."""
+    from readability_ex_spark.operators.decontam import (
+        chunk_document_frequency,
+        line_dedup,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(30))
+    tail = " ".join(f"t{i}" for i in range(30))
+    batch = spark.createDataFrame(
+        [(1, f"{boiler} {tail}")], "doc_id long, text string"
+    )
+    prior = spark.createDataFrame(
+        [(100, boiler), (101, f"{boiler} other words here")],
+        "doc_id long, text string",
+    )
+    alone = line_dedup(batch).collect()[0]
+    assert alone.n_dropped == 0  # df=1 within the batch
+
+    extra = chunk_document_frequency(prior)  # boiler chunk df=2
+    combined = line_dedup(batch, extra_chunk_df=extra).collect()[0]
+    assert combined.n_dropped == 1
+    assert combined.text_clean == tail
+
+
+def test_chunk_document_frequency_additive(spark):
+    """Appended per-batch tables sum to the union's counts (disjoint
+    doc sets) — the property the persisted sidecar relies on."""
+    from readability_ex_spark.operators.decontam import (
+        chunk_document_frequency,
+    )
+
+    c = " ".join(f"w{i}" for i in range(30))
+    a = spark.createDataFrame([(1, c), (2, c)], "doc_id long, text string")
+    b = spark.createDataFrame([(3, c)], "doc_id long, text string")
+    from pyspark.sql import functions as F
+
+    summed = (
+        chunk_document_frequency(a)
+        .unionByName(chunk_document_frequency(b))
+        .groupBy("chunk_h")
+        .agg(F.sum("df").alias("df"))
+        .collect()
+    )
+    union = chunk_document_frequency(a.unionByName(b)).collect()
+    assert {(r.chunk_h, r.df) for r in summed} == {
+        (r.chunk_h, r.df) for r in union
+    }

@@ -531,3 +531,82 @@ def test_run_job_export_wet(jobdir, spark):
     import glob
 
     assert glob.glob(str(d / "jsonl" / "*.json.gz"))
+
+
+def test_prepare_corpus_chunk_df_cross_batch(spark, tmp_path):
+    """The persisted _chunk_df sidecar closes boilerplate counting
+    across batches: a chunk at the df cap in the existing corpus is
+    dropped from an update batch that pushes it over."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    boiler = " ".join(f"b{i}" for i in range(30))
+
+    def page_rows(specs):
+        ts = datetime.datetime(2024, 6, 1)
+        rows = []
+        for url, body in specs:
+            html = (
+                f"<html><body><article><p>{body}</p></article>"
+                "</body></html>"
+            ).encode()
+            rows.append((url, ts, html, "", "en"))
+        return spark.createDataFrame(
+            rows,
+            "url string, warc_ts timestamp, html binary, "
+            "text string, lang string",
+        )
+
+    def tail(tag):
+        return " ".join(f"{tag}x{i}" for i in range(70))
+
+    out = tmp_path / "corpus"
+    page_rows(
+        [
+            ("http://a.test/1", f"{boiler} {tail('a')}"),
+            ("http://a.test/2", f"{boiler} {tail('b')}"),
+            ("http://a.test/3", tail("c")),
+        ]
+    ).write.mode("overwrite").parquet(str(tmp_path / "pages1"))
+    build = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(tmp_path / "pages1"),
+            "--output", str(out),
+            "--partitions", "2",
+            "--drop-boilerplate",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert build.returncode == 0, build.stderr[-1500:]
+    assert "chunk_df=rebuilt" in build.stdout
+    # df=2 == cap: the boilerplate SURVIVED the full build and is
+    # therefore counted in the sidecar
+    built = spark.read.parquet(str(out))
+    assert built.filter(F.col("text").contains("b0 b1")).count() == 2
+
+    page_rows(
+        [("http://a.test/4", f"{boiler} {tail('d')}")]
+    ).write.mode("overwrite").parquet(str(tmp_path / "pages2"))
+    upd = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(tmp_path / "pages2"),
+            "--output", str(out),
+            "--partitions", "2",
+            "--drop-boilerplate",
+            "--update",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert upd.returncode == 0, upd.stderr[-1500:]
+    assert "chunk_df=loaded" in upd.stdout
+    assert "chunk_df=appended" in upd.stdout
+    after = spark.read.parquet(str(out))
+    new_doc = after.filter(F.col("url") == "http://a.test/4").collect()
+    assert len(new_doc) == 1
+    # combined df = 2 (existing) + 1 (batch) > cap -> the batch doc
+    # ships WITHOUT the boilerplate chunk (existing rows are immutable)
+    assert "b0" not in new_doc[0].text
+    assert "dx0" in new_doc[0].text
