@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_manifest": C.q_dedup_manifest,
         "shingle_jaccard": T.q_shingle_jaccard,
         "corpus_stats": T.q_corpus_stats,
+        "top_ngrams": T.q_top_ngrams,
         "corpus_cardinality": T.q_corpus_cardinality,
         "stratified_sample": SA.q_stratified_sample,
         "mixture_sample": SA.q_mixture_sample,
@@ -1374,6 +1375,22 @@ def oracle_sql() -> dict[str, str]:
                    ex.doc_id = coalesce(lab.ndc, ex.ec) AS keep
             FROM ex LEFT JOIN lab ON ex.ec = lab.ec
             ORDER BY doc_id
+        """,
+        # mirrors textops.corpus_top_ngrams: stride-1 bigram strings,
+        # count, deterministic top-50 (count desc, gram asc)
+        "top_ngrams": f"""
+            WITH t AS (
+              SELECT CASE WHEN text IS NULL OR trim(text) = ''
+                          THEN CAST([] AS VARCHAR[]) ELSE {toks} END
+                       AS tk
+              FROM documents),
+            g AS (
+              SELECT array_to_string(tk[u.i:u.i + 1], ' ') AS gram
+              FROM t, unnest(range(1, len(tk))) AS u(i)
+              WHERE len(tk) >= 2)
+            SELECT gram, count(*) AS c
+            FROM g GROUP BY gram
+            ORDER BY c DESC, gram ASC LIMIT 50
         """,
         "corpus_stats": """
             SELECT lang, count(*) AS n_docs,

@@ -727,6 +727,48 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_top_ngrams(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` corpus ``n``-grams by occurrence count (ties broken
+    bytewise) — the corpus-analysis table (Google-ngrams shape) behind
+    boilerplate review and tokenizer-vocabulary sanity checks.
+
+    Plan: stride-1 n-gram strings per doc (a short-array higher-order
+    transform — per the BENCH HOF rule, fine at dozens-to-hundreds of
+    lambdas per row), ONE token-scale hash agg (map-side combined), and
+    a global top-k over the gram-cardinality table (TakeOrdered — no
+    full sort materialization).  Output ``(gram, c)``.
+    """
+    c = F.col(text_col)
+    toks = F.when(
+        c.isNull() | (F.trim(c) == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(c), r"\s+"))
+    n_grams = F.size(toks) - F.lit(n - 1)
+    grams = F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_grams - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("gram").asc())
+        .limit(k)
+    )
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_top_ngrams(docs, n=2, k=50)
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus rollup: docs, distinct sources, char totals —
     the monitoring-table shape of the extraction job's counters."""

@@ -209,3 +209,30 @@ def test_winnow_df_cut_scales_with_corpus(spark):
     # the fixed floor alone (explicit max_df=50) cuts the whole family
     fixed = winnow_overlap_pairs(docs, max_df=50)
     assert fixed.count() == 0
+
+
+def test_corpus_top_ngrams(spark):
+    """Counts, tiebreak order, and the below-n edge match a naive
+    recount."""
+    from collections import Counter
+
+    from readability_ex_spark.operators.textops import corpus_top_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b c"),
+            (2, "a b x"),
+            (3, "z"),  # shorter than n -> contributes nothing
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = [(r.gram, r.c) for r in corpus_top_ngrams(docs, n=2, k=3).collect()]
+    naive = Counter()
+    for t in ("a b a b c", "a b x"):
+        w = t.split()
+        for i in range(len(w) - 1):
+            naive[" ".join(w[i : i + 2])] += 1
+    want = sorted(naive.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert out == want
+    assert out[0] == ("a b", 3)
