@@ -47,6 +47,20 @@ def main() -> int:
     args, _ = ap.parse_known_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+    def _loadavg() -> list[float]:
+        # ambient co-tenant load at measurement time — without it a bench
+        # artifact from a loaded box is unadjudicable (round 5 burned a
+        # review cycle on a uniform 1.5x ambient factor)
+        try:
+            return [
+                float(x)
+                for x in Path("/proc/loadavg").read_text().split()[:3]
+            ]
+        except (OSError, ValueError):
+            return []
+
+    load_start = _loadavg()
+
     from readability_ex_spark.operators import embedding as E
     from readability_ex_spark.operators import relational as R
     from readability_ex_spark.operators import similarity as S
@@ -82,11 +96,12 @@ def main() -> int:
     t0 = time.perf_counter()
     run_extraction(pages.limit(256), dedup=False).count()
     timings["worker_warmup"] = round(time.perf_counter() - t0, 3)
-    # best of 2: the sandbox is co-tenant and single runs swing ±30%;
-    # min-of-2 reports steady-state throughput, not scheduler luck
+    # best of N: the sandbox is co-tenant and single runs swing ±30%;
+    # min-of-N reports steady-state throughput, not scheduler luck
+    extract_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     extract_sec = None
     n_extracted = 0
-    for _ in range(2):
+    for _ in range(extract_runs):
         t0 = time.perf_counter()
         n_extracted = run_extraction(pages).count()
         sec = time.perf_counter() - t0
@@ -171,6 +186,31 @@ def main() -> int:
     from readability_ex_spark.operators.lmquality import q_dsir_weights
 
     run("dsir_weights", lambda: q_dsir_weights(spark, sf_dir).count())
+
+    # split view: dsir_weights above pays BOTH model builds inline; with
+    # persisted vocabs (the recurring-pipeline path — prepare_corpus.py
+    # persists _lm_vocab) only the single-pass scoring runs, and that
+    # pass should cost ≈ unigram_logprob's scoring (one explode, one
+    # doc-level agg) despite scoring two models
+    from readability_ex_spark.operators.lmquality import (
+        dsir_weights as _dsirw,
+        unigram_vocab as _uvocab,
+    )
+    from pyspark.sql import functions as _Fd
+
+    _docs_lm = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _tv = _uvocab(
+        _docs_lm.filter(
+            _Fd.md5(_Fd.col("doc_id").cast("string")).startswith("0")
+        )
+    ).localCheckpoint(eager=True)
+    _sv = _uvocab(_docs_lm).localCheckpoint(eager=True)
+    run(
+        "dsir_weights_scored",
+        lambda: _dsirw(
+            _docs_lm, None, target_vocab=_tv, self_vocab=_sv
+        ).count(),
+    )
     run("wordlist_filter", lambda: q_wordlist_filter(spark, sf_dir).count())
     run("canonical_dedup", lambda: q_canonical_dedup(spark, sf_dir).count())
     run("mixture_sample", lambda: q_mixture_sample(spark, sf_dir).count())
@@ -343,6 +383,9 @@ def main() -> int:
                 "n_pages": n_pages,
                 "n_extracted": n_extracted,
                 "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+                "extract_runs": extract_runs,
+                "loadavg_start": load_start,
+                "loadavg_end": _loadavg(),
             }
         )
     )

@@ -150,34 +150,72 @@ def dsir_weights(
     dsir_weight)`` (all NULL-scored rows are token-less docs).  Both
     models are :func:`unigram_vocab` artifacts — pass persisted ones to
     skip the builds.  Plan: the target build is tiny (the target corpus
-    is a sample by construction), the self build is the one
-    amortizable token shuffle, and the two scoring passes are
-    broadcast joins + doc-level partial aggs joined on the id — the
-    corpus is never shuffled on token.
+    is a sample by construction), the self build is the one amortizable
+    token shuffle, and scoring is ONE corpus pass — a single
+    explode_outer with both bounded vocab tables broadcast-joined onto
+    the same token stream and both log-prob sums folded in one
+    doc-level aggregation (two sums in one agg cost the same exchange
+    as one; a second ``unigram_logprob`` pass would scan the corpus
+    twice).  The corpus is never shuffled on token.
     """
     if target_vocab is None:
         target_vocab = unigram_vocab(target_df, text_col, vocab_size)
     if self_vocab is None:
         self_vocab = unigram_vocab(docs, text_col, vocab_size)
-    t = unigram_logprob(
-        docs, id_col, text_col, vocab=target_vocab
-    ).select(
-        id_col,
-        "n_tokens",
-        F.col("lm_logprob").alias("target_logprob"),
+    target_vocab = target_vocab.localCheckpoint(eager=False)
+    self_vocab = self_vocab.localCheckpoint(eager=False)
+
+    def _split(vocab: DataFrame, tag: str):
+        total = vocab.filter(F.col("token").isNull()).select(
+            F.log(F.col("c").cast("double")).alias(f"_ln_total_{tag}")
+        )
+        entries = vocab.filter(F.col("token").isNotNull()).select(
+            "token", F.log(F.col("c").cast("double")).alias(f"_ln_c_{tag}")
+        )
+        return total, entries
+
+    t_total, t_entries = _split(target_vocab, "t")
+    s_total, s_entries = _split(self_vocab, "s")
+    # explode_outer: the NULL-token row keeps empty docs in the single
+    # pass (see unigram_logprob's plan-tree note)
+    toks = docs.select(
+        F.col(id_col), F.explode_outer(_tokens(text_col)).alias("token")
     )
-    s = unigram_logprob(docs, id_col, text_col, vocab=self_vocab).select(
-        id_col, F.col("lm_logprob").alias("self_logprob")
+    per_doc = (
+        toks.join(F.broadcast(t_entries), "token", "left")
+        .join(F.broadcast(s_entries), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("token").alias("n_tokens"),
+            F.sum(F.coalesce("_ln_c_t", F.lit(0.0))).alias("_st"),
+            F.sum(F.coalesce("_ln_c_s", F.lit(0.0))).alias("_ss"),
+        )
     )
-    return t.join(s, id_col).select(
-        id_col,
-        "n_tokens",
-        "target_logprob",
-        "self_logprob",
-        F.round(
-            F.col("target_logprob") - F.col("self_logprob"),
-            LOGPROB_DECIMALS,
-        ).alias("dsir_weight"),
+
+    def _logprob(sum_col: str, total_col: str):
+        return F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.col(sum_col) / F.col("n_tokens") - F.col(total_col),
+                LOGPROB_DECIMALS,
+            ),
+        )
+
+    return (
+        per_doc.crossJoin(F.broadcast(t_total.crossJoin(s_total)))
+        .select(
+            id_col,
+            "n_tokens",
+            _logprob("_st", "_ln_total_t").alias("target_logprob"),
+            _logprob("_ss", "_ln_total_s").alias("self_logprob"),
+        )
+        .withColumn(
+            "dsir_weight",
+            F.round(
+                F.col("target_logprob") - F.col("self_logprob"),
+                LOGPROB_DECIMALS,
+            ),
+        )
     )
 
 
@@ -189,10 +227,15 @@ def q_unigram_logprob(spark, sf_dir: str) -> DataFrame:
 def q_dsir_weights(spark, sf_dir: str) -> DataFrame:
     """DSIR weights of the training split against the eval-split
     'target domain' (the same deterministic md5 split decontamination
-    uses)."""
+    uses).  The train frame is checkpointed once — it feeds both the
+    self-model build and the scoring pass, and the composed job
+    (prepare_corpus.py) checkpoints its corpus before this stage for
+    the same plan-tree reason."""
     from readability_ex_spark.operators.decontam import _eval_split
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     target = _eval_split(docs)
-    train = docs.join(target.select("doc_id"), "doc_id", "left_anti")
+    train = docs.join(
+        target.select("doc_id"), "doc_id", "left_anti"
+    ).localCheckpoint(eager=False)
     return dsir_weights(train, target).orderBy("doc_id")

@@ -63,6 +63,19 @@ def stream_extraction(
                 "url", canonicalize_url(F.col("url"))
             )
         extracted = run_extraction(batch_df, dedup=True)
+        # stage ORDER mirrors scripts/prepare_corpus.py (pii scrub, THEN
+        # blocklist): with both flags on, a doc whose only blocklist hit
+        # sits inside later-scrubbed text must get the same verdict in
+        # both engines — reordering would drop it in one and keep it in
+        # the other
+        if scrub_pii_text:
+            from readability_ex_spark.operators.pii import scrub_pii
+
+            extracted = (
+                scrub_pii(extracted)
+                .drop("text")
+                .withColumnRenamed("text_scrubbed", "text")
+            )
         if blocklist:
             from readability_ex_spark.operators.wordlist import (
                 wordlist_hits,
@@ -73,14 +86,6 @@ def stream_extraction(
             ).filter("flagged")
             extracted = extracted.join(
                 flagged.select("url"), "url", "left_anti"
-            )
-        if scrub_pii_text:
-            from readability_ex_spark.operators.pii import scrub_pii
-
-            extracted = (
-                scrub_pii(extracted)
-                .drop("text")
-                .withColumnRenamed("text_scrubbed", "text")
             )
         if quality_rules:
             from readability_ex_spark.operators.corpus import (
