@@ -506,6 +506,7 @@ def prepare_training_corpus(
     canonical_urls: bool = False,
     blocklist: tuple[str, ...] | None = None,
     drop_substring_dups: bool = False,
+    substring_skew_safe: bool = True,
     span_decontaminate_df: DataFrame | None = None,
     min_lm_logprob: float | None = None,
     lm_vocab: DataFrame | None = None,
@@ -546,7 +547,10 @@ def prepare_training_corpus(
     flags): ``canonical_urls`` rewrites urls before extraction so
     url-spelling duplicates collapse in the latest-fetch dedup;
     ``blocklist`` drops docs containing a listed word (C4 bad-words);
-    ``drop_substring_dups`` cuts corpus-duplicated 20-token runs;
+    ``drop_substring_dups`` cuts corpus-duplicated 20-token runs
+    (skew-safe agg+join plan by default — ``substring_skew_safe=False``
+    opts into the cheaper single-exchange window plan, whose hot-window
+    partition cannot be split);
     ``span_decontaminate_df`` cuts eval-overlapping spans (vs
     ``eval_df``'s whole-doc drop); ``min_lm_logprob`` applies the
     unigram-LM floor (pass ``lm_vocab`` to score against a persisted
@@ -655,9 +659,14 @@ def prepare_training_corpus(
             substring_dedup,
         )
 
-        cleaned = substring_dedup(survivors, id_col="url").select(
-            "url", "text_clean", "n_dup_tokens"
-        )
+        # skew_safe defaults True here: the composed job is exactly the
+        # place a 10^6-occurrence boilerplate window shows up, and the
+        # one saved exchange of the window plan is not worth an
+        # unsplittable hot task (opt out via substring_skew_safe=False
+        # for pre-line-deduped corpora)
+        cleaned = substring_dedup(
+            survivors, id_col="url", skew_safe=substring_skew_safe
+        ).select("url", "text_clean", "n_dup_tokens")
         survivors = (
             survivors.drop("text")
             .join(cleaned, "url")

@@ -19,20 +19,21 @@ Plan shape at 100 TB:
 
 - window hashing is one Arrow map pass (re-using the shingle hash unit
   so the DuckDB oracle stays exact);
-- ONE token-scale shuffle keyed on window hash: a window over the hash
-  partition yields both the occurrence count and the first-occurrence
-  rank in a single exchange (an agg + self-join would shuffle the same
-  data twice).  A boilerplate window occurring 10^6 times concentrates
-  its partition on one task — the known skew of any group-on-content
-  plan; salt the hash with ``pos % s`` and union s passes if a corpus
-  ever hits it (counts and ranks both recombine);
+- the duplicate verdict is a hash AGGREGATION on the window hash
+  (count + min occurrence — partial aggregation caps any hot key's
+  reducer input at one row per map partition) plus an equi-join AQE's
+  skew-join can split: skew-safe by construction, because a
+  boilerplate window occurring 10^6 times is a certainty at 100 TB.
+  ``skew_safe=False`` opts into the one-exchange window-function plan
+  (count + first-occurrence rank in a single shuffle) for corpora
+  known to be boilerplate-free — cheaper, but a window partition
+  cannot be split;
 - duplicated positions fold back per document (doc-cardinality
   shuffle after map-side combine) and the span cut + text rebuild is
-  one Arrow map pass.
+  one Arrow map pass over the SAME JVM token arrays the positions
+  were computed from.
 """
 from __future__ import annotations
-
-import re
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -41,8 +42,6 @@ from pyspark.sql.functions import pandas_udf
 from readability_ex_spark.operators.textops import _text_tokens
 
 K_SUBSTR = 20  # detection floor, tokens (Lee et al. use 50 at web scale)
-
-_WS = re.compile(r"\s+", re.ASCII)  # == Java \s+ on ASCII input
 
 
 def window_hash_expr(text_col: str = "text", k: int = K_SUBSTR):
@@ -90,16 +89,23 @@ def cut_spans(
     (doc-cardinality shuffle after map-side combine) and the cut +
     rebuild is a single Arrow map pass — the shared tail of every
     span-removal operator here (substring dedup, span
-    decontamination)."""
+    decontamination).
+
+    The cut operates on the SAME JVM token array
+    (``textops._text_tokens``) the window positions were computed
+    from — re-tokenizing in Python would shift positions on text with
+    leading/trailing non-space whitespace (``F.trim`` strips only
+    spaces, so the JVM split can emit a leading empty token that an
+    ASCII ``\\s+`` re-split would not)."""
     dup_pos = marked.groupBy(id_col).agg(
         F.sort_array(F.collect_list("pos")).alias("_dup_pos")
     )
 
     @pandas_udf("struct<n_tokens:long,n_dup_tokens:long,text_clean:string>")
-    def _cut(text: pd.Series, dup_pos: pd.Series) -> pd.DataFrame:
+    def _cut(tok_arrs: pd.Series, dup_pos: pd.Series) -> pd.DataFrame:
         rows = []
-        for t, ps in zip(text, dup_pos):
-            toks = _WS.split(t.strip()) if t is not None and t.strip() else []
+        for toks, ps in zip(tok_arrs, dup_pos):
+            toks = [] if toks is None else list(toks)
             n = len(toks)
             if ps is None or len(ps) == 0:
                 rows.append((n, 0, " ".join(toks)))
@@ -115,7 +121,7 @@ def cut_spans(
 
     out = docs.join(dup_pos, id_col, "left").select(
         F.col(id_col),
-        _cut(F.col(text_col), F.col("_dup_pos")).alias("_r"),
+        _cut(_text_tokens(text_col), F.col("_dup_pos")).alias("_r"),
     )
     return out.select(id_col, "_r.n_tokens", "_r.n_dup_tokens", "_r.text_clean")
 
@@ -125,7 +131,7 @@ def substring_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = K_SUBSTR,
-    skew_safe: bool = False,
+    skew_safe: bool = True,
 ) -> DataFrame:
     """``(id_col, n_tokens, n_dup_tokens, text_clean)`` per document
     with every non-first occurrence of a corpus-duplicated ``k``-token
@@ -133,15 +139,18 @@ def substring_dedup(
 
     Two equivalent physical plans (equivalence-tested):
 
-    - default: ONE exchange on the window hash; a window function
-      yields occurrence count and first-occurrence rank together.
-      Cheapest, but a window partition cannot be split — a boilerplate
-      window occurring 10^6 times puts all its rows in one task.
-    - ``skew_safe=True``: hash aggregation (count + min occurrence per
-      hash — partial aggregation bounds any hot key's reducer input to
-      one row per map partition) followed by a verdict equi-join that
-      AQE's skew-join can split.  Two token-scale exchanges instead of
-      one — pay it when the corpus has pathological boilerplate.
+    - default (``skew_safe=True``): hash aggregation (count + min
+      occurrence per hash — partial aggregation bounds any hot key's
+      reducer input to one row per map partition) followed by a
+      verdict equi-join that AQE's skew-join can split.  This is the
+      plan the composed corpus jobs ship: at 100 TB a boilerplate
+      window occurring 10^6+ times is a certainty, not an edge case.
+    - ``skew_safe=False``: ONE exchange on the window hash; a window
+      function yields occurrence count and first-occurrence rank
+      together.  One token-scale exchange cheaper, but a window
+      partition cannot be split — the hot window's whole hash
+      partition lands in one task.  Opt-in for corpora known to be
+      boilerplate-free (e.g. already line-deduped).
     """
     occ = docs.select(
         F.col(id_col),

@@ -80,7 +80,16 @@ def main() -> int:
     ap.add_argument(
         "--drop-substring-dups", action="store_true",
         help="remove non-first occurrences of corpus-duplicated 20-token "
-        "runs from every doc's text (exact substring dedup)",
+        "runs from every doc's text (exact substring dedup; skew-safe "
+        "agg+join verdict plan by default)",
+    )
+    ap.add_argument(
+        "--substring-window-plan", action="store_true",
+        help="with --drop-substring-dups: use the single-exchange "
+        "window-function verdict plan instead of the skew-safe default "
+        "— one token-scale shuffle cheaper, but a hot boilerplate "
+        "window's hash partition cannot be split across tasks; only "
+        "for corpora known to be boilerplate-free",
     )
     ap.add_argument(
         "--min-lm-logprob", type=float, default=None, metavar="LOGPROB",
@@ -291,9 +300,11 @@ def main() -> int:
             substring_dedup,
         )
 
-        cleaned = substring_dedup(survivors, id_col="url").select(
-            "url", "text_clean", "n_dup_tokens"
-        )
+        cleaned = substring_dedup(
+            survivors,
+            id_col="url",
+            skew_safe=not args.substring_window_plan,
+        ).select("url", "text_clean", "n_dup_tokens")
         survivors = (
             survivors.drop("text")
             .join(cleaned, "url")

@@ -106,14 +106,15 @@ def test_naive_rederivation(spark, seed):
 
 
 def test_single_token_shuffle(spark):
-    """The window verdict must come from ONE exchange on the hash (a
-    window function), not an agg + self-join pair."""
+    """The opt-in window plan must really be single-exchange: one
+    Exchange on the hash (a window function yields count + rank
+    together), not an agg + self-join pair."""
     df = spark.createDataFrame(
         [(i, "a b c d e f g h i j") for i in range(4)],
         "doc_id long, text string",
     )
     plan = (
-        substring_dedup(df, k=5)
+        substring_dedup(df, k=5, skew_safe=False)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -140,7 +141,7 @@ def test_skew_safe_plan_equivalent(spark, seed):
     )
     a = {
         r.doc_id: (r.n_tokens, r.n_dup_tokens, r.text_clean)
-        for r in substring_dedup(df, k=8).collect()
+        for r in substring_dedup(df, k=8, skew_safe=False).collect()
     }
     b = {
         r.doc_id: (r.n_tokens, r.n_dup_tokens, r.text_clean)
@@ -164,3 +165,45 @@ def test_skew_safe_plan_has_no_window(spark):
     )
     assert "Window" not in plan
     assert "Join" in plan
+
+
+def test_default_plan_is_skew_safe(spark):
+    """The DEFAULT plan (what compositions ship) must be the skew-safe
+    agg+join verdict — a hot boilerplate window's hash partition must
+    be AQE-splittable, which a Window node is not."""
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(4)],
+        "doc_id long, text string",
+    )
+    plan = (
+        substring_dedup(df, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+
+
+def test_cut_matches_jvm_tokenizer_on_edge_whitespace(spark):
+    """Window positions come from the JVM tokenizer (F.trim strips
+    SPACES only, so a leading tab yields a leading empty token); the
+    cut must operate on the same token array, or positions shift and
+    the wrong tokens are removed (ADVICE r5 finding)."""
+    run = " ".join(f"w{i}" for i in range(5))
+    corpus = {
+        1: f"\t{run} tail\n",  # leading tab -> JVM split keeps "" at pos 0
+        2: f"pre {run} post",
+    }
+    df = spark.createDataFrame(
+        sorted(corpus.items()), "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.n_dup_tokens, r.text_clean)
+        for r in substring_dedup(df, k=5).collect()
+    }
+    # doc 1 is first in (doc_id, pos) order: run kept; doc 2 loses it.
+    # n_tokens for doc 1 counts the JVM's leading AND trailing empty
+    # tokens (Spark split uses limit -1, keeping trailing empties —
+    # 8), and the cut text round-trips the JVM token array exactly.
+    assert out[1] == (8, 0, f" {run} tail ")
+    assert out[2] == (7, 5, "pre post")
