@@ -46,8 +46,38 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered least-recently-driver-checked FIRST: the per-round
+    correctness check covers the first 50 entries, so entries the last
+    round's window missed (and brand-new ones) lead, and the ones the
+    last CORRECTNESS file has green rows for trail.  Rotate on every
+    round that adds entries or leaves >50 total, so no query goes two
+    rounds without a driver row (VERDICT r5 #1)."""
     return {
-        # -- relational pipeline operators (SURVEY.md §2.B) --
+        # -- never / least-recently driver-checked (r5 window missed
+        #    these; r4-green at best) --
+        "top_ngrams": T.q_top_ngrams,
+        "mixture_sample": SA.q_mixture_sample,
+        "shard_assign": SA.q_shard_assign,
+        "ann_ivf_materialized": S.q_ann_ivf_materialized,
+        "corpus_cardinality": T.q_corpus_cardinality,
+        "stratified_sample": SA.q_stratified_sample,
+        "token_budget_pack": SA.q_token_budget_pack,
+        "text_embedding": E.q_text_embedding,
+        "text_emb_near_dup": E.q_text_emb_near_dup,
+        "multimodal_meta": T.q_multimodal_meta,
+        "multimodal_dedup": _q_multimodal_dedup,
+        "ann_bruteforce": S.q_ann_bruteforce,
+        "knn_label_pairs": S.q_knn_label_pairs,
+        "ann_lsh": S.q_ann_lsh,
+        "ann_lsh_topk": S.q_ann_lsh_topk,
+        "ann_materialized_topk": S.q_ann_materialized_topk,
+        "ann_batch_topk": S.q_ann_batch_topk,
+        "emb_near_dup": S.q_emb_near_dup,
+        "emb_near_dup_clusters": C.q_emb_near_dup_clusters,
+        "ann_ivf_cells": S.q_ann_ivf_cells,
+        "ann_ivf_topk": S.q_ann_ivf_topk,
+        # -- r5-green, re-checked as window room allows --
+        # relational pipeline operators (SURVEY.md §2.B)
         "filter_project": R.q_filter_project,
         "dedup_latest": R.q_dedup_latest,
         "agg_counters": R.q_agg_counters,
@@ -65,7 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props": R.q_events_props,
         "url_canonicalize": U.q_url_canonicalize,
         "canonical_dedup": U.q_canonical_dedup,
-        # -- text analysis / training-data ops --
+        # text analysis / training-data ops
         "token_count": T.q_token_count,
         "text_normalize": T.q_text_normalize,
         "bpe_token_count": T.q_bpe_token_count,
@@ -99,28 +129,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_manifest": C.q_dedup_manifest,
         "shingle_jaccard": T.q_shingle_jaccard,
         "corpus_stats": T.q_corpus_stats,
-        "top_ngrams": T.q_top_ngrams,
-        "corpus_cardinality": T.q_corpus_cardinality,
-        "stratified_sample": SA.q_stratified_sample,
-        "mixture_sample": SA.q_mixture_sample,
-        "shard_assign": SA.q_shard_assign,
-        "token_budget_pack": SA.q_token_budget_pack,
-        "text_embedding": E.q_text_embedding,
-        "text_emb_near_dup": E.q_text_emb_near_dup,
-        "multimodal_meta": T.q_multimodal_meta,
-        "multimodal_dedup": _q_multimodal_dedup,
-        # -- similarity search --
-        "ann_bruteforce": S.q_ann_bruteforce,
-        "knn_label_pairs": S.q_knn_label_pairs,
-        "ann_lsh": S.q_ann_lsh,
-        "ann_lsh_topk": S.q_ann_lsh_topk,
-        "ann_materialized_topk": S.q_ann_materialized_topk,
-        "ann_batch_topk": S.q_ann_batch_topk,
-        "emb_near_dup": S.q_emb_near_dup,
-        "emb_near_dup_clusters": C.q_emb_near_dup_clusters,
-        "ann_ivf_cells": S.q_ann_ivf_cells,
-        "ann_ivf_topk": S.q_ann_ivf_topk,
-        "ann_ivf_materialized": S.q_ann_ivf_materialized,
     }
 
 
