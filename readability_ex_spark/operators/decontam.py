@@ -191,6 +191,7 @@ def line_dedup(
     max_df: int = LINE_MAX_DF,
     broadcast_verdict: bool = True,
     extra_chunk_df: DataFrame | None = None,
+    precomputed_dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """Remove cross-document boilerplate chunks and reassemble the text.
 
@@ -215,8 +216,25 @@ def line_dedup(
     table, possibly multi-appended) adds PRIOR batches' counts to this
     corpus's own before the verdict, so a chunk under the cap within
     the batch but over it across batches is dropped too — the
-    cross-batch closure for incremental updates.
+    cross-batch closure for incremental updates.  For that closure to
+    survive MULTIPLE updates, the persisted table must hold
+    PRE-verdict counts (frequencies over each batch's input text,
+    BEFORE this function's cut): a chunk this cut removes everywhere
+    would have df 0 in the written corpus, and later batches could
+    re-admit up to ``max_df`` copies of exactly that boilerplate.
+
+    ``precomputed_dfreq`` short-circuits the internal frequency count
+    entirely: it is taken as THE verdict table ``(chunk_h, df)``
+    (already covering this corpus and any prior batches — e.g. the
+    persisted sidecar read back after appending this batch's
+    :func:`chunk_document_frequency`).  Mutually exclusive with
+    ``extra_chunk_df``; use it when the caller has already
+    materialized the counts, so the corpus is not re-counted here.
     """
+    if precomputed_dfreq is not None and extra_chunk_df is not None:
+        raise ValueError(
+            "pass either precomputed_dfreq or extra_chunk_df, not both"
+        )
     exploded = docs.select(
         F.col(id_col),
         F.explode(_chunk_structs(text_col, chunk_tokens)).alias("c"),
@@ -226,20 +244,27 @@ def line_dedup(
         "c.chunk",
         F.substring(F.md5(F.col("c.chunk")), 1, 16).alias("chunk_h"),
     )
-    dfreq = (
-        exploded.select(id_col, "chunk_h")
-        .distinct()
-        .groupBy("chunk_h")
-        .agg(F.count("*").alias("df"))
-    )
-    if extra_chunk_df is not None:
-        dfreq = (
-            dfreq.unionByName(
-                extra_chunk_df.select("chunk_h", F.col("df").cast("long"))
-            )
-            .groupBy("chunk_h")
-            .agg(F.sum("df").alias("df"))
+    if precomputed_dfreq is not None:
+        dfreq = precomputed_dfreq.select(
+            "chunk_h", F.col("df").cast("long")
         )
+    else:
+        dfreq = (
+            exploded.select(id_col, "chunk_h")
+            .distinct()
+            .groupBy("chunk_h")
+            .agg(F.count("*").alias("df"))
+        )
+        if extra_chunk_df is not None:
+            dfreq = (
+                dfreq.unionByName(
+                    extra_chunk_df.select(
+                        "chunk_h", F.col("df").cast("long")
+                    )
+                )
+                .groupBy("chunk_h")
+                .agg(F.sum("df").alias("df"))
+            )
     # Heavy-hitters verdict: only chunks OVER the df cap matter, and that
     # set is small by construction (it is the boilerplate).  Anti-joining
     # against the broadcast violator set keeps the corpus-scale exploded

@@ -62,6 +62,12 @@ def main() -> int:
         "strip, whitespace collapse, NFC) before all later stages",
     )
     ap.add_argument(
+        "--respect-robots", action="store_true",
+        help="drop pages whose head declared meta-robots "
+        "noindex/noarchive/noai (kernel-emitted policy columns; pages "
+        "with no declaration are kept)",
+    )
+    ap.add_argument(
         "--scrub-pii", action="store_true",
         help="replace text with its PII-scrubbed form before quality stats",
     )
@@ -152,11 +158,13 @@ def main() -> int:
         "fingerprints win; see corpus.incremental_corpus_update). Run "
         "with the SAME stage flags as the original build so the "
         "appended schema matches. Cross-batch closure comes from the "
-        "persisted artifacts (_bands near-dups, _lm_vocab LM floor, "
-        "--update-near-dup); corpus-global df statistics inside "
-        "--drop-boilerplate / --drop-substring-dups are computed over "
-        "the BATCH only — boilerplate spanning old and new batches is "
-        "not re-counted against the union",
+        "persisted artifacts: _bands (near-dups), _lm_vocab (LM "
+        "floor), _chunk_df (pre-verdict chunk counts, so "
+        "--drop-boilerplate judges each batch against ALL prior "
+        "batches' frequencies), and --update-near-dup. Only "
+        "--drop-substring-dups stays batch-local: its 20-token-window "
+        "df is computed over the batch, so a run duplicated across "
+        "old and new batches is not cut",
     )
     ap.add_argument(
         "--update-near-dup", type=float, default=None, metavar="JACCARD",
@@ -201,6 +209,12 @@ def main() -> int:
     extracted = run_extraction(pages, n_partitions=args.partitions).filter(
         F.col("status") == "ok"
     )
+    if args.respect_robots:
+        # kernel-emitted meta-robots flags: excluded pages drop before
+        # any dedup/quality work (and can never become canonicals)
+        from readability_ex_spark.operators.policyops import policy_filter
+
+        extracted = policy_filter(extracted)
     if args.lang:
         extracted = extracted.filter(
             F.lower(F.coalesce(F.col("lang"), F.lit(""))).startswith(
@@ -261,23 +275,74 @@ def main() -> int:
             .withColumnRenamed("text_scrubbed", "text")
         )
     chunk_df_path = f"{args.output}/_chunk_df"
+    chunk_df_staging = f"{args.output.rstrip('/')}_chunk_df.staging"
     had_chunk_df = Path(chunk_df_path).exists()
     if args.drop_boilerplate:
-        from readability_ex_spark.operators.decontam import line_dedup
+        from readability_ex_spark.operators.decontam import (
+            chunk_document_frequency,
+            line_dedup,
+        )
 
-        # cross-batch closure: prior batches' chunk counts (persisted
-        # additive sidecar) join this batch's own, so boilerplate whose
-        # occurrences straddle old and new batches still trips the cap
-        extra = None
-        if args.update and had_chunk_df:
-            extra = (
-                spark.read.parquet(chunk_df_path)
-                .groupBy("chunk_h")
-                .agg(F.sum("df").alias("df"))
+        # Cross-batch closure: the persisted additive sidecar carries
+        # PRE-verdict chunk counts (frequencies over each batch's
+        # input text BEFORE the boilerplate cut) — post-clean counts
+        # would zero out every chunk the cut removed, letting the next
+        # batch re-admit up to max_df copies of exactly that
+        # boilerplate.  This batch's counts are written FIRST, then
+        # the summed table (prior batches + this one) is read back as
+        # the verdict — the write doubles as the materialization
+        # barrier, so the corpus is chunk-counted exactly once.
+        count_src = survivors.select("url", "text")
+        if args.update:
+            # a re-crawled url already counted by a prior batch would
+            # double-count its chunks; the existing corpus wins on url
+            # anyway, so exclude those rows from the COUNTING side
+            # (key-only scan of the existing output)
+            count_src = count_src.join(
+                spark.read.parquet(args.output).select("url"),
+                "url",
+                "left_anti",
             )
-            print("chunk_df=loaded")
+            if had_chunk_df:
+                print("chunk_df=loaded")
+            else:
+                # first update of a pre-sidecar corpus: bootstrap from
+                # the existing corpus's written text (post-clean — the
+                # best still available; its over-cap chunks were never
+                # persisted pre-clean) plus this batch's pre-clean
+                # counts — the one-time migration cost. Appending just
+                # the batch would leave a partial table later updates
+                # silently trust.
+                count_src = count_src.unionByName(
+                    spark.read.parquet(args.output).select("url", "text")
+                )
+            # corpus writes append in update mode, so the sidecar can
+            # be extended in place
+            chunk_df_mode = "append" if had_chunk_df else "overwrite"
+            chunk_document_frequency(count_src, id_col="url").write.mode(
+                chunk_df_mode
+            ).parquet(chunk_df_path)
+            print(
+                "chunk_df="
+                + ("appended" if chunk_df_mode == "append" else "rebuilt")
+            )
+            counts_read_path = chunk_df_path
+        else:
+            # full build: the corpus overwrite below wipes args.output
+            # (sidecar included), so stage the counts in a sibling dir
+            # and promote to _chunk_df after the corpus lands
+            chunk_document_frequency(count_src, id_col="url").write.mode(
+                "overwrite"
+            ).parquet(chunk_df_staging)
+            print("chunk_df=rebuilt")
+            counts_read_path = chunk_df_staging
+        all_counts = (
+            spark.read.parquet(counts_read_path)
+            .groupBy("chunk_h")
+            .agg(F.sum("df").alias("df"))
+        )
         cleaned = line_dedup(
-            survivors, id_col="url", extra_chunk_df=extra
+            survivors, id_col="url", precomputed_dfreq=all_counts
         ).select("url", "text_clean", "n_dropped")
         survivors = (
             survivors.drop("text")
@@ -537,6 +602,12 @@ def main() -> int:
         "url_bucket", F.pmod(F.xxhash64("url"), F.lit(64)).cast("int")
     )
     corpus.write.partitionBy("url_bucket").mode(write_mode).parquet(args.output)
+    if args.drop_boilerplate and not args.update:
+        # promote the staged pre-verdict chunk counts into the output
+        # dir now that the overwrite is done (local/HDFS rename)
+        import shutil
+
+        shutil.move(chunk_df_staging, chunk_df_path)
     # the dedup audit trail: every extracted url's keep decision
     manifest.write.mode(write_mode).parquet(f"{args.output}/_manifest")
     if not args.no_near_dup:
@@ -561,28 +632,6 @@ def main() -> int:
                 spark.read.parquet(args.output), id_col="url"
             ).write.mode("overwrite").parquet(bands_path)
             print("band_index=rebuilt")
-    if args.drop_boilerplate:
-        from readability_ex_spark.operators.decontam import (
-            chunk_document_frequency,
-        )
-
-        # the sidecar describes the corpus AS WRITTEN (post-cleaning):
-        # a full build (or the first update of a pre-sidecar corpus —
-        # appending only the delta would leave a partial table later
-        # updates silently trust) derives it from the whole output; an
-        # update appends only the delta's counts (additive, summed at
-        # read time)
-        if args.update and had_chunk_df:
-            chunk_document_frequency(
-                corpus.select("url", "text"), id_col="url"
-            ).write.mode("append").parquet(chunk_df_path)
-            print("chunk_df=appended")
-        else:
-            chunk_document_frequency(
-                spark.read.parquet(args.output).select("url", "text"),
-                id_col="url",
-            ).write.mode("overwrite").parquet(chunk_df_path)
-            print("chunk_df=rebuilt")
     if lm_vocab_df is not None and not lm_vocab_loaded:
         # persist the model the corpus was filtered by (tiny: V+1 rows)
         # so later --update batches score against it without a

@@ -610,3 +610,82 @@ def test_prepare_corpus_chunk_df_cross_batch(spark, tmp_path):
     # ships WITHOUT the boilerplate chunk (existing rows are immutable)
     assert "b0" not in new_doc[0].text
     assert "dx0" in new_doc[0].text
+
+
+def test_prepare_corpus_chunk_df_counts_over_cap_chunks(spark, tmp_path):
+    """The sidecar must persist PRE-verdict counts: a chunk over the
+    df cap in the FULL build (removed from every written doc, so
+    invisible post-clean) must stay counted, or a later update batch
+    re-admits up to max_df fresh copies of exactly that boilerplate
+    (ADVICE r5 #1)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    boiler = " ".join(f"c{i}" for i in range(30))
+
+    def page_rows(specs):
+        ts = datetime.datetime(2024, 6, 1)
+        rows = []
+        for url, body in specs:
+            html = (
+                f"<html><body><article><p>{body}</p></article>"
+                "</body></html>"
+            ).encode()
+            rows.append((url, ts, html, "", "en"))
+        return spark.createDataFrame(
+            rows,
+            "url string, warc_ts timestamp, html binary, "
+            "text string, lang string",
+        )
+
+    def tail(tag):
+        return " ".join(f"{tag}x{i}" for i in range(70))
+
+    out = tmp_path / "corpus"
+    # df=3 > cap=2: the boilerplate is cut from EVERY written doc
+    page_rows(
+        [
+            ("http://b.test/1", f"{boiler} {tail('a')}"),
+            ("http://b.test/2", f"{boiler} {tail('b')}"),
+            ("http://b.test/3", f"{boiler} {tail('c')}"),
+        ]
+    ).write.mode("overwrite").parquet(str(tmp_path / "pages1"))
+    build = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(tmp_path / "pages1"),
+            "--output", str(out),
+            "--partitions", "2",
+            "--drop-boilerplate",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert build.returncode == 0, build.stderr[-1500:]
+    built = spark.read.parquet(str(out))
+    assert built.filter(F.col("text").contains("c0 c1")).count() == 0
+
+    # one new copy in the update batch: pre-verdict closure means
+    # df = 3 (prior, all removed from written text) + 1 > cap, so the
+    # new doc ships without it; the old post-clean sidecar would have
+    # counted 0 and kept it
+    page_rows(
+        [("http://b.test/4", f"{boiler} {tail('d')}")]
+    ).write.mode("overwrite").parquet(str(tmp_path / "pages2"))
+    upd = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(tmp_path / "pages2"),
+            "--output", str(out),
+            "--partitions", "2",
+            "--drop-boilerplate",
+            "--update",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert upd.returncode == 0, upd.stderr[-1500:]
+    after = spark.read.parquet(str(out))
+    new_doc = after.filter(F.col("url") == "http://b.test/4").collect()
+    assert len(new_doc) == 1
+    assert "c0" not in new_doc[0].text
+    assert "dx0" in new_doc[0].text
