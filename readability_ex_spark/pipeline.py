@@ -49,6 +49,14 @@ EXTRACT_SCHEMA = T.StructType(
         ),
         T.StructField("length", T.IntegerType(), True),
         T.StructField("readerable", T.BooleanType(), True),
+        # policy/compliance signals harvested from the pre-extraction
+        # head (kernel/policy.py): meta-robots directives + license
+        # link relations — the columns a corpus build filters on
+        # before shipping text
+        T.StructField("robots_noindex", T.BooleanType(), True),
+        T.StructField("robots_noarchive", T.BooleanType(), True),
+        T.StructField("robots_noai", T.BooleanType(), True),
+        T.StructField("license_url", T.StringType(), True),
         # best next-page link candidate (kernel/paging.py scoring) — the
         # DOM is already built for extraction, so emitting the edge here
         # saves the chain pass a second full-corpus parse
@@ -74,6 +82,7 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from readability_ex_spark.kernel.api import NotReadable, TooLarge
     from readability_ex_spark.kernel.encoding import decode_html
     from readability_ex_spark.kernel.paging import find_next_page_link
+    from readability_ex_spark.kernel.policy import extract_policy
     from readability_ex_spark.kernel.readerable import is_probably_readerable
 
     # one adversarial page must not stall an executor core
@@ -83,14 +92,17 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out = {k: [] for k in (
             "url", "title", "byline", "dir", "lang", "site_name",
             "published_time", "excerpt", "content_html", "text", "spans",
-            "length", "readerable", "next_url", "status", "error",
+            "length", "readerable", "robots_noindex", "robots_noarchive",
+            "robots_noai", "license_url", "next_url", "status", "error",
         )}
         for url, html in zip(pdf["url"], pdf["html"]):
             row = {
                 "title": None, "byline": None, "dir": None, "lang": None,
                 "site_name": None, "published_time": None, "excerpt": None,
                 "content_html": None, "text": None, "spans": None,
-                "length": 0, "readerable": None, "next_url": None,
+                "length": 0, "readerable": None, "robots_noindex": None,
+                "robots_noarchive": None, "robots_noai": None,
+                "license_url": None, "next_url": None,
             }
             if html is None or len(html) == 0:
                 # terminal: the payload itself is missing — retrying can
@@ -102,6 +114,12 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     raw = decode_html(bytes(html))
                     doc = dom.parse_document(raw)
                     row["readerable"] = is_probably_readerable(doc)
+                    try:
+                        # before parse(): extraction strips the head
+                        # the robots/license tags live in
+                        row.update(extract_policy(doc))
+                    except Exception:  # noqa: BLE001 — flags are advisory
+                        pass
                     try:
                         # before parse(): extraction mutates the DOM and
                         # may strip the pagination links

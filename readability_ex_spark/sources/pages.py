@@ -56,6 +56,14 @@ concat(
   '<title>Document ', cast(doc_id as string), ' | SynthCrawl</title>',
   '<meta property="og:site_name" content="SynthCrawl"/>',
   '<meta name="author" content="Author ', cast(doc_id % 7 as string), '"/>',
+  case when doc_id % 53 = 13
+       then '<meta name="robots" content="noindex, noarchive"/>'
+       when doc_id % 53 = 29
+       then '<meta name="robots" content="noai"/>'
+       else '' end,
+  case when doc_id % 29 = 3
+       then '<link rel="license" href="https://creativecommons.org/licenses/by/4.0/"/>'
+       else '' end,
   '</head><body>',
   '<nav class="sidebar menu"><a href="/">Home</a> <a href="/about">About</a></nav>',
   '<div class="-ad- banner">Advertisement</div>',
