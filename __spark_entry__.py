@@ -32,7 +32,9 @@ from readability_ex_spark.operators import similarity as S  # noqa: E402
 from readability_ex_spark.operators import spanops as SP  # noqa: E402
 from readability_ex_spark.operators import substrdedup as SD  # noqa: E402
 from readability_ex_spark.operators import textops as T  # noqa: E402
+from readability_ex_spark.operators import bpe as BP  # noqa: E402
 from readability_ex_spark.operators import lmquality as LM  # noqa: E402
+from readability_ex_spark.operators import policyops as PO  # noqa: E402
 from readability_ex_spark.operators import urlops as U  # noqa: E402
 from readability_ex_spark.operators import wordlist as WL  # noqa: E402
 
@@ -55,6 +57,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never / least-recently driver-checked (r5 window missed
         #    these; r4-green at best) --
+        "policy_filter": PO.q_policy_filter,
+        "bpe_tokenize": BP.q_bpe_tokenize,
         "top_ngrams": T.q_top_ngrams,
         "mixture_sample": SA.q_mixture_sample,
         "shard_assign": SA.q_shard_assign,
@@ -540,8 +544,10 @@ def oracle_sql() -> dict[str, str]:
     # only for languages with a defined set)
     _lang2 = "substr(lower(coalesce(lang, 'en')), 1, 2)"
 
-    def _stop_re(ws) -> str:
-        return "\\b(" + "|".join(ws) + ")\\b"
+    # shared builder (corpus.stopword_pattern): \b-wrapped for ASCII
+    # sets, plain substring alternation for CJK — identical semantics
+    # in Java regex and RE2 (both default \w/\b to ASCII)
+    _stop_re = CO.stopword_pattern
 
     _stop_case = (
         "CASE "
@@ -1383,6 +1389,41 @@ def oracle_sql() -> dict[str, str]:
                    ex.doc_id = coalesce(lab.ndc, ex.ec) AS keep
             FROM ex LEFT JOIN lab ON ex.ec = lab.ec
             ORDER BY doc_id
+        """,
+        # mirrors bpe.q_bpe_tokenize: the TRAINED merge table (learned
+        # once on the pinned sf0.001 sample, like a persisted tokenizer
+        # artifact) inlined as a literal single-char replace chain —
+        # count semantics identical to the Spark codegen expression
+        "bpe_tokenize": f"""
+            SELECT doc_id,
+                   CAST({BP.bpe_count_sql(BP.default_model())} AS BIGINT)
+                     AS n_bpe_tokens,
+                   CAST({ntoks} AS BIGINT) AS n_ws_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        # mirrors policyops.with_synthetic_policy + policy_keep_expr:
+        # md5-derived robots/license flags, default keep verdict (the
+        # kernel-side HTML harvest is golden-tested in
+        # tests/test_policy.py — DuckDB cannot parse HTML)
+        "policy_filter": """
+            WITH f AS (
+              SELECT doc_id,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+                       AS robots_noindex,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 2, 1) = '1'
+                       AS robots_noarchive,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)
+                       IN ('2', '3') AS robots_noai,
+                     CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)
+                               = '4'
+                          THEN 'https://creativecommons.org/licenses/by/4.0/'
+                          END AS license_url
+              FROM documents)
+            SELECT doc_id, robots_noindex, robots_noarchive, robots_noai,
+                   license_url IS NOT NULL AS has_license,
+                   (NOT robots_noindex) AND (NOT robots_noarchive)
+                     AND (NOT robots_noai) AS keep
+            FROM f ORDER BY doc_id
         """,
         # mirrors textops.corpus_top_ngrams: stride-1 bigram strings,
         # count, deterministic top-50 (count desc, gram asc)

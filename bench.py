@@ -177,6 +177,11 @@ def main() -> int:
         _sh.rmtree(_ivf_dir, ignore_errors=True)
 
     run("quality_rules", lambda: q_quality_rules(spark, sf_dir).count())
+    from readability_ex_spark.operators.bpe import q_bpe_tokenize
+    from readability_ex_spark.operators.policyops import q_policy_filter
+
+    run("bpe_tokenize", lambda: q_bpe_tokenize(spark, sf_dir).count())
+    run("policy_filter", lambda: q_policy_filter(spark, sf_dir).count())
     from readability_ex_spark.operators.lmquality import q_unigram_logprob
     from readability_ex_spark.operators.sampling import q_mixture_sample
     from readability_ex_spark.operators.urlops import q_canonical_dedup

@@ -69,19 +69,35 @@ MAX_DIGIT_RATIO = 0.2  # digit chars per char
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 # Per-language stop sets, keyed by BCP-47 primary subtag: 8 high-frequency
-# function words each, mirroring the Gopher set's role. ASCII-only words
-# so the \b word-boundary semantics match between Spark (Java regex) and
-# the DuckDB oracle (RE2). A language with no entry gets NO stop-word
-# rule (it passes vacuously — applying the English set to e.g. Chinese
-# would kill every document); a NULL/unknown lang falls back to English,
-# matching the rule set's documented "run after language routing"
-# precondition.
+# function words each, mirroring the Gopher set's role. Latin-script
+# sets are ASCII-only so the \b word-boundary semantics match between
+# Spark (Java regex) and the DuckDB oracle (RE2); CJK sets are counted
+# as plain substrings (no \b — Java's default \w is ASCII, so \b around
+# a CJK char never matches, and Chinese has no space-delimited word
+# boundaries anyway — see stopword_pattern). A language with no entry
+# gets NO stop-word rule (it passes vacuously — applying the English
+# set to e.g. Japanese would kill every document); a NULL/unknown lang
+# falls back to English, matching the rule set's documented "run after
+# language routing" precondition.
 STOPWORDS_BY_LANG: dict[str, tuple[str, ...]] = {
     "en": GOPHER_STOPWORDS,
     "fr": ("le", "la", "les", "de", "et", "que", "pour", "dans"),
     "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
     "es": ("el", "la", "los", "de", "que", "y", "en", "un"),
+    "zh": ("的", "了", "是", "在", "和", "不", "有", "这"),
 }
+
+
+def stopword_pattern(words: tuple[str, ...]) -> str:
+    """Counting regex for a stop set, shared verbatim by the Spark
+    expression and the DuckDB oracle: ``\\b``-wrapped alternation for
+    ASCII word lists, plain substring alternation for non-ASCII (CJK)
+    lists, where ``\\b`` is meaningless in both engines (ASCII ``\\w``)
+    and unsegmented text has no word boundaries to anchor to."""
+    body = "(" + "|".join(words) + ")"
+    if all(w.isascii() for w in words):
+        return r"\b" + body + r"\b"
+    return body
 
 
 def with_quality_rules(
@@ -128,7 +144,7 @@ def with_quality_rules(
     )
     def _stop_count(words_tuple):
         return F.regexp_count(
-            F.lower(c), F.lit(r"\b(" + "|".join(words_tuple) + r")\b")
+            F.lower(c), F.lit(stopword_pattern(words_tuple))
         ).cast("long")
 
     if lang_col in df.columns:
@@ -513,6 +529,7 @@ def prepare_training_corpus(
     mixture_weights: dict[str, float] | None = None,
     max_per_domain: int | None = None,
     shard_tokens: int | None = None,
+    respect_robots: bool = False,
     **extraction_kwargs,
 ) -> DataFrame:
     """pages -> deduped, quality-annotated text corpus.
@@ -551,6 +568,9 @@ def prepare_training_corpus(
     (skew-safe agg+join plan by default — ``substring_skew_safe=False``
     opts into the cheaper single-exchange window plan, whose hot-window
     partition cannot be split);
+    ``respect_robots`` drops pages whose head declared
+    noindex/noarchive/noai (kernel-emitted policy columns,
+    ``operators/policyops.py``);
     ``span_decontaminate_df`` cuts eval-overlapping spans (vs
     ``eval_df``'s whole-doc drop); ``min_lm_logprob`` applies the
     unigram-LM floor (pass ``lm_vocab`` to score against a persisted
@@ -572,7 +592,16 @@ def prepare_training_corpus(
     # once and this composition runs over that read.
     extracted = run_extraction(pages, **extraction_kwargs).filter(
         F.col("status") == "ok"
-    ).cache()
+    )
+    if respect_robots:
+        # kernel-emitted head signals: drop pages whose meta robots
+        # declared noindex/noarchive/noai BEFORE any dedup/quality
+        # work spends cycles on them (free codegen filter; an excluded
+        # page must also never become a dedup group's canonical)
+        from readability_ex_spark.operators.policyops import policy_filter
+
+        extracted = policy_filter(extracted)
+    extracted = extracted.cache()
     if lang is not None:
         # route by language BEFORE the English-centric stopword/quality
         # rules (their documented precondition); prefix match keeps

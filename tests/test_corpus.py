@@ -171,14 +171,23 @@ def test_quality_rules_lang_routed_stopwords(spark):
         "The quick brown fox jumps over the lazy dog and runs off to be "
         "with the pack of hounds that have gathered near the old barn. "
     ) * 3
-    zh_like = " ".join(f"hanzi{i}" for i in range(80))  # no stop set
+    salad = " ".join(f"hanzi{i}" for i in range(80))
+    # unsegmented Chinese with 的/是/了/在 etc. scattered through —
+    # padded with filler words so only the CJK substring rule decides
+    zh = (
+        "今天 的 天气 很 好 我们 在 公园 里 散步 了 很 久 这 是 一个 "
+        "非常 愉快 的 下午 大家 都 不 想 回家 "
+    ) * 4
     docs = [
         ("fr_doc", fr, "fr"),
         ("fr_doc_regional", fr, "fr-CA"),
         ("en_doc", en, "en"),
-        ("zh_doc", zh_like, "zh"),
+        ("zh_doc", zh, "zh"),
+        # Latin word salad tagged zh: fails zh's substring stop rule
+        ("zh_salad", salad, "zh"),
+        ("ja_doc", salad, "ja"),  # vacuous: no stop set for ja
         ("null_lang_en", en, None),
-        ("null_lang_salad", zh_like, None),
+        ("null_lang_salad", salad, None),
         # English text tagged French: fails (wrong language's stop set)
         ("mislabeled", " ".join(f"word{i}" for i in range(80)), "fr"),
     ]
@@ -187,7 +196,9 @@ def test_quality_rules_lang_routed_stopwords(spark):
     assert out["fr_doc"].r_stopwords and out["fr_doc"].n_stopwords_g >= 2
     assert out["fr_doc_regional"].r_stopwords  # prefix match
     assert out["en_doc"].r_stopwords
-    assert out["zh_doc"].r_stopwords  # vacuous: no stop set for zh
+    assert out["zh_doc"].r_stopwords and out["zh_doc"].n_stopwords_g >= 2
+    assert not out["zh_salad"].r_stopwords
+    assert out["ja_doc"].r_stopwords  # vacuous: no stop set for ja
     assert out["null_lang_en"].r_stopwords  # NULL -> English fallback
     assert not out["null_lang_salad"].r_stopwords
     assert not out["mislabeled"].r_stopwords
