@@ -35,6 +35,7 @@ def stream_extraction(
     scrub_pii_text: bool = False,
     canonical_urls: bool = False,
     blocklist: tuple[str, ...] | None = None,
+    respect_robots: bool = False,
 ):
     """Start the streaming extraction query. Returns the StreamingQuery.
 
@@ -43,8 +44,8 @@ def stream_extraction(
     tail of an arriving crawl.
 
     ``quality_rules``/``scrub_pii_text``/``canonical_urls``/
-    ``blocklist`` run the SAME stateless corpus-safety stages as the
-    batch job inside each micro-batch
+    ``blocklist``/``respect_robots`` run the SAME stateless
+    corpus-safety stages as the batch job inside each micro-batch
     (per-doc column expressions — no cross-batch state, so streaming
     and batch verdicts agree row-for-row by construction; cross-batch
     work like dedup stays with the stateful operators below)."""
@@ -63,6 +64,16 @@ def stream_extraction(
                 "url", canonicalize_url(F.col("url"))
             )
         extracted = run_extraction(batch_df, dedup=True)
+        if respect_robots:
+            # same position as the batch script: right after extraction,
+            # before any other stage spends work on an excluded page;
+            # error/empty rows keep flowing (their flags are NULL =
+            # unknown = permissive, and the status accounting needs them)
+            from readability_ex_spark.operators.policyops import (
+                policy_filter,
+            )
+
+            extracted = policy_filter(extracted)
         # stage ORDER mirrors scripts/prepare_corpus.py (pii scrub, THEN
         # blocklist): with both flags on, a doc whose only blocklist hit
         # sits inside later-scrubbed text must get the same verdict in

@@ -195,6 +195,13 @@ def main() -> int:
         with_quality_signals,
     )
     from readability_ex_spark.pipeline import run_extraction
+    from readability_ex_spark.sidecars import (
+        load_sidecar,
+        record_sidecars,
+        sidecar_exists,
+        sidecar_path,
+        write_sidecar,
+    )
     from readability_ex_spark.sources.pages import read_pages
 
     spark = SparkSession.builder.appName("prepare_corpus").getOrCreate()
@@ -274,9 +281,9 @@ def main() -> int:
             .drop("text")
             .withColumnRenamed("text_scrubbed", "text")
         )
-    chunk_df_path = f"{args.output}/_chunk_df"
+    chunk_df_path = sidecar_path(args.output, "_chunk_df")
     chunk_df_staging = f"{args.output.rstrip('/')}_chunk_df.staging"
-    had_chunk_df = Path(chunk_df_path).exists()
+    had_chunk_df = sidecar_exists(args.output, "_chunk_df")
     if args.drop_boilerplate:
         from readability_ex_spark.operators.decontam import (
             chunk_document_frequency,
@@ -394,11 +401,22 @@ def main() -> int:
         # --update scores the BATCH against the existing corpus's model
         # (the statistics the kept corpus was filtered by) instead of
         # re-counting the world per batch
-        lm_vocab_path = f"{args.output}/_lm_vocab"
-        lm_vocab_loaded = args.update and Path(lm_vocab_path).exists()
+        lm_vocab_loaded = args.update and sidecar_exists(
+            args.output, "_lm_vocab"
+        )
         if lm_vocab_loaded:
-            lm_vocab_df = spark.read.parquet(lm_vocab_path)
+            lm_vocab_df = load_sidecar(spark, args.output, "_lm_vocab")
             print("lm_vocab=loaded")
+        elif args.update:
+            # first update of a pre-model corpus: estimate from the
+            # EXISTING corpus's text (the statistics its floor should
+            # have been governed by), not the batch — a batch-only
+            # model would be a partial artifact later updates silently
+            # trust (same migration rule as _bands / _chunk_df)
+            lm_vocab_df = unigram_vocab(
+                spark.read.parquet(args.output), text_col="text"
+            )
+            print("lm_vocab=bootstrapped")
         else:
             lm_vocab_df = unigram_vocab(corpus, text_col="text")
             print("lm_vocab=estimated")
@@ -489,8 +507,7 @@ def main() -> int:
             F.col("r_top2gram") & F.col("r_top3gram") & F.col("r_dup6gram")
         )
         corpus = corpus.join(rep_ok.select("url"), "url", "left_semi")
-    bands_path = f"{args.output}/_bands"
-    had_bands = Path(bands_path).exists()
+    had_bands = sidecar_exists(args.output, "_bands")
     if args.update:
         # incremental mode: the batch-composed corpus anti-joins what the
         # existing output already covers (same url: the existing
@@ -501,50 +518,51 @@ def main() -> int:
         # column-pruned key scans need no distinct — the existing
         # corpus's text column is never read on this path.
         existing = spark.read.parquet(args.output)
-        # Self-heal before extending: the three artifact appends of an
-        # update (corpus, _manifest, _bands) are not atomic — a crash
-        # between them leaves corpus rows the sidecars never learned
-        # about, and every later update would silently trust the
-        # incomplete sidecars. Orphans are detected with column-pruned
-        # key scans (free when there are none) and their sidecar rows
-        # re-derived: a corpus row was keep=True with itself as
-        # canonical by construction, and its bands recompute from its
-        # text alone.
-        mpath = f"{args.output}/_manifest"
-        m_orphans = (
-            existing.select("url", "fingerprint", "n_copies")
-            .join(
-                spark.read.parquet(mpath).select("url"), "url", "left_anti"
-            )
-            .localCheckpoint(eager=True)
+        # Self-heal before extending: the artifact appends of an update
+        # (corpus, then each sidecar) are not atomic — a crash between
+        # them leaves corpus rows the sidecars never learned about, and
+        # every later update would silently trust the incomplete
+        # sidecars. One shared repair pass (sidecars.heal_sidecars)
+        # re-derives missing keyed rows from the written corpus alone:
+        # a corpus row was keep=True with itself as canonical by
+        # construction, and its bands recompute from its text.
+        from readability_ex_spark.operators.textops import band_index
+        from readability_ex_spark.sidecars import (
+            SidecarSpec,
+            heal_sidecars,
         )
-        n_repair = m_orphans.count()
-        if n_repair:
-            m_orphans.select(
+
+        def _manifest_rows(corpus_df, orphan_keys):
+            return corpus_df.select(
+                "url", "fingerprint", "n_copies"
+            ).join(orphan_keys, "url", "left_semi").select(
                 "url",
                 "fingerprint",
                 "n_copies",
                 F.col("url").alias("canonical_url"),
                 F.lit(True).alias("keep"),
-            ).write.mode("append").parquet(mpath)
-            print(f"manifest_repaired={n_repair}")
-        if had_bands:
-            from readability_ex_spark.operators.textops import band_index
+            )
 
-            b_orphan_urls = existing.select("url").join(
-                spark.read.parquet(bands_path).select("url"),
-                "url",
-                "left_anti",
-            ).localCheckpoint(eager=True)  # key-only scans: text untouched
-            n_band_repair = b_orphan_urls.count()
-            if n_band_repair:
-                b_orphans = existing.select("url", "text").join(
-                    b_orphan_urls, "url", "left_semi"
-                )
-                band_index(b_orphans, id_col="url").write.mode(
-                    "append"
-                ).parquet(bands_path)
-                print(f"bands_repaired={n_band_repair}")
+        def _band_rows(corpus_df, orphan_keys):
+            return band_index(
+                corpus_df.select("url", "text").join(
+                    orphan_keys, "url", "left_semi"
+                ),
+                id_col="url",
+            )
+
+        repaired = heal_sidecars(
+            spark,
+            args.output,
+            existing,
+            [
+                SidecarSpec("_manifest", "url", _manifest_rows),
+                SidecarSpec("_bands", "url", _band_rows),
+            ],
+        )
+        for _name, _n in repaired.items():
+            if _n:
+                print(f"{_name.lstrip('_')}_repaired={_n}")
         corpus = corpus.join(
             existing.select("url"), "url", "left_anti"
         ).join(
@@ -564,7 +582,7 @@ def main() -> int:
             # built before the artifact existed falls back to inline
             # banding once — the delta append below starts the index.
             existing_bands = (
-                spark.read.parquet(bands_path) if had_bands else None
+                load_sidecar(spark, args.output, "_bands")
             )
             # url_bucket is the corpus's storage partition column —
             # passing its derivation lets the verify read partition-
@@ -585,7 +603,7 @@ def main() -> int:
         # overwriting the directory it was derived from
         corpus = corpus.localCheckpoint(eager=True)
         manifest = manifest.join(
-            spark.read.parquet(f"{args.output}/_manifest")
+            load_sidecar(spark, args.output, "_manifest")
             .select("url")
             .distinct(),
             "url",
@@ -609,7 +627,7 @@ def main() -> int:
 
         shutil.move(chunk_df_staging, chunk_df_path)
     # the dedup audit trail: every extracted url's keep decision
-    manifest.write.mode(write_mode).parquet(f"{args.output}/_manifest")
+    write_sidecar(manifest, args.output, "_manifest", mode=write_mode)
     if not args.no_near_dup:
         # persist/extend the banded-LSH index of the kept corpus so the
         # NEXT --update equality-joins stored blocks instead of
@@ -623,28 +641,33 @@ def main() -> int:
         from readability_ex_spark.operators.textops import band_index
 
         if args.update and had_bands:
-            band_index(corpus, id_col="url").write.mode("append").parquet(
-                bands_path
+            write_sidecar(
+                band_index(corpus, id_col="url"),
+                args.output,
+                "_bands",
+                mode="append",
             )
             print("band_index=appended")
         else:
-            band_index(
-                spark.read.parquet(args.output), id_col="url"
-            ).write.mode("overwrite").parquet(bands_path)
+            write_sidecar(
+                band_index(spark.read.parquet(args.output), id_col="url"),
+                args.output,
+                "_bands",
+            )
             print("band_index=rebuilt")
     if lm_vocab_df is not None and not lm_vocab_loaded:
         # persist the model the corpus was filtered by (tiny: V+1 rows)
         # so later --update batches score against it without a
         # corpus-wide token count
-        lm_vocab_df.coalesce(1).write.mode("overwrite").parquet(
-            f"{args.output}/_lm_vocab"
-        )
+        write_sidecar(lm_vocab_df.coalesce(1), args.output, "_lm_vocab")
     if kill_stats:
-        spark.createDataFrame(
-            [tuple(kill_stats.values())],
-            schema=", ".join(f"`{k}` long" for k in kill_stats),
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{args.output}/_quality_stats"
+        write_sidecar(
+            spark.createDataFrame(
+                [tuple(kill_stats.values())],
+                schema=", ".join(f"`{k}` long" for k in kill_stats),
+            ).coalesce(1),
+            args.output,
+            "_quality_stats",
         )
 
     n_docs = spark.read.parquet(args.output).count()
@@ -695,6 +718,23 @@ def main() -> int:
     card_dir.mkdir(parents=True, exist_ok=True)
     (card_dir / "datacard.json").write_text(
         json.dumps(card, indent=1, sort_keys=True)
+    )
+    # versioned sidecar manifest: what this corpus carries, written by
+    # which lifecycle version — the check a future layout change needs
+    record_sidecars(
+        args.output,
+        [
+            n
+            for n in (
+                "_manifest",
+                "_bands",
+                "_chunk_df",
+                "_lm_vocab",
+                "_quality_stats",
+                "_datacard",
+            )
+            if sidecar_exists(args.output, n)
+        ],
     )
     print(f"corpus_docs={n_docs} extracted_ok={n_in}")
     extracted.unpersist()

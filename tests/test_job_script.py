@@ -497,6 +497,88 @@ def test_prepare_corpus_script_update_mode(jobdir, spark):
     assert {
         r.url for r in healed_bands.select("url").distinct().collect()
     } == urls0
+    # the versioned sidecar manifest records what this corpus carries
+    import json as _json
+
+    sj = _json.loads((out / "_sidecars.json").read_text())
+    assert sj["version"] == 1
+    assert {"_manifest", "_bands", "_datacard"} <= set(sj["artifacts"])
+
+
+def test_prepare_corpus_lm_vocab_bootstrap(spark, tmp_path):
+    """First update of a corpus that predates the _lm_vocab artifact
+    estimates the model from the EXISTING corpus (not the batch) and
+    persists it — the same no-partial-artifact migration rule as
+    _bands/_chunk_df."""
+    import datetime
+
+    def page_rows(specs):
+        ts = datetime.datetime(2024, 6, 1)
+        rows = []
+        for url, body in specs:
+            html = (
+                f"<html><body><article><p>{body}</p></article>"
+                "</body></html>"
+            ).encode()
+            rows.append((url, ts, html, "", "en"))
+        return spark.createDataFrame(
+            rows,
+            "url string, warc_ts timestamp, html binary, "
+            "text string, lang string",
+        )
+
+    def body(tag):
+        return " ".join(f"{tag} common word {i}" for i in range(40))
+
+    out = tmp_path / "corpus"
+    page_rows(
+        [(f"http://lm.test/{i}", body(f"w{i}")) for i in range(4)]
+    ).write.mode("overwrite").parquet(str(tmp_path / "pages1"))
+    base = [
+        sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+        "--output", str(out), "--partitions", "2",
+        "--min-lm-logprob", "-30.0",
+    ]
+    build = subprocess.run(
+        base + ["--input", str(tmp_path / "pages1")],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert build.returncode == 0, build.stderr[-1500:]
+    assert "lm_vocab=estimated" in build.stdout
+    assert (out / "_lm_vocab").exists()
+
+    # simulate a pre-model corpus and update it
+    shutil.rmtree(out / "_lm_vocab")
+    page_rows(
+        [("http://lm.test/new", body("zz"))]
+    ).write.mode("overwrite").parquet(str(tmp_path / "pages2"))
+    upd = subprocess.run(
+        base + ["--input", str(tmp_path / "pages2"), "--update"],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert upd.returncode == 0, upd.stderr[-1500:]
+    assert "lm_vocab=bootstrapped" in upd.stdout
+    assert (out / "_lm_vocab").exists()
+    # the persisted bootstrap model reflects the EXISTING corpus: its
+    # vocabulary includes words no batch doc contains
+    vocab_tokens = {
+        r.token
+        for r in spark.read.parquet(str(out / "_lm_vocab"))
+        .select("token")
+        .collect()
+    }
+    assert "w0" in vocab_tokens
+
+    # a second update now LOADS the persisted model
+    page_rows(
+        [("http://lm.test/new2", body("yy"))]
+    ).write.mode("overwrite").parquet(str(tmp_path / "pages3"))
+    upd2 = subprocess.run(
+        base + ["--input", str(tmp_path / "pages3"), "--update"],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert upd2.returncode == 0, upd2.stderr[-1500:]
+    assert "lm_vocab=loaded" in upd2.stdout
 
 
 def test_run_job_export_wet(jobdir, spark):

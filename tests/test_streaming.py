@@ -387,3 +387,45 @@ def test_stream_extraction_canonical_and_blocklist_match_batch(
     assert 0 < len(got)
     # the tracking-param respellings never reach the output
     assert not any("utm_source" in u for u in got)
+
+
+def test_stream_extraction_respect_robots_matches_batch(spark, tmpdir):
+    """respect_robots in the stream produces exactly the batch
+    policy_filter verdict: flagged pages never ship, undeclared ones
+    do (NULL flags = permissive, per the Robots Exclusion Protocol)."""
+    from readability_ex_spark.operators.policyops import policy_filter
+    from readability_ex_spark.pipeline import run_extraction
+
+    # synthesize_pages injects <meta name=robots> for doc_id%53 in
+    # {13: noindex+noarchive, 29: noai}, so the stream has real policy
+    # work to do
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001").limit(120)
+    pages.write.mode("overwrite").parquet(str(tmpdir / "pages_rb"))
+
+    q = stream_extraction(
+        spark,
+        str(tmpdir / "pages_rb"),
+        str(tmpdir / "out_rb"),
+        str(tmpdir / "ckpt_rb"),
+        available_now=True,
+        respect_robots=True,
+    )
+    q.awaitTermination(300)
+    streamed = spark.read.parquet(str(tmpdir / "out_rb"))
+
+    expect = {
+        r.url
+        for r in policy_filter(run_extraction(pages, dedup=True))
+        .select("url")
+        .collect()
+    }
+    got = {r.url for r in streamed.select("url").collect()}
+    assert got == expect
+    ids = [int(u.rsplit("/", 1)[1]) for u in got]
+    assert ids and all(d % 53 not in (13, 29) for d in ids)
+    # and the filter really dropped something (flagged ids existed)
+    dropped = {
+        int(r.url.rsplit("/", 1)[1])
+        for r in pages.select("url").collect()
+    } - set(ids)
+    assert any(d % 53 in (13, 29) for d in dropped)
