@@ -35,6 +35,7 @@ from readability_ex_spark.operators import textops as T  # noqa: E402
 from readability_ex_spark.operators import bpe as BP  # noqa: E402
 from readability_ex_spark.operators import lmquality as LM  # noqa: E402
 from readability_ex_spark.operators import policyops as PO  # noqa: E402
+from readability_ex_spark.operators import robotstxt as RB  # noqa: E402
 from readability_ex_spark.operators import urlops as U  # noqa: E402
 from readability_ex_spark.operators import wordlist as WL  # noqa: E402
 
@@ -57,6 +58,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never / least-recently driver-checked (r5 window missed
         #    these; r4-green at best) --
+        "robots_parse": RB.q_robots_parse,
+        "robots_verdict": RB.q_robots_verdict,
         "policy_filter": PO.q_policy_filter,
         "bpe_tokenize": BP.q_bpe_tokenize,
         "top_ngrams": T.q_top_ngrams,
@@ -456,8 +459,10 @@ def _ivf_ctes() -> str:
 # deterministic synthetic url per doc_id, then the canonicalizer
 # decomposed with regexp_extract + concat (no capture-group replacements
 # — the one regex feature whose spelling differs between engines).
-_URL_CTES = f"""
-    WITH urls AS (
+# the synthetic per-doc url derivation shared by the url/robots oracles
+# (same arithmetic as operators/urlops.synth_url_expr)
+_URLS_CTE = """
+    urls AS (
       SELECT doc_id,
              CASE WHEN doc_id % 20 = 19
                   THEN 'urn:doc:' || CAST(doc_id AS VARCHAR)
@@ -481,7 +486,11 @@ _URL_CTES = f"""
                        || CASE WHEN doc_id % 2 = 0
                                THEN '#Section-2' ELSE '' END
              END AS url
-      FROM documents),
+      FROM documents)
+"""
+
+_URL_CTES = f"""
+    WITH {_URLS_CTE.strip()},
     u1 AS (
       SELECT doc_id, url,
              regexp_extract(url, '^[^#]*', 0) AS nofrag
@@ -527,6 +536,82 @@ _URL_CTES = f"""
              END AS canonical_url
       FROM u6)
 """
+
+
+def _robots_rx_sql(expr: str) -> str:
+    """Fold ``operators/robotstxt.PATTERN_ESCAPES`` into nested DuckDB
+    ``regexp_replace`` calls — the SAME (pattern, fixed replacement)
+    table the Spark side applies, so REP-wildcard escaping is
+    byte-identical by construction (the table contains no group
+    references, the one regexp_replace feature the dialects spell
+    differently)."""
+    out = expr
+    for pat, rep in RB.PATTERN_ESCAPES:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    return out
+
+
+# robots.txt parse pipeline (mirrors operators/robotstxt.parse_robots:
+# line explode with ordinality, comment strip, key/value split, RFC 9309
+# group formation via lag + running sum, agents x rules join)
+_ROBOTS_CTES = f"""
+    WITH {_URLS_CTE.strip()},
+    rhosts AS (
+      SELECT DISTINCT (doc_id % 40) AS h FROM documents),
+    robots AS (
+      SELECT 'www.site' || CAST(h AS VARCHAR) || '.example.com' AS host,
+             CASE WHEN h % 4 = 1 THEN '{{body1}}'
+                  WHEN h % 4 = 2 THEN '{{body2}}'
+                  ELSE '{{body3}}' END AS body
+      FROM rhosts WHERE h % 4 <> 0),
+    rlines0 AS (
+      SELECT host,
+             unnest(list_transform(string_split(body, chr(10)),
+                    (x, i) -> struct_pack(raw := x, line_no := i))) AS e
+      FROM robots),
+    rlines AS (
+      SELECT host, e.line_no AS line_no,
+             trim(regexp_extract(e.raw, '^[^#]*', 0)) AS s
+      FROM rlines0),
+    rkv AS (
+      SELECT host, line_no,
+             lower(regexp_extract(s, '^([A-Za-z][A-Za-z-]*)\\s*:', 1))
+               AS key,
+             trim(regexp_extract(s, '^[A-Za-z][A-Za-z-]*\\s*:(.*)$', 1))
+               AS value
+      FROM rlines),
+    rkvf AS (
+      SELECT * FROM rkv
+      WHERE key IN ('user-agent', 'allow', 'disallow')),
+    rg0 AS (
+      SELECT *, (key = 'user-agent') AS is_ua,
+             lag(key = 'user-agent') OVER
+               (PARTITION BY host ORDER BY line_no) AS prev_ua
+      FROM rkvf),
+    rg1 AS (
+      SELECT *,
+             sum(CASE WHEN is_ua AND NOT coalesce(prev_ua, FALSE)
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY host ORDER BY line_no
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS group_id
+      FROM rg0),
+    rg AS (SELECT * FROM rg1 WHERE group_id > 0),
+    ragents AS (
+      SELECT host, group_id, lower(value) AS agent FROM rg WHERE is_ua),
+    rrules AS (
+      SELECT host, group_id, key AS rule, value AS path
+      FROM rg WHERE NOT is_ua AND value <> ''),
+    parsed AS (
+      SELECT a.host, a.group_id, a.agent, r.rule, r.path
+      FROM ragents a JOIN rrules r USING (host, group_id))
+""".replace(
+    "{body1}", RB.ROBOTS_BODY_BY_MOD[1]
+).replace(
+    "{body2}", RB.ROBOTS_BODY_BY_MOD[2]
+).replace(
+    "{body3}", RB.ROBOTS_BODY_BY_MOD[3]
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1400,6 +1485,84 @@ def oracle_sql() -> dict[str, str]:
                      AS n_bpe_tokens,
                    CAST({ntoks} AS BIGINT) AS n_ws_tokens
             FROM documents ORDER BY doc_id
+        """,
+        # mirrors robotstxt.parse_robots over the synthetic per-host
+        # bodies (group formation, comments, case, empty Disallow)
+        "robots_parse": f"""
+            {_ROBOTS_CTES}
+            SELECT host, CAST(group_id AS BIGINT) AS group_id,
+                   agent, rule, path
+            FROM parsed
+            ORDER BY host, group_id, agent, rule, path
+        """,
+        # mirrors robotstxt.robots_verdict for ROBOTS_CHECK_AGENT: group
+        # selection (exact token else *), REP wildcard escaping (the
+        # shared PATTERN_ESCAPES chain), longest-match precedence with
+        # allow winning ties, permissive no-rule default
+        "robots_verdict": f"""
+            {_ROBOTS_CTES},
+            vsel AS (
+              SELECT *,
+                     max(CASE WHEN agent = '{RB.ROBOTS_CHECK_AGENT}'
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY host) AS has_exact
+              FROM parsed
+              WHERE agent IN ('{RB.ROBOTS_CHECK_AGENT}', '*')),
+            arules AS (
+              SELECT host, rule, path,
+                     length(path) AS patlen,
+                     ends_with(path, '$') AS anchored,
+                     CASE WHEN ends_with(path, '$')
+                          THEN substring(path, 1, length(path) - 1)
+                          ELSE path END AS pbody
+              FROM vsel
+              WHERE agent = '{RB.ROBOTS_CHECK_AGENT}'
+                    OR (has_exact = 0 AND agent = '*')),
+            rrx AS (
+              SELECT host, rule, path, patlen,
+                     '^' || {_robots_rx_sql("pbody")}
+                         || CASE WHEN anchored THEN '$' ELSE '' END AS rx
+              FROM arules),
+            vpages AS (
+              SELECT doc_id, url,
+                     regexp_extract(url, '^[^#]*', 0) AS nofrag
+              FROM urls),
+            vp2 AS (
+              SELECT *, regexp_extract(nofrag,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)
+                          AS auth
+              FROM vpages),
+            vp3 AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#@]*@)?([^/?#:]*)',
+                       2)) AS phost,
+                     CASE WHEN auth = ''
+                               OR substring(nofrag, length(auth) + 1) = ''
+                          THEN '/'
+                          ELSE substring(nofrag, length(auth) + 1)
+                          END AS ppath
+              FROM vp2),
+            vm AS (
+              SELECT p.doc_id, p.url, r.rule, r.path AS rpath, r.patlen,
+                     coalesce(r.host IS NOT NULL
+                              AND regexp_matches(p.ppath, r.rx), FALSE)
+                       AS is_match,
+                     (r.rule = 'allow') AS is_allow
+              FROM vp3 p LEFT JOIN rrx r ON p.phost = r.host),
+            vr AS (
+              SELECT *, row_number() OVER
+                       (PARTITION BY doc_id
+                        ORDER BY is_match DESC, patlen DESC,
+                                 is_allow DESC, rpath DESC) AS rn
+              FROM vm)
+            SELECT doc_id, url,
+                   CASE WHEN is_match THEN is_allow
+                        ELSE TRUE END AS robots_allowed,
+                   CASE WHEN is_match THEN rule END AS robots_rule,
+                   CASE WHEN is_match THEN rpath END AS robots_path
+            FROM vr WHERE rn = 1
+            ORDER BY doc_id
         """,
         # mirrors policyops.with_synthetic_policy + policy_keep_expr:
         # md5-derived robots/license flags, default keep verdict (the

@@ -182,6 +182,9 @@ def main() -> int:
 
     run("bpe_tokenize", lambda: q_bpe_tokenize(spark, sf_dir).count())
     run("policy_filter", lambda: q_policy_filter(spark, sf_dir).count())
+    from readability_ex_spark.operators.robotstxt import q_robots_verdict
+
+    run("robots_verdict", lambda: q_robots_verdict(spark, sf_dir).count())
     from readability_ex_spark.operators.lmquality import q_unigram_logprob
     from readability_ex_spark.operators.sampling import q_mixture_sample
     from readability_ex_spark.operators.urlops import q_canonical_dedup

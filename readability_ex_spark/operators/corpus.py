@@ -530,6 +530,8 @@ def prepare_training_corpus(
     max_per_domain: int | None = None,
     shard_tokens: int | None = None,
     respect_robots: bool = False,
+    robots_rules: DataFrame | None = None,
+    robots_agent: str = "*",
     **extraction_kwargs,
 ) -> DataFrame:
     """pages -> deduped, quality-annotated text corpus.
@@ -570,7 +572,10 @@ def prepare_training_corpus(
     partition cannot be split);
     ``respect_robots`` drops pages whose head declared
     noindex/noarchive/noai (kernel-emitted policy columns,
-    ``operators/policyops.py``);
+    ``operators/policyops.py``); ``robots_rules`` (a parsed
+    ``robotstxt.parse_robots`` table) additionally drops pages an
+    RFC 9309 rule disallows for ``robots_agent`` — the host-level half
+    of the same policy stack;
     ``span_decontaminate_df`` cuts eval-overlapping spans (vs
     ``eval_df``'s whole-doc drop); ``min_lm_logprob`` applies the
     unigram-LM floor (pass ``lm_vocab`` to score against a persisted
@@ -601,6 +606,14 @@ def prepare_training_corpus(
         from readability_ex_spark.operators.policyops import policy_filter
 
         extracted = policy_filter(extracted)
+    if robots_rules is not None:
+        # host-level REP rules, same early position: the rules table is
+        # tiny and broadcast; only matched urls reach the precedence agg
+        from readability_ex_spark.operators.robotstxt import robots_filter
+
+        extracted = robots_filter(
+            extracted, robots_rules, agent=robots_agent
+        )
     extracted = extracted.cache()
     if lang is not None:
         # route by language BEFORE the English-centric stopword/quality

@@ -1,0 +1,392 @@
+"""robots.txt parsing + matching — the host-level half of the policy
+stack (the page-level half is the kernel's meta-robots harvest,
+``kernel/policy.py`` / ``operators/policyops.py``).
+
+A crawl that respects the Robots Exclusion Protocol (RFC 9309) carries
+one small side table of robots.txt fetches ``(host, robots_txt)``
+next to billions of page rows.  This module turns those bodies into a
+rules table and joins the verdict onto pages — entirely JVM-side:
+
+- **parse** is line-oriented text processing expressed as
+  ``posexplode`` + regex extraction + two window functions per host
+  (group formation needs "which user-agent run does this rule follow",
+  i.e. a running sum over line order — a textbook window, not a UDF).
+- **match** is RFC 9309 longest-match precedence: patterns support
+  ``*`` (any chars) and a trailing ``$`` (end anchor); the most
+  specific match is the longest PATTERN (octet length, the rule
+  Google's open-sourced matcher uses), allow winning length ties.
+  Patterns are DATA, so they are escaped into regexes with a chain of
+  fixed-string ``regexp_replace`` calls — no capture-group
+  replacements (the Spark ``$1`` / DuckDB ``\\1`` portability trap,
+  see ``operators/urlops.py``) and no UDF.
+
+Scale shape: the rules table is tiny relative to pages (one row per
+host × agent × rule), so the verdict join is a broadcast; the regex
+escape runs over RULES, not pages, and matching is one codegen'd
+``rlike`` per candidate (page, rule) pair within a host.  Pages from
+hosts with no robots.txt (or no matching rule) are allowed — RFC 9309's
+permissive default, same null semantics as the meta-robots flags.
+
+Simplifications (documented, deliberate):
+
+- Agent selection is exact product-token equality (lowercased), falling
+  back to the ``*`` group — the common-crawler behavior; RFC's
+  "longest prefix of the product token" refinement rarely differs.
+- An empty ``Disallow:`` value (allow-everything idiom) is dropped at
+  parse time, which is exactly its effect.
+- ``Crawl-delay`` / ``Sitemap`` and unknown keys are ignored (they do
+  not affect the allow/disallow verdict).
+
+No reference counterpart (training-data layer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from readability_ex_spark.operators.urlops import _SCHEME_AUTH_RE, host_expr
+
+
+def parse_robots(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """Rules table ``(host, group_id, agent, rule, path)`` from raw
+    robots.txt bodies.
+
+    RFC 9309 group formation: a run of consecutive ``User-agent``
+    lines starts a group; the ``Allow``/``Disallow`` lines after it
+    (until the next run) belong to every agent named in the run.  Rules
+    before any ``User-agent`` line are outside all groups and dropped.
+    Keys are case-insensitive; ``#`` starts a comment; blank lines are
+    insignificant (they do NOT close a group — RFC 9309 §2.2).
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.coalesce(F.col(body_col), F.lit("")), "\n")).alias(
+            "line_no", "raw"
+        ),
+    )
+    # comment strip + trim, then key/value split on the first ':'
+    stripped = F.trim(F.regexp_extract(F.col("raw"), r"^[^#]*", 0))
+    key = F.lower(F.regexp_extract(stripped, r"^([A-Za-z][A-Za-z-]*)\s*:", 1))
+    value = F.trim(F.regexp_extract(stripped, r"^[A-Za-z][A-Za-z-]*\s*:(.*)$", 1))
+    kv = lines.select(
+        "host",
+        "line_no",
+        key.alias("key"),
+        value.alias("value"),
+    ).filter(F.col("key").isin("user-agent", "allow", "disallow"))
+
+    w = Window.partitionBy("host").orderBy("line_no")
+    is_ua = F.col("key") == "user-agent"
+    group_start = is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))
+    grouped = kv.withColumn(
+        "group_id",
+        F.sum(group_start.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).filter(F.col("group_id") > 0)
+
+    agents = grouped.filter(is_ua).select(
+        "host", "group_id", F.lower(F.col("value")).alias("agent")
+    )
+    rules = grouped.filter(~is_ua & (F.col("value") != "")).select(
+        "host",
+        "group_id",
+        F.col("key").alias("rule"),
+        F.col("value").alias("path"),
+    )
+    return agents.join(rules, ["host", "group_id"]).select(
+        "host", "group_id", "agent", "rule", "path"
+    )
+
+
+def rules_for_agent(rules: DataFrame, agent: str = "*") -> DataFrame:
+    """The rule rows that govern ``agent`` on each host: the host's
+    exact-token group(s) when any exist, else its ``*`` group(s).
+
+    One small window over the RULES table (never pages)."""
+    a = agent.lower()
+    cand = rules.filter(F.col("agent").isin(a, "*") if a != "*" else (F.col("agent") == "*"))
+    wh = Window.partitionBy("host")
+    return (
+        cand.withColumn(
+            "_has_exact", F.max((F.col("agent") == a).cast("int")).over(wh)
+        )
+        .filter(
+            (F.col("agent") == a)
+            | ((F.col("_has_exact") == 0) & (F.col("agent") == "*"))
+        )
+        .drop("_has_exact")
+    )
+
+
+def pattern_regex_expr(pattern: Column | str) -> Column:
+    """REP wildcard pattern -> anchored Java/RE2 regex, as a chain of
+    fixed-string ``regexp_replace`` calls (patterns are data; no
+    capture-group replacements — see module docstring).
+
+    ``*`` -> ``.*``; a trailing ``$`` anchors the end; every other
+    regex metachar is escaped.  The result is used as ``'^' || regex``
+    with an unanchored search, i.e. REP prefix-match semantics.
+    """
+    p = F.col(pattern) if isinstance(pattern, str) else pattern
+    anchored = p.endswith("$")
+    body = F.when(anchored, F.substring(p, 1, F.length(p) - 1)).otherwise(p)
+    esc = body
+    for ch, rep in PATTERN_ESCAPES:
+        esc = F.regexp_replace(esc, ch, rep)
+    return F.concat(esc, F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+
+
+# (regex, fixed replacement) chain turning a REP pattern body into a
+# regex — backslash FIRST, each metachar with a fixed replacement, '*'
+# LAST (it becomes the only live metachar).  The strings are valid and
+# identical in both Java regex and RE2, and the replacements contain no
+# group references, so the DuckDB oracle folds the SAME table
+# (``__spark_entry__._robots_rx_sql``) — byte-identical escaping by
+# construction.
+PATTERN_ESCAPES: tuple[tuple[str, str], ...] = (
+    ("\\\\", "\\\\\\\\"),  # \ -> \\
+    ("\\.", "\\\\."),
+    ("\\+", "\\\\+"),
+    ("\\?", "\\\\?"),
+    ("\\(", "\\\\("),
+    ("\\)", "\\\\)"),
+    ("\\[", "\\\\["),
+    ("\\]", "\\\\]"),
+    ("\\{", "\\\\{"),
+    ("\\}", "\\\\}"),
+    ("\\|", "\\\\|"),
+    ("\\^", "\\\\^"),
+    ("\\$", "\\\\$"),
+    ("\\*", ".*"),
+)
+
+
+def url_path_expr(url: Column | str) -> Column:
+    """The path-and-query REP matches against: everything after the
+    authority, fragment stripped, ``/`` when empty."""
+    u = F.col(url) if isinstance(url, str) else url
+    nofrag = F.regexp_extract(u, r"^[^#]*", 0)
+    auth = F.regexp_extract(nofrag, _SCHEME_AUTH_RE, 0)
+    rest = F.substring(nofrag, F.length(auth) + 1, F.lit(2_000_000_000))
+    return F.when(
+        (auth == "") | (rest == ""), F.lit("/")
+    ).otherwise(rest)
+
+
+def robots_verdict(
+    pages: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+) -> DataFrame:
+    """``pages`` plus ``robots_allowed`` (boolean) and the deciding
+    ``robots_rule``/``robots_path`` (NULL when no rule matched).
+
+    Plan: pages derive (host, path) as free maps; the agent-filtered
+    rules table gains its escaped regex (computed once, on the tiny
+    side) and is BROADCAST; matches resolve per page by RFC 9309
+    precedence — longest pattern wins, allow wins length ties — with
+    one aggregation keyed on the page (the broadcast join's output
+    never shuffles pages more than that one agg).  No rule / no
+    robots.txt -> allowed (permissive default).
+    """
+    side = (
+        rules_for_agent(rules, agent)
+        .select(
+            "host",
+            "rule",
+            "path",
+            F.concat(F.lit("^"), pattern_regex_expr("path")).alias("_rx"),
+            F.length("path").alias("_patlen"),
+        )
+    )
+    keyed = pages.select(
+        F.col(url_col).alias("_url"),
+        host_expr(url_col).alias("_host"),
+        url_path_expr(url_col).alias("_path"),
+    )
+    is_match = F.col("host").isNotNull() & F.rlike(
+        F.col("_path"), F.col("_rx")
+    )
+    matched = (
+        keyed.join(
+            F.broadcast(side), keyed["_host"] == side["host"], "left"
+        )
+        .groupBy("_url")
+        .agg(
+            # non-matching join rows contribute NULL orderings, which
+            # max_by skips — a page whose host has rules but none
+            # matching still yields one (allowed) row here
+            F.max_by(
+                F.when(
+                    is_match,
+                    F.struct(
+                        (F.col("rule") == "allow").alias("is_allow"),
+                        F.col("rule").alias("rule"),
+                        F.col("path").alias("path"),
+                    ),
+                ),
+                # precedence: longest pattern, allow on ties; the
+                # bytewise-LARGEST path breaks remaining ties so the
+                # surfaced rule is deterministic (same verdict either
+                # way — equal length + equal rule kind)
+                F.when(
+                    is_match,
+                    F.struct(
+                        F.col("_patlen").alias("l"),
+                        (F.col("rule") == "allow").cast("int").alias("a"),
+                        F.col("path").alias("p"),
+                    ),
+                ),
+            ).alias("_win"),
+        )
+    )
+    verdict = matched.select(
+        F.col("_url").alias(url_col),
+        F.coalesce(F.col("_win.is_allow"), F.lit(True)).alias(
+            "robots_allowed"
+        ),
+        F.col("_win.rule").alias("robots_rule"),
+        F.col("_win.path").alias("robots_path"),
+    )
+    return pages.join(verdict, url_col)
+
+
+def robots_filter(
+    pages: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+) -> DataFrame:
+    """``pages`` minus robots-disallowed rows — the composed-job shape.
+
+    Leaner plan than filtering :func:`robots_verdict`: the broadcast
+    join's output is cut to MATCHED (page, rule) pairs before the
+    per-url precedence agg (only urls some rule matched are ever
+    aggregated — at 100 TB the vast majority of a crawl matches no
+    rule and flows straight through), and the verdict comes back as a
+    LEFT ANTI join against just the disallowed urls, which AQE sizes
+    (usually broadcast: the disallowed set is tiny relative to pages).
+    """
+    side = rules_for_agent(rules, agent).select(
+        "host",
+        "rule",
+        "path",
+        F.concat(F.lit("^"), pattern_regex_expr("path")).alias("_rx"),
+        F.length("path").alias("_patlen"),
+    )
+    keyed = pages.select(
+        F.col(url_col).alias("_url"),
+        host_expr(url_col).alias("_host"),
+        url_path_expr(url_col).alias("_path"),
+    )
+    disallowed = (
+        keyed.join(F.broadcast(side), keyed["_host"] == side["host"])
+        .filter(F.rlike(F.col("_path"), F.col("_rx")))
+        .groupBy("_url")
+        .agg(
+            F.max_by(
+                F.col("rule") == "allow",
+                F.struct(
+                    F.col("_patlen").alias("l"),
+                    (F.col("rule") == "allow").cast("int").alias("a"),
+                    F.col("path").alias("p"),
+                ),
+            ).alias("_allowed"),
+        )
+        .filter(~F.col("_allowed"))
+        .select(F.col("_url").alias(url_col))
+    )
+    return pages.join(disallowed, url_col, "left_anti")
+
+
+# -- checked queries ---------------------------------------------------------
+# The testdata tables carry no robots.txt, so the checked queries derive
+# one deterministic body per synthetic host (same host arithmetic as
+# operators/urlops.synth_url_expr) — together covering group formation
+# (consecutive UA lines, blank lines, rules before any UA dropped),
+# comments, case-insensitive keys, empty Disallow, ignored Crawl-delay,
+# exact-agent vs * group selection, '*'/'$' wildcards, metachar
+# escaping ('?'), longest-match precedence, and allow-wins-ties.
+
+ROBOTS_CHECK_AGENT = "goodbot"
+
+ROBOTS_BODY_BY_MOD: dict[int, str] = {
+    1: "User-agent: *\nDisallow: /Articles/\n",
+    2: (
+        "# crawl policy\n"
+        "User-agent: GoodBot\n"
+        "User-Agent: FriendBot\n"
+        "Disallow: /Articles/item-*\n"
+        "Allow: /Articles/item-*?*\n"
+        "Allow: /$\n"
+        "Disallow:\n"
+        "Crawl-delay: 10\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    ),
+    3: (
+        "Disallow: /orphan/\n"
+        "\n"
+        "user-agent: *\n"
+        "ALLOW: /Articles/item\n"
+        "disallow: /Articles/item\n"
+        "Disallow: /?utm_*\n"
+    ),
+}
+
+
+def synth_robots_bodies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic robots.txt body per synthetic host (hosts with
+    ``h % 4 == 0`` publish none — the no-robots default path)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hosts = docs.select(
+        (F.col("doc_id") % 40).cast("long").alias("h")
+    ).distinct()
+    h = F.col("h")
+    body = (
+        F.when(h % 4 == 1, F.lit(ROBOTS_BODY_BY_MOD[1]))
+        .when(h % 4 == 2, F.lit(ROBOTS_BODY_BY_MOD[2]))
+        .otherwise(F.lit(ROBOTS_BODY_BY_MOD[3]))
+    )
+    return hosts.filter(h % 4 != 0).select(
+        F.concat(
+            F.lit("www.site"), h.cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        body.alias("robots_txt"),
+    )
+
+
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parsed rules table over the synthetic robots bodies."""
+    return parse_robots(synth_robots_bodies(spark, sf_dir)).orderBy(
+        "host", "group_id", "agent", "rule", "path"
+    )
+
+
+def q_robots_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc RFC 9309 verdict for :data:`ROBOTS_CHECK_AGENT` over the
+    synthetic urls + robots bodies."""
+    from readability_ex_spark.operators.urlops import synth_url_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select("doc_id", synth_url_expr().alias("url"))
+    rules = parse_robots(synth_robots_bodies(spark, sf_dir))
+    return (
+        robots_verdict(pages, rules, agent=ROBOTS_CHECK_AGENT)
+        .select(
+            "doc_id",
+            "url",
+            "robots_allowed",
+            "robots_rule",
+            "robots_path",
+        )
+        .orderBy("doc_id")
+    )

@@ -68,6 +68,18 @@ def main() -> int:
         "with no declaration are kept)",
     )
     ap.add_argument(
+        "--robots-txt", default=None, metavar="PATH",
+        help="parquet table (host, robots_txt) of the crawl's robots.txt "
+        "fetches; drop pages an RFC 9309 rule disallows for "
+        "--robots-agent (hosts without a row, and pages no rule "
+        "matches, are kept — the protocol's permissive default)",
+    )
+    ap.add_argument(
+        "--robots-agent", default="*",
+        help="product token to evaluate --robots-txt rules for "
+        "(exact group when the host declares one, else the * group)",
+    )
+    ap.add_argument(
         "--scrub-pii", action="store_true",
         help="replace text with its PII-scrubbed form before quality stats",
     )
@@ -222,6 +234,21 @@ def main() -> int:
         from readability_ex_spark.operators.policyops import policy_filter
 
         extracted = policy_filter(extracted)
+    if args.robots_txt:
+        # host-level REP rules, same early position as the meta flags:
+        # the rules table is tiny (one row per host x agent x rule) and
+        # broadcast; only matched urls reach the precedence agg
+        from readability_ex_spark.operators.robotstxt import (
+            parse_robots,
+            robots_filter,
+        )
+
+        robots_rules = parse_robots(
+            spark.read.parquet(args.robots_txt)
+        ).localCheckpoint(eager=True)  # tiny; cut the re-derivation per use
+        extracted = robots_filter(
+            extracted, robots_rules, agent=args.robots_agent
+        )
     if args.lang:
         extracted = extracted.filter(
             F.lower(F.coalesce(F.col("lang"), F.lit(""))).startswith(

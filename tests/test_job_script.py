@@ -229,6 +229,38 @@ def test_prepare_corpus_script(jobdir, spark):
     assert card["stages"]["partitions"] == 4
 
 
+def test_prepare_corpus_script_robots_txt(jobdir, spark):
+    """--robots-txt drops pages an RFC 9309 rule disallows for
+    --robots-agent; unlisted hosts / unmatched pages survive."""
+    spark.createDataFrame(
+        [("synth.test", "User-agent: corpusbot\nDisallow: /doc/1*\n")],
+        "host string, robots_txt string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(jobdir / "robots")
+    )
+    out = jobdir / "corpus_robots"
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(jobdir / "pages"),
+            "--output", str(out),
+            "--partitions", "4",
+            "--robots-txt", str(jobdir / "robots"),
+            "--robots-agent", "CorpusBot",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    ids = {
+        int(r.url.rsplit("/", 1)[1])
+        for r in spark.read.parquet(str(out)).select("url").collect()
+    }
+    assert ids, "robots filter must not drop everything"
+    assert not any(str(i).startswith("1") for i in ids)
+    # ids the rule does not match survive (e.g. 2x, 3x, ...)
+    assert any(not str(i).startswith("1") for i in ids)
+
+
 def test_prepare_corpus_script_safety_stages(jobdir, spark):
     """--quality-rules --repetition-rules --scrub-pii write the
     _quality_stats kill-rate artifact and a filtered corpus."""
