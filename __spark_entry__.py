@@ -35,6 +35,7 @@ from readability_ex_spark.operators import textops as T  # noqa: E402
 from readability_ex_spark.operators import bpe as BP  # noqa: E402
 from readability_ex_spark.operators import lmquality as LM  # noqa: E402
 from readability_ex_spark.operators import policyops as PO  # noqa: E402
+from readability_ex_spark.operators import qualityclf as QC  # noqa: E402
 from readability_ex_spark.operators import robotstxt as RB  # noqa: E402
 from readability_ex_spark.operators import urlops as U  # noqa: E402
 from readability_ex_spark.operators import wordlist as WL  # noqa: E402
@@ -60,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    these; r4-green at best) --
         "robots_parse": RB.q_robots_parse,
         "robots_verdict": RB.q_robots_verdict,
+        "quality_classifier": QC.q_quality_classifier,
         "policy_filter": PO.q_policy_filter,
         "bpe_tokenize": BP.q_bpe_tokenize,
         "top_ngrams": T.q_top_ngrams,
@@ -1563,6 +1565,13 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN is_match THEN rpath END AS robots_path
             FROM vr WHERE rn = 1
             ORDER BY doc_id
+        """,
+        # mirrors qualityclf.with_quality_scores with the deterministic
+        # default model inlined as a VALUES weight table (same md5-hex
+        # feature buckets, mean, sigmoid; trainer is driver-side numpy)
+        "quality_classifier": f"""
+            WITH {QC.clf_score_sql(QC.default_model())}
+            SELECT doc_id, clf_score FROM cscore ORDER BY doc_id
         """,
         # mirrors policyops.with_synthetic_policy + policy_keep_expr:
         # md5-derived robots/license flags, default keep verdict (the

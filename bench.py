@@ -185,6 +185,12 @@ def main() -> int:
     from readability_ex_spark.operators.robotstxt import q_robots_verdict
 
     run("robots_verdict", lambda: q_robots_verdict(spark, sf_dir).count())
+    from readability_ex_spark.operators.qualityclf import q_quality_classifier
+
+    run(
+        "quality_classifier",
+        lambda: q_quality_classifier(spark, sf_dir).count(),
+    )
     from readability_ex_spark.operators.lmquality import q_unigram_logprob
     from readability_ex_spark.operators.sampling import q_mixture_sample
     from readability_ex_spark.operators.urlops import q_canonical_dedup
