@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse": RB.q_robots_parse,
         "robots_verdict": RB.q_robots_verdict,
         "quality_classifier": QC.q_quality_classifier,
+        "lm_buckets": LM.q_lm_buckets,
         "policy_filter": PO.q_policy_filter,
         "bpe_tokenize": BP.q_bpe_tokenize,
         "top_ngrams": T.q_top_ngrams,
@@ -540,6 +541,45 @@ _URL_CTES = f"""
 """
 
 
+# unigram-LM scoring pipeline (mirrors lmquality.unigram_logprob),
+# shared by the unigram_logprob and lm_buckets oracles
+_LM_SCORE_CTES = f"""
+    toks AS (
+      SELECT doc_id,
+             unnest(CASE WHEN text IS NULL OR trim(text) = ''
+                         THEN CAST([] AS VARCHAR[])
+                         ELSE regexp_split_to_array(trim(text),
+                                                    '\\s+') END)
+               AS token
+      FROM documents),
+    tf AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+    top AS (
+      SELECT token, ln(CAST(c AS DOUBLE)) AS ln_c
+      FROM tf ORDER BY c DESC, token ASC
+      LIMIT {LM.DEFAULT_VOCAB_SIZE}),
+    tot AS (
+      SELECT ln(CAST(sum(c) AS DOUBLE)) AS ln_total FROM tf),
+    per AS (
+      SELECT t.doc_id, count(*) AS n_tokens,
+             CAST(sum(CASE WHEN v.ln_c IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+             sum(coalesce(v.ln_c, 0.0)) AS s
+      FROM toks t LEFT JOIN top v USING (token)
+      GROUP BY t.doc_id),
+    lmscore AS (
+      SELECT d.doc_id,
+             CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+             CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+             CASE WHEN coalesce(p.n_tokens, 0) > 0
+                  THEN round(p.s / p.n_tokens - tot.ln_total,
+                             {LM.LOGPROB_DECIMALS}) END
+               AS lm_logprob
+      FROM documents d
+      LEFT JOIN per p USING (doc_id) CROSS JOIN tot)
+"""
+
+
 def _robots_rx_sql(expr: str) -> str:
     """Fold ``operators/robotstxt.PATTERN_ESCAPES`` into nested DuckDB
     ``regexp_replace`` calls — the SAME (pattern, fixed replacement)
@@ -847,39 +887,27 @@ def oracle_sql() -> dict[str, str]:
         # mirrors lmquality.unigram_logprob: top-V unigram model from
         # corpus counts, OOV floor 1/total, mean ln-prob per doc
         "unigram_logprob": f"""
-            WITH toks AS (
-              SELECT doc_id,
-                     unnest(CASE WHEN text IS NULL OR trim(text) = ''
-                                 THEN CAST([] AS VARCHAR[])
-                                 ELSE regexp_split_to_array(trim(text),
-                                                            '\\s+') END)
-                       AS token
-              FROM documents),
-            tf AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
-            top AS (
-              SELECT token, ln(CAST(c AS DOUBLE)) AS ln_c
-              FROM tf ORDER BY c DESC, token ASC
-              LIMIT {LM.DEFAULT_VOCAB_SIZE}),
-            tot AS (
-              SELECT ln(CAST(sum(c) AS DOUBLE)) AS ln_total FROM tf),
-            per AS (
-              SELECT t.doc_id, count(*) AS n_tokens,
-                     CAST(sum(CASE WHEN v.ln_c IS NULL
-                                   THEN 1 ELSE 0 END) AS BIGINT)
-                       AS n_oov,
-                     sum(coalesce(v.ln_c, 0.0)) AS s
-              FROM toks t LEFT JOIN top v USING (token)
-              GROUP BY t.doc_id)
-            SELECT d.doc_id,
-                   CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
-                   CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
-                   CASE WHEN coalesce(p.n_tokens, 0) > 0
-                        THEN round(p.s / p.n_tokens - tot.ln_total,
-                                   {LM.LOGPROB_DECIMALS}) END
-                     AS lm_logprob
-            FROM documents d
-            LEFT JOIN per p USING (doc_id) CROSS JOIN tot
-            ORDER BY d.doc_id
+            WITH {_LM_SCORE_CTES}
+            SELECT doc_id, n_tokens, n_oov, lm_logprob
+            FROM lmscore ORDER BY doc_id
+        """,
+        # mirrors lmquality.lm_buckets: CCNet head/middle/tail split,
+        # per-language ntile over the shared lmscore CTEs (score DESC
+        # NULLS LAST, id ASC — total order, so ntile agrees)
+        "lm_buckets": f"""
+            WITH {_LM_SCORE_CTES},
+            lb AS (
+              SELECT s.doc_id, d.lang, s.lm_logprob,
+                     CAST(ntile(3) OVER (
+                       PARTITION BY d.lang
+                       ORDER BY s.lm_logprob DESC NULLS LAST,
+                                s.doc_id ASC) AS INTEGER) AS lm_bucket
+              FROM lmscore s JOIN documents d USING (doc_id))
+            SELECT doc_id, lang, lm_logprob, lm_bucket,
+                   CASE WHEN lm_bucket = 1 THEN 'head'
+                        WHEN lm_bucket = 3 THEN 'tail'
+                        ELSE 'middle' END AS lm_band
+            FROM lb ORDER BY doc_id
         """,
         "url_canonicalize": f"""
             {_URL_CTES}

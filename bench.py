@@ -197,6 +197,9 @@ def main() -> int:
     from readability_ex_spark.operators.wordlist import q_wordlist_filter
 
     run("unigram_logprob", lambda: q_unigram_logprob(spark, sf_dir).count())
+    from readability_ex_spark.operators.lmquality import q_lm_buckets
+
+    run("lm_buckets", lambda: q_lm_buckets(spark, sf_dir).count())
     from readability_ex_spark.operators.lmquality import q_dsir_weights
 
     run("dsir_weights", lambda: q_dsir_weights(spark, sf_dir).count())

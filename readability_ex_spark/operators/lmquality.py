@@ -219,9 +219,106 @@ def dsir_weights(
     )
 
 
+def lm_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    vocab_size: int = DEFAULT_VOCAB_SIZE,
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet's head/middle/tail split: per-language perplexity buckets.
+
+    Wenzek et al. 2020 §4.4 cut each language's documents into three
+    equal perplexity bands and train preferentially on the "head"
+    (most-fluent) band.  Here bucket 1 = highest ``lm_logprob`` =
+    lowest perplexity = head; ties and NULL scores (empty docs) order
+    deterministically (score DESC NULLS LAST, id ASC), so the split is
+    rerun-stable and engine-portable (``ntile`` agrees across engines
+    under a total order).
+
+    Plan: scoring is the single-pass broadcast shape of
+    :func:`unigram_logprob`; the bucket assignment is ONE window per
+    language.  A window partition cannot be split, so on a corpus
+    where one language dominates this exact-rank variant funnels that
+    language through one task — use :func:`lm_bucket_thresholds` +
+    :func:`assign_lm_buckets` (percentile thresholds, broadcast, pure
+    codegen CASE) as the 100 TB path and keep this one for
+    oracle-exact work at audit scale.
+    """
+    from pyspark.sql import Window
+
+    scored = unigram_logprob(docs, id_col, text_col, vocab_size, vocab)
+    keyed = docs.select(id_col, lang_col).join(scored, id_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("lm_logprob").desc_nulls_last(), F.col(id_col).asc()
+    )
+    bucket = F.ntile(n_buckets).over(w)
+    return keyed.select(
+        id_col,
+        lang_col,
+        "lm_logprob",
+        bucket.alias("lm_bucket"),
+        F.when(bucket == 1, F.lit("head"))
+        .when(bucket == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+        .alias("lm_band"),
+    )
+
+
+def lm_bucket_thresholds(
+    scored: DataFrame,
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    score_col: str = "lm_logprob",
+) -> DataFrame:
+    """Per-language bucket CUT POINTS (approx percentiles of
+    ``score_col``) — the scalable alternative to :func:`lm_buckets`'
+    exact rank: one tiny agg (#languages rows, broadcastable), then
+    :func:`assign_lm_buckets` is a free codegen CASE over every row,
+    no total ordering anywhere.  Band boundaries can differ from the
+    exact split by the sketch's rank error at the cut, which CCNet's
+    use (train on the head band) tolerates by construction."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    return scored.filter(F.col(score_col).isNotNull()).groupBy(
+        lang_col
+    ).agg(
+        F.percentile_approx(score_col, qs).alias("_cuts")
+    )
+
+
+def assign_lm_buckets(
+    scored: DataFrame,
+    thresholds: DataFrame,
+    lang_col: str = "lang",
+    score_col: str = "lm_logprob",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """``scored`` plus ``lm_bucket`` from broadcast ``thresholds``:
+    bucket = 1 + number of cut points strictly above the score (cuts
+    are ascending percentiles; bucket 1 = top scores = head).  NULL
+    scores — and languages the threshold table never saw — land in
+    bucket ``n_buckets`` (the tail, with the other unscorables)."""
+    joined = scored.join(F.broadcast(thresholds), lang_col, "left")
+    below = F.size(F.filter("_cuts", lambda c: c > F.col(score_col)))
+    return joined.withColumn(
+        "lm_bucket",
+        F.when(
+            F.col(score_col).isNull() | F.col("_cuts").isNull(),
+            F.lit(n_buckets),
+        ).otherwise(below + 1),
+    ).drop("_cuts")
+
+
 def q_unigram_logprob(spark, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return unigram_logprob(docs).orderBy("doc_id")
+
+
+def q_lm_buckets(spark, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm_buckets(docs).orderBy("doc_id")
 
 
 def q_dsir_weights(spark, sf_dir: str) -> DataFrame:

@@ -160,3 +160,72 @@ def test_dsir_persisted_vocabs(spark):
         ).collect()
     }
     assert inline == persisted
+
+
+def test_lm_buckets_exact_split(spark):
+    """Per-language ntile: near-equal band sizes, and every head doc
+    outscores every tail doc within its language."""
+    from readability_ex_spark.operators.lmquality import lm_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b = lm_buckets(docs).cache()
+    sizes = {
+        (r.lang, r.lm_bucket): r.n
+        for r in b.groupBy("lang", "lm_bucket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    langs = {lang for lang, _ in sizes}
+    for lang in langs:
+        per = [sizes.get((lang, k), 0) for k in (1, 2, 3)]
+        assert max(per) - min(per) <= 1, (lang, per)
+    edges = (
+        b.filter(F.col("lm_logprob").isNotNull())
+        .groupBy("lang", "lm_band")
+        .agg(
+            F.min("lm_logprob").alias("lo"),
+            F.max("lm_logprob").alias("hi"),
+        )
+        .collect()
+    )
+    by = {(r.lang, r.lm_band): (r.lo, r.hi) for r in edges}
+    for lang in langs:
+        if (lang, "head") in by and (lang, "tail") in by:
+            assert by[(lang, "head")][0] >= by[(lang, "tail")][1]
+    b.unpersist()
+
+
+def test_lm_bucket_thresholds_scale_path(spark):
+    """The percentile-threshold variant is monotone within a language
+    and lands band shares near the exact tertiles."""
+    from readability_ex_spark.operators.lmquality import (
+        assign_lm_buckets,
+        lm_bucket_thresholds,
+        unigram_logprob,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scored = unigram_logprob(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    cuts = lm_bucket_thresholds(scored)
+    out = assign_lm_buckets(scored, cuts).cache()
+    rows = out.select("lang", "lm_logprob", "lm_bucket").filter(
+        F.col("lm_logprob").isNotNull()
+    ).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append((r.lm_logprob, r.lm_bucket))
+    for lang, pairs in by_lang.items():
+        pairs.sort(key=lambda p: -p[0])
+        buckets = [bk for _, bk in pairs]
+        assert buckets == sorted(buckets), lang  # monotone
+        n = len(buckets)
+        for k in (1, 2, 3):
+            share = buckets.count(k) / n
+            assert 0.15 < share < 0.55, (lang, k, share)
+    # NULL scores land in the tail bucket
+    nulls = out.filter(F.col("lm_logprob").isNull())
+    if nulls.count():
+        assert {r.lm_bucket for r in nulls.collect()} == {3}
+    out.unpersist()
