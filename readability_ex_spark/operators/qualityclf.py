@@ -199,6 +199,34 @@ def with_quality_scores(
     return docs.join(sums, id_col)
 
 
+def save_model(
+    model: QualityModel, spark: SparkSession, path: str
+) -> None:
+    """Persist as one small parquet: (bucket, w) weight rows plus a
+    single bias row with ``bucket`` NULL — self-contained, the same
+    idiom as ``lmquality``'s ``_total`` vocab row, so it can ride the
+    corpus sidecar lifecycle (``sidecars.py``)."""
+    rows = [
+        (b, float(w)) for b, w in sorted(model.weights.items())
+    ] + [(None, float(model.bias))]
+    spark.createDataFrame(rows, "bucket string, w double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_model(spark: SparkSession, path: str) -> QualityModel:
+    """Inverse of :func:`save_model` (bounded collect: <= 257 rows)."""
+    rows = spark.read.parquet(path).collect()
+    bias = 0.0
+    weights: dict[str, float] = {}
+    for r in rows:
+        if r.bucket is None:
+            bias = r.w
+        else:
+            weights[r.bucket] = r.w
+    return QualityModel(weights=weights, bias=bias)
+
+
 def clf_score_sql(
     model: QualityModel, text_col: str = "text", id_col: str = "doc_id"
 ) -> str:

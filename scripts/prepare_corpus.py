@@ -116,6 +116,18 @@ def main() -> int:
         "token-less docs always drop)",
     )
     ap.add_argument(
+        "--clf-model", default=None, metavar="MODEL_PATH",
+        help="parquet weight table written by qualityclf.save_model (a "
+        "quality classifier trained on YOUR labeled sample via "
+        "qualityclf.train_quality_classifier); keep only docs scoring "
+        ">= --clf-floor",
+    )
+    ap.add_argument(
+        "--clf-floor", type=float, default=0.5, metavar="SCORE",
+        help="minimum classifier score when --clf-model is given "
+        "(sigmoid output, default 0.5)",
+    )
+    ap.add_argument(
         "--dsir-target", default=None, metavar="TARGET_PATH",
         help="parquet table with a text column describing the TARGET "
         "domain; keep only docs whose DSIR importance weight "
@@ -452,6 +464,26 @@ def main() -> int:
             lm.filter(
                 F.col("lm_logprob") >= args.min_lm_logprob
             ).select("url"),
+            "url",
+            "left_semi",
+        )
+    if args.clf_model:
+        # trained-classifier floor (fastText/CCNet practice): the model
+        # is a bounded driver-side load, scoring is the one-pass
+        # broadcast plan of qualityclf.with_quality_scores
+        from readability_ex_spark.operators.qualityclf import (
+            load_model,
+            with_quality_scores,
+        )
+
+        clf = load_model(spark, args.clf_model)
+        # scoring + verdict reference the corpus twice — checkpoint so
+        # the upstream pipeline is not re-derived (plans are trees)
+        corpus = corpus.localCheckpoint(eager=False)
+        corpus = corpus.join(
+            with_quality_scores(corpus, clf, id_col="url")
+            .filter(F.col("clf_score") >= args.clf_floor)
+            .select("url"),
             "url",
             "left_semi",
         )

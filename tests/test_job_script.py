@@ -261,6 +261,65 @@ def test_prepare_corpus_script_robots_txt(jobdir, spark):
     assert any(not str(i).startswith("1") for i in ids)
 
 
+def test_prepare_corpus_script_clf_floor(spark, tmp_path):
+    """--clf-model/--clf-floor keep only docs the persisted classifier
+    scores above the floor."""
+    import datetime
+    import hashlib
+
+    from readability_ex_spark.operators.qualityclf import (
+        QualityModel,
+        save_model,
+    )
+
+    ts = datetime.datetime(2024, 6, 1)
+    def page(url, body):
+        html = (
+            f"<html><body><article><p>{body}</p></article></body></html>"
+        ).encode()
+        return (url, ts, html, "", "en")
+
+    good1 = " ".join(f"steady prose word{i} of record" for i in range(30))
+    good2 = " ".join(f"another essay item{i} from print" for i in range(30))
+    spam_body = " ".join(["zqspam"] * 120)
+    spark.createDataFrame(
+        [
+            page("http://clf.test/good1", good1),
+            page("http://clf.test/good2", good2),
+            page("http://clf.test/spam", spam_body),
+        ],
+        "url string, warc_ts timestamp, html binary, "
+        "text string, lang string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "pages"))
+
+    spam_bucket = hashlib.md5(b"zqspam").hexdigest()[:2]
+    save_model(
+        # -10 per spam token: the all-spam doc's mean is -10 (score ~0)
+        # while an accidental bucket collision in a prose doc shifts the
+        # mean by at most ~-0.3 (score stays well above the floor)
+        QualityModel(weights={spam_bucket: -10.0}, bias=2.0),
+        spark,
+        str(tmp_path / "clf"),
+    )
+    out = tmp_path / "corpus"
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(tmp_path / "pages"),
+            "--output", str(out),
+            "--partitions", "2",
+            "--clf-model", str(tmp_path / "clf"),
+            "--clf-floor", "0.5",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    urls = {
+        r.url for r in spark.read.parquet(str(out)).select("url").collect()
+    }
+    assert urls == {"http://clf.test/good1", "http://clf.test/good2"}
+
+
 def test_prepare_corpus_script_safety_stages(jobdir, spark):
     """--quality-rules --repetition-rules --scrub-pii write the
     _quality_stats kill-rate artifact and a filtered corpus."""

@@ -117,6 +117,17 @@ def test_scoring_plan_is_udf_free_and_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_save_load_roundtrip(spark, tmp_path):
+    from readability_ex_spark.operators.qualityclf import (
+        load_model,
+        save_model,
+    )
+
+    m = default_model()
+    save_model(m, spark, str(tmp_path / "clf"))
+    assert load_model(spark, str(tmp_path / "clf")) == m
+
+
 def test_training_inputs_affect_weights():
     m1 = train_quality_model(["alpha beta", "gamma delta"], [True, False])
     m2 = train_quality_model(["alpha beta", "gamma delta"], [False, True])
