@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_verdict": RB.q_robots_verdict,
         "quality_classifier": QC.q_quality_classifier,
         "lm_buckets": LM.q_lm_buckets,
+        "pack_sequences": SA.q_pack_sequences,
         "policy_filter": PO.q_policy_filter,
         "bpe_tokenize": BP.q_bpe_tokenize,
         "top_ngrams": T.q_top_ngrams,
@@ -1861,6 +1862,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((cum - n_tokens)
                         / {SA.SHARD_TOKENS}.0) AS BIGINT) AS shard_id
             FROM w ORDER BY doc_id
+        """,
+        # mirrors sampling.pack_sequences: cumulative token offsets,
+        # per-doc sequence range exploded, boundary-straddling docs
+        # split into doc-relative [tok_from, tok_to) slices
+        "pack_sequences": f"""
+            WITH s AS (
+              SELECT doc_id, lang, CAST({ntoks} AS BIGINT) AS n_tokens
+              FROM documents),
+            w AS (
+              SELECT doc_id, lang, n_tokens,
+                     CAST(sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens
+                       AS BIGINT) AS strt
+              FROM s),
+            p AS (
+              SELECT doc_id, lang, strt,
+                     CAST(strt + n_tokens AS BIGINT) AS nd
+              FROM w WHERE n_tokens > 0),
+            e AS (
+              SELECT doc_id, lang, strt, nd,
+                     unnest(range(strt // {SA.SEQ_LEN},
+                                  (nd - 1) // {SA.SEQ_LEN} + 1)) AS seq_id
+              FROM p)
+            SELECT lang, doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+                   CAST(greatest(strt, seq_id * {SA.SEQ_LEN}) - strt
+                        AS BIGINT) AS tok_from,
+                   CAST(least(nd, (seq_id + 1) * {SA.SEQ_LEN}) - strt
+                        AS BIGINT) AS tok_to,
+                   CAST(greatest(strt, seq_id * {SA.SEQ_LEN})
+                        - seq_id * {SA.SEQ_LEN} AS BIGINT) AS seq_off
+            FROM e ORDER BY doc_id, seq_id
         """,
         # mirrors sampling.mixture_sample: rates derived from corpus
         # counts (T = min n/w; rate = min(1, w*T/n)), md5-prefix draw

@@ -200,6 +200,9 @@ def main() -> int:
     from readability_ex_spark.operators.lmquality import q_lm_buckets
 
     run("lm_buckets", lambda: q_lm_buckets(spark, sf_dir).count())
+    from readability_ex_spark.operators.sampling import q_pack_sequences
+
+    run("pack_sequences", lambda: q_pack_sequences(spark, sf_dir).count())
     from readability_ex_spark.operators.lmquality import q_dsir_weights
 
     run("dsir_weights", lambda: q_dsir_weights(spark, sf_dir).count())

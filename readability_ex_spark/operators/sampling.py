@@ -248,6 +248,95 @@ def shard_assign(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Pack docs into fixed-length training sequences: each doc maps to
+    the one-or-more length-``seq_len`` sequences its tokens land in,
+    with the token slice ``[tok_from, tok_to)`` of the doc that fills
+    each — the map a sequence-building writer consumes (GPT-style
+    packing: concatenate docs in deterministic ``id_col`` order, cut
+    every ``seq_len`` tokens; a doc straddling a boundary SPLITS across
+    sequences, unlike :func:`shard_assign`'s whole-doc rule, so every
+    sequence is exactly full except each stratum's last).
+
+    Plan: one window (cumulative token offset) plus an ``explode`` of
+    the per-doc sequence range — output rows = docs + boundary
+    crossings (≈ total_tokens/seq_len extra), never tokens.  Window
+    partition = ``stratum_col`` (plus ``shard_col`` when given: pack
+    within :func:`shard_assign` shards so a dominant language's window
+    stays bounded by the shard size — the 100 TB shape; global
+    sequence ids are then (shard_id, seq_id) pairs).
+
+    Zero-token docs get no row (nothing to pack). Output = ``id_col``,
+    partition keys, ``seq_id`` (0-based per partition), ``tok_from``/
+    ``tok_to`` (doc-relative, ``tok_to`` exclusive), ``seq_off`` (where
+    the slice starts inside the sequence).
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be > 0, got {seq_len}")
+    keys = [stratum_col] + ([shard_col] if shard_col else [])
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.col(tokens_col).cast("long")
+    start = F.sum(tokens_col).over(w).cast("long") - n
+    end = start + n
+    L = F.lit(seq_len).cast("long")
+    positioned = df.select(
+        *keys, F.col(id_col), n.alias("_n"), start.alias("_start"),
+        end.alias("_end"),
+    ).filter(F.col("_n") > 0)
+    exploded = positioned.select(
+        *keys,
+        id_col,
+        "_start",
+        "_end",
+        # `div` = exact integer division on longs (no double rounding;
+        # offsets at 100 TB exceed a double's 53-bit exact range later
+        # than a long's 63 bits); DuckDB spells it `//`
+        F.explode(
+            F.sequence(
+                F.expr(f"_start div {seq_len}"),
+                F.expr(f"(_end - 1) div {seq_len}"),
+            )
+        ).alias("seq_id"),
+    )
+    seq_lo = F.col("seq_id") * L
+    return exploded.select(
+        *keys,
+        id_col,
+        "seq_id",
+        F.greatest(F.col("_start"), seq_lo).alias("_lo"),
+        F.least(F.col("_end"), seq_lo + L).alias("_hi"),
+        F.col("_start"),
+    ).select(
+        *keys,
+        id_col,
+        "seq_id",
+        (F.col("_lo") - F.col("_start")).alias("tok_from"),
+        (F.col("_hi") - F.col("_start")).alias("tok_to"),
+        (F.col("_lo") - seq_lo).alias("seq_off"),
+    )
+
+
+SEQ_LEN = 512  # binds at every sf (per-lang totals are 3.5k-12k tokens)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_signals(spark, sf_dir).select(
+        "doc_id", "lang", "n_tokens"
+    )
+    return pack_sequences(docs, SEQ_LEN).orderBy("doc_id", "seq_id")
+
+
 SHARD_TOKENS = 3_000  # binds at every sf (per-lang totals are 3.5k-12k)
 
 

@@ -109,3 +109,75 @@ def test_shard_assign_rejects_nonpositive_size(spark):
     for bad in (0, -5):
         with _pytest.raises(ValueError):
             shard_assign(df, bad)
+
+
+def test_pack_sequences_invariants(spark):
+    """Every sequence except each stratum's last is exactly full; each
+    doc's slices tile [0, n_tokens) contiguously; slice offsets fit the
+    sequence; zero-token docs vanish."""
+    from readability_ex_spark.operators.sampling import (
+        SEQ_LEN,
+        q_pack_sequences,
+    )
+
+    rows = q_pack_sequences(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_seq: dict[tuple, int] = {}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.tok_from < r.tok_to
+        assert 0 <= r.seq_off and r.seq_off + (r.tok_to - r.tok_from) <= SEQ_LEN
+        by_seq[(r.lang, r.seq_id)] = by_seq.get((r.lang, r.seq_id), 0) + (
+            r.tok_to - r.tok_from
+        )
+        by_doc.setdefault(r.doc_id, []).append(r)
+    last_seq = {}
+    for (lang, sid) in by_seq:
+        last_seq[lang] = max(last_seq.get(lang, -1), sid)
+    for (lang, sid), filled in by_seq.items():
+        if sid < last_seq[lang]:
+            assert filled == SEQ_LEN, (lang, sid, filled)
+        else:
+            assert 0 < filled <= SEQ_LEN
+    for doc_id, slices in by_doc.items():
+        slices.sort(key=lambda r: r.seq_id)
+        assert slices[0].tok_from == 0
+        for a, b in zip(slices, slices[1:]):
+            assert b.tok_from == a.tok_to  # contiguous
+            assert b.seq_id == a.seq_id + 1
+            assert b.seq_off == 0  # continuation starts a sequence
+
+
+def test_pack_sequences_within_shards(spark):
+    """shard_col packing: sequence ids restart per shard and every
+    slice's doc belongs to that shard (the bounded-window 100 TB shape
+    composed with shard_assign)."""
+    from pyspark.sql import functions as F
+
+    from readability_ex_spark.operators.sampling import (
+        _docs_with_signals,
+        pack_sequences,
+        shard_assign,
+    )
+
+    docs = _docs_with_signals(spark, "/root/testdata/sf0.001").select(
+        "doc_id", "lang", "n_tokens"
+    )
+    sharded = shard_assign(docs, 2_000)
+    packed = pack_sequences(
+        sharded, 512, shard_col="shard_id"
+    )
+    assert packed.filter(F.col("seq_id") < 0).count() == 0
+    # every (lang, shard) partition has a seq 0
+    firsts = (
+        packed.groupBy("lang", "shard_id")
+        .agg(F.min("seq_id").alias("m"))
+        .collect()
+    )
+    assert firsts and all(r.m == 0 for r in firsts)
+    # a doc's slices never leave its shard
+    assert (
+        packed.join(sharded, ["doc_id", "lang", "shard_id"], "left_anti")
+        .count()
+        == 0
+    )
