@@ -36,6 +36,8 @@ def stream_extraction(
     canonical_urls: bool = False,
     blocklist: tuple[str, ...] | None = None,
     respect_robots: bool = False,
+    robots_txt_path: str | None = None,
+    robots_agent: str = "*",
 ):
     """Start the streaming extraction query. Returns the StreamingQuery.
 
@@ -44,8 +46,9 @@ def stream_extraction(
     tail of an arriving crawl.
 
     ``quality_rules``/``scrub_pii_text``/``canonical_urls``/
-    ``blocklist``/``respect_robots`` run the SAME stateless
-    corpus-safety stages as the batch job inside each micro-batch
+    ``blocklist``/``respect_robots``/``robots_txt_path`` run the SAME
+    stateless corpus-safety stages as the batch job inside each
+    micro-batch
     (per-doc column expressions — no cross-batch state, so streaming
     and batch verdicts agree row-for-row by construction; cross-batch
     work like dedup stays with the stateful operators below)."""
@@ -53,6 +56,18 @@ def stream_extraction(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     pages = reader.parquet(input_path)
+
+    robots_rules = None
+    if robots_txt_path:
+        # host-level REP rules (same stage as the batch script): the
+        # (host, robots_txt) side table is static batch input, parsed
+        # ONCE at query start and checkpointed — each micro-batch only
+        # pays the broadcast verdict join
+        from readability_ex_spark.operators.robotstxt import parse_robots
+
+        robots_rules = parse_robots(
+            spark.read.parquet(robots_txt_path)
+        ).localCheckpoint(eager=True)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if canonical_urls:
@@ -74,6 +89,14 @@ def stream_extraction(
             )
 
             extracted = policy_filter(extracted)
+        if robots_rules is not None:
+            from readability_ex_spark.operators.robotstxt import (
+                robots_filter,
+            )
+
+            extracted = robots_filter(
+                extracted, robots_rules, agent=robots_agent
+            )
         # stage ORDER mirrors scripts/prepare_corpus.py (pii scrub, THEN
         # blocklist): with both flags on, a doc whose only blocklist hit
         # sits inside later-scrubbed text must get the same verdict in

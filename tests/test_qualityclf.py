@@ -128,6 +128,51 @@ def test_save_load_roundtrip(spark, tmp_path):
     assert load_model(spark, str(tmp_path / "clf")) == m
 
 
+def test_trainer_script_end_to_end(spark, tmp_path):
+    """scripts/train_quality_clf.py trains, persists, and reports
+    accuracy; the saved model drives with_quality_scores."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    from readability_ex_spark.operators.qualityclf import (
+        load_model,
+        with_quality_scores,
+    )
+
+    repo = _Path(__file__).resolve().parent.parent
+    texts, labels = _held_out(10)
+    spark.createDataFrame(
+        [(i, t, y) for i, (t, y) in enumerate(zip(texts, labels))],
+        "doc_id long, text string, is_good boolean",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "labeled")
+    )
+    proc = subprocess.run(
+        [
+            _sys.executable, str(repo / "scripts" / "train_quality_clf.py"),
+            "--input", str(tmp_path / "labeled"),
+            "--output", str(tmp_path / "model"),
+            "--label-col", "is_good",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(repo),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    acc_line = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("labeled_rows=")
+    ]
+    assert acc_line
+    acc = float(acc_line[0].split("accuracy=")[1])
+    assert acc >= 0.95, proc.stdout
+    m = load_model(spark, str(tmp_path / "model"))
+    assert m.weights  # non-trivial model round-trips through the script
+    df = spark.createDataFrame(
+        [(0, "the quick study of rivers went to print")],
+        "doc_id long, text string",
+    )
+    assert with_quality_scores(df, m).first().clf_score > 0.5
+
+
 def test_training_inputs_affect_weights():
     m1 = train_quality_model(["alpha beta", "gamma delta"], [True, False])
     m2 = train_quality_model(["alpha beta", "gamma delta"], [False, True])

@@ -429,3 +429,49 @@ def test_stream_extraction_respect_robots_matches_batch(spark, tmpdir):
         for r in pages.select("url").collect()
     } - set(ids)
     assert any(d % 53 in (13, 29) for d in dropped)
+
+
+def test_stream_extraction_robots_txt_matches_batch(spark, tmpdir):
+    """robots_txt_path in the stream produces exactly the batch
+    robots_filter verdict on each page's url."""
+    from readability_ex_spark.operators.robotstxt import (
+        parse_robots,
+        robots_filter,
+    )
+    from readability_ex_spark.pipeline import run_extraction
+
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001").limit(90)
+    pages.write.mode("overwrite").parquet(str(tmpdir / "pages_rt"))
+    robots = spark.createDataFrame(
+        [("synth.test", "User-agent: *\nDisallow: /doc/1*\n")],
+        "host string, robots_txt string",
+    )
+    robots.write.mode("overwrite").parquet(str(tmpdir / "robots_rt"))
+
+    q = stream_extraction(
+        spark,
+        str(tmpdir / "pages_rt"),
+        str(tmpdir / "out_rt"),
+        str(tmpdir / "ckpt_rt"),
+        available_now=True,
+        robots_txt_path=str(tmpdir / "robots_rt"),
+    )
+    q.awaitTermination(300)
+    got = {
+        r.url
+        for r in spark.read.parquet(str(tmpdir / "out_rt"))
+        .select("url")
+        .collect()
+    }
+    expect = {
+        r.url
+        for r in robots_filter(
+            run_extraction(pages, dedup=True), parse_robots(robots)
+        )
+        .select("url")
+        .collect()
+    }
+    assert got == expect
+    assert got and not any(
+        u.rsplit("/", 1)[1].startswith("1") for u in got
+    )
