@@ -306,6 +306,40 @@ def robots_filter(
     return pages.join(disallowed, url_col, "left_anti")
 
 
+def robots_from_pages(
+    pages: DataFrame,
+    url_col: str = "url",
+    body_col: str = "html",
+    ts_col: str | None = None,
+) -> DataFrame:
+    """``(host, robots_txt)`` side table lifted from a crawl's own page
+    rows — the shape a WARC crawl delivers robots fetches in (they are
+    ordinary records whose path is exactly ``/robots.txt``).
+
+    One row per host: with ``ts_col`` the LATEST fetch wins (md5 of the
+    body as the deterministic tiebreak, the same rule as the page-level
+    latest-crawl dedup); without it the bytewise-largest body is the
+    (deterministic) winner.  Free at scale: the filter prunes at the
+    scan and the agg runs on the tiny robots subset."""
+    body = F.col(body_col).cast("string")
+    order = (
+        F.struct(F.col(ts_col), F.md5(body))
+        if ts_col
+        else F.struct(F.md5(body))
+    )
+    return (
+        pages.filter(url_path_expr(url_col) == "/robots.txt")
+        .select(
+            host_expr(url_col).alias("host"),
+            body.alias("_body"),
+            order.alias("_ord"),
+        )
+        .filter(F.col("host") != "")
+        .groupBy("host")
+        .agg(F.max_by("_body", "_ord").alias("robots_txt"))
+    )
+
+
 # -- checked queries ---------------------------------------------------------
 # The testdata tables carry no robots.txt, so the checked queries derive
 # one deterministic body per synthetic host (same host arithmetic as

@@ -150,6 +150,15 @@ def main() -> int:
         "loaders regroup by (lang, shard_id))",
     )
     ap.add_argument(
+        "--pack-seq-len", type=int, default=None, metavar="L",
+        help="write a _sequences sidecar mapping each shipped doc to "
+        "its fixed-length-L training sequences (doc-relative "
+        "[tok_from, tok_to) slices; boundary-straddling docs split). "
+        "Rebuilt from the shipped corpus every run (derived data; "
+        "key-column scan only). With --shard-tokens, packing runs "
+        "WITHIN shards so the windows stay bounded under language skew",
+    )
+    ap.add_argument(
         "--mixture", default=None, metavar="LANG=W,...",
         help="downsample to target language proportions, e.g. "
         "en=0.5,fr=0.3,de=0.2 (largest achievable mix; languages "
@@ -714,6 +723,26 @@ def main() -> int:
                 "_bands",
             )
             print("band_index=rebuilt")
+    if args.pack_seq_len is not None:
+        # derived sidecar, rebuilt from the SHIPPED corpus every run
+        # (update mode shifts downstream offsets, so incremental
+        # maintenance buys nothing): a key-column scan — url/lang/
+        # n_tokens(/shard_id) only, text never read
+        from readability_ex_spark.operators.sampling import pack_sequences
+
+        key_cols = ["url", "lang", "n_tokens"] + (
+            ["shard_id"] if args.shard_tokens is not None else []
+        )
+        shipped = spark.read.parquet(args.output).select(*key_cols)
+        seqs = pack_sequences(
+            shipped,
+            args.pack_seq_len,
+            stratum_col="lang",
+            id_col="url",
+            shard_col="shard_id" if args.shard_tokens is not None else None,
+        )
+        write_sidecar(seqs, args.output, "_sequences")
+        print("sequences=packed")
     if lm_vocab_df is not None and not lm_vocab_loaded:
         # persist the model the corpus was filtered by (tiny: V+1 rows)
         # so later --update batches score against it without a
@@ -790,6 +819,7 @@ def main() -> int:
                 "_chunk_df",
                 "_lm_vocab",
                 "_quality_stats",
+                "_sequences",
                 "_datacard",
             )
             if sidecar_exists(args.output, n)

@@ -320,6 +320,47 @@ def test_prepare_corpus_script_clf_floor(spark, tmp_path):
     assert urls == {"http://clf.test/good1", "http://clf.test/good2"}
 
 
+def test_prepare_corpus_script_pack_sequences(jobdir, spark):
+    """--pack-seq-len writes the _sequences sidecar: every shipped doc
+    tiled into fixed-length slices within its (lang, shard) windows."""
+    out = jobdir / "corpus_seq"
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(jobdir / "pages"),
+            "--output", str(out),
+            "--partitions", "4",
+            "--shard-tokens", "2000",
+            "--pack-seq-len", "256",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    assert "sequences=packed" in proc.stdout
+    seqs = spark.read.parquet(str(out / "_sequences"))
+    corpus = spark.read.parquet(str(out))
+    # every corpus doc with tokens appears; slices tile [0, n_tokens)
+    joined = seqs.join(
+        corpus.select("url", "n_tokens"), "url"
+    ).collect()
+    assert joined
+    per_doc: dict[str, list] = {}
+    for r in joined:
+        per_doc.setdefault(r.url, []).append(r)
+    n_with_tokens = corpus.filter("n_tokens > 0").count()
+    assert len(per_doc) == n_with_tokens
+    for url, slices in per_doc.items():
+        slices.sort(key=lambda r: r.seq_id)
+        assert slices[0].tok_from == 0
+        assert slices[-1].tok_to == slices[-1].n_tokens
+        for a, b in zip(slices, slices[1:]):
+            assert b.tok_from == a.tok_to
+    import json as _json
+
+    sj = _json.loads((out / "_sidecars.json").read_text())
+    assert "_sequences" in sj["artifacts"]
+
+
 def test_prepare_corpus_script_safety_stages(jobdir, spark):
     """--quality-rules --repetition-rules --scrub-pii write the
     _quality_stats kill-rate artifact and a filtered corpus."""

@@ -178,6 +178,31 @@ def test_verdict_plan_broadcasts_rules(spark, rules):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_robots_from_pages_latest_fetch_wins(spark):
+    import datetime
+
+    from readability_ex_spark.operators.robotstxt import robots_from_pages
+
+    t1 = datetime.datetime(2024, 1, 1)
+    t2 = datetime.datetime(2024, 6, 1)
+    pages = spark.createDataFrame(
+        [
+            ("http://a.com/robots.txt", t1, b"User-agent: *\nDisallow: /old/\n"),
+            ("http://a.com/robots.txt", t2, b"User-agent: *\nDisallow: /new/\n"),
+            ("http://b.com/robots.txt?x=1", t1, b"nope"),  # query != exact path
+            ("http://a.com/page", t2, b"<html>content</html>"),
+            ("urn:doc:9", t2, b"opaque"),  # no host -> skipped
+        ],
+        "url string, warc_ts timestamp, html binary",
+    )
+    rows = {
+        r.host: r.robots_txt
+        for r in robots_from_pages(pages, ts_col="warc_ts").collect()
+    }
+    assert set(rows) == {"a.com"}
+    assert "/new/" in rows["a.com"]
+
+
 def test_robots_rules_in_composition(spark):
     """prepare_training_corpus(robots_rules=...) ships no disallowed
     page and keeps unmatched ones."""
