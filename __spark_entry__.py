@@ -583,13 +583,13 @@ _LM_SCORE_CTES = f"""
 
 def _robots_rx_sql(expr: str) -> str:
     """Fold ``operators/robotstxt.PATTERN_ESCAPES`` into nested DuckDB
-    ``regexp_replace`` calls — the SAME (pattern, fixed replacement)
-    table the Spark side applies, so REP-wildcard escaping is
-    byte-identical by construction (the table contains no group
-    references, the one regexp_replace feature the dialects spell
-    differently)."""
+    ``regexp_replace`` calls — the SAME table the Spark side applies,
+    using its RE2-rewrite replacement column (the dialects spell only
+    the literal-'$' replacement differently; see the table's
+    docstring), so REP-wildcard escaping produces byte-identical
+    regexes by construction."""
     out = expr
-    for pat, rep in RB.PATTERN_ESCAPES:
+    for pat, _java, rep in RB.PATTERN_ESCAPES:
         out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
     return out
 

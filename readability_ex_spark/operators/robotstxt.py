@@ -137,33 +137,37 @@ def pattern_regex_expr(pattern: Column | str) -> Column:
     anchored = p.endswith("$")
     body = F.when(anchored, F.substring(p, 1, F.length(p) - 1)).otherwise(p)
     esc = body
-    for ch, rep in PATTERN_ESCAPES:
+    for ch, rep, _ in PATTERN_ESCAPES:
         esc = F.regexp_replace(esc, ch, rep)
     return F.concat(esc, F.when(anchored, F.lit("$")).otherwise(F.lit("")))
 
 
-# (regex, fixed replacement) chain turning a REP pattern body into a
-# regex — backslash FIRST, each metachar with a fixed replacement, '*'
-# LAST (it becomes the only live metachar).  The strings are valid and
-# identical in both Java regex and RE2, and the replacements contain no
-# group references, so the DuckDB oracle folds the SAME table
-# (``__spark_entry__._robots_rx_sql``) — byte-identical escaping by
-# construction.
-PATTERN_ESCAPES: tuple[tuple[str, str], ...] = (
-    ("\\\\", "\\\\\\\\"),  # \ -> \\
-    ("\\.", "\\\\."),
-    ("\\+", "\\\\+"),
-    ("\\?", "\\\\?"),
-    ("\\(", "\\\\("),
-    ("\\)", "\\\\)"),
-    ("\\[", "\\\\["),
-    ("\\]", "\\\\]"),
-    ("\\{", "\\\\{"),
-    ("\\}", "\\\\}"),
-    ("\\|", "\\\\|"),
-    ("\\^", "\\\\^"),
-    ("\\$", "\\\\$"),
-    ("\\*", ".*"),
+# (regex, java replacement, re2 replacement) chain turning a REP
+# pattern body into a regex — backslash FIRST, each metachar with a
+# fixed replacement, '*' LAST (it becomes the only live metachar).
+# The match patterns are valid and identical in Java regex and RE2,
+# and the replacements contain no group references; every replacement
+# is also spelled identically in both dialects EXCEPT the literal-'$'
+# row — Java replacement strings treat '$' as a group reference and
+# need it backslash-escaped, RE2 rewrites treat it literally (found by
+# the three-engine fuzz test, tests/test_robotstxt.py) — so the table
+# carries both spellings and the DuckDB oracle
+# (``__spark_entry__._robots_rx_sql``) folds column 3.
+PATTERN_ESCAPES: tuple[tuple[str, str, str], ...] = (
+    ("\\\\", "\\\\\\\\", "\\\\\\\\"),  # \ -> \\
+    ("\\.", "\\\\.", "\\\\."),
+    ("\\+", "\\\\+", "\\\\+"),
+    ("\\?", "\\\\?", "\\\\?"),
+    ("\\(", "\\\\(", "\\\\("),
+    ("\\)", "\\\\)", "\\\\)"),
+    ("\\[", "\\\\[", "\\\\["),
+    ("\\]", "\\\\]", "\\\\]"),
+    ("\\{", "\\\\{", "\\\\{"),
+    ("\\}", "\\\\}", "\\\\}"),
+    ("\\|", "\\\\|", "\\\\|"),
+    ("\\^", "\\\\^", "\\\\^"),
+    ("\\$", "\\\\\\$", "\\\\$"),  # $ -> \$ (dialect-split, see above)
+    ("\\*", ".*", ".*"),
 )
 
 

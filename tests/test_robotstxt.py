@@ -96,6 +96,70 @@ def test_pattern_escaping_and_wildcards(spark):
         assert r.got is r.expect
 
 
+def _ref_match(pattern: str, path: str) -> bool:
+    """Driver-side reference REP matcher: '*' = any run, trailing '$'
+    anchors, everything else literal, prefix semantics."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "".join(".*" if ch == "*" else _re.escape(ch) for ch in body)
+    rx = "^" + rx + ("$" if anchored else "")
+    return _re.search(rx, path) is not None
+
+
+def test_pattern_matching_fuzz_three_engines(spark):
+    """Random REP patterns/paths: the Spark escape chain, the DuckDB
+    escape chain (the oracle's), and a Python reference matcher agree
+    on every pair."""
+    import random
+
+    import duckdb
+
+    from __spark_entry__ import _robots_rx_sql
+
+    rng = random.Random(406)
+    alphabet = list("ab/.?$*+()[]{}|^\\x-_%7~")
+    pairs = []
+    for _ in range(400):
+        pat = "/" + "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 8)))
+        path = "/" + "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        pairs.append((pat, path))
+    expect = [_ref_match(p, s) for p, s in pairs]
+
+    df = spark.createDataFrame(pairs, "pat string, path string")
+    got_spark = [
+        r.m
+        for r in df.select(
+            F.rlike(
+                F.col("path"),
+                F.concat(F.lit("^"), pattern_regex_expr("pat")),
+            ).alias("m")
+        ).collect()
+    ]
+    assert got_spark == expect
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, pat VARCHAR, path VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [(i, p, s) for i, (p, s) in enumerate(pairs)],
+    )
+    rx = _robots_rx_sql(
+        "CASE WHEN ends_with(pat, '$') "
+        "THEN substring(pat, 1, length(pat) - 1) ELSE pat END"
+    )
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"""SELECT regexp_matches(path, '^' || {rx} ||
+                       CASE WHEN ends_with(pat, '$') THEN '$' ELSE '' END)
+                FROM t ORDER BY i"""
+        ).fetchall()
+    ]
+    assert got_duck == expect
+
+
 def test_verdict_precedence_and_defaults(spark, rules):
     pages = spark.createDataFrame(
         [
