@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": QC.q_quality_classifier,
         "lm_buckets": LM.q_lm_buckets,
         "pack_sequences": SA.q_pack_sequences,
+        "mixture_sample_tokens": SA.q_mixture_sample_tokens,
         "policy_filter": PO.q_policy_filter,
         "bpe_tokenize": BP.q_bpe_tokenize,
         "top_ngrams": T.q_top_ngrams,
@@ -1897,6 +1898,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mirrors sampling.mixture_sample: rates derived from corpus
         # counts (T = min n/w; rate = min(1, w*T/n)), md5-prefix draw
+        # mirrors mixture_sample(weight_col="n_tokens"): identical rate
+        # machinery with per-language TOKEN mass as the mix unit (the
+        # long sum is exact, so the doubles agree bit-for-bit)
+        "mixture_sample_tokens": f"""
+            WITH w(lang, w) AS (VALUES {", ".join(
+                f"('{k}', {v})"
+                for k, v in sorted(SA.MIXTURE_WEIGHTS.items())
+            )}),
+            s AS (
+              SELECT doc_id, lang, CAST({ntoks} AS BIGINT) AS n_tokens
+              FROM documents),
+            cnt AS (
+              SELECT lang, CAST(sum(n_tokens) AS DOUBLE) AS n
+              FROM s GROUP BY lang),
+            cw AS (SELECT c.lang, c.n, w.w FROM cnt c JOIN w USING (lang)),
+            t AS (SELECT min(n / w) AS t FROM cw),
+            th AS (
+              SELECT lang,
+                     CASE WHEN least(1.0, w * t.t / n) >= 1.0
+                          THEN 'g'
+                          ELSE lpad(lower(hex(CAST(floor(
+                                 least(1.0, w * t.t / n)
+                                 * {float(16 ** SA.SAMPLE_HEX_DIGITS)})
+                               AS BIGINT))), {SA.SAMPLE_HEX_DIGITS}, '0')
+                     END AS thresh
+              FROM cw CROSS JOIN t)
+            SELECT d.doc_id, d.lang, d.n_tokens
+            FROM s d LEFT JOIN th USING (lang)
+            WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1,
+                         {SA.SAMPLE_HEX_DIGITS}) < coalesce(thresh, '')
+            ORDER BY d.doc_id
+        """,
         "mixture_sample": f"""
             WITH w(lang, w) AS (VALUES {", ".join(
                 f"('{k}', {v})"

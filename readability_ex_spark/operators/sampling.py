@@ -125,6 +125,7 @@ def mixture_sample(
     weights: dict[str, float],
     stratum_col: str = "lang",
     id_col: str = "doc_id",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Sample to TARGET MIX PROPORTIONS (Pile-style corpus mixing):
     ``weights[s]`` is the share stratum ``s`` should hold in the
@@ -139,6 +140,15 @@ def mixture_sample(
     stratum ``s`` keeps ``rate_s = min(1, w_s * T / n_s)``.  The keep
     decision reuses the same md5-prefix draw, so membership is stable
     under reruns and engine-portable.
+
+    ``weight_col`` switches the mix's UNIT from documents to that
+    column's mass (pass ``n_tokens`` for Pile-style TOKEN-share
+    mixing, the unit a training run actually consumes): stratum totals
+    become ``sum(weight_col)``, so the derived rates target the
+    weighted shares.  Membership stays the per-doc md5 draw — docs
+    sample uniformly within a stratum, so the realized weighted share
+    is unbiased around the target (exact only in expectation; a
+    doc-length-aware draw would break rerun-stable membership).
 
     Plan shape: one tiny per-stratum count aggregation (rows =
     #strata), a scalar min over it, and a BROADCAST join of the rate
@@ -160,9 +170,17 @@ def mixture_sample(
     # per-stratum count agg (a full corpus scan) would run twice —
     # once under the rate table and once under the scalar min.  The
     # checkpointed frame is #strata rows.
+    # sum BEFORE casting: an integral weight column sums exactly in
+    # long arithmetic (summation order irrelevant), so the derived
+    # rates are bit-identical across engines and partitionings
+    mass = (
+        F.sum(weight_col).cast("double")
+        if weight_col
+        else F.count("*").cast("double")
+    )
     counts = (
         df.groupBy(stratum_col)
-        .agg(F.count("*").alias("_n"))
+        .agg(mass.alias("_n"))
         .join(F.broadcast(wdf), stratum_col)
         .localCheckpoint(eager=False)
     )
@@ -358,6 +376,17 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang"
     )
     return mixture_sample(docs, MIXTURE_WEIGHTS).orderBy("doc_id")
+
+
+def q_mixture_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-share mixing (Pile's actual unit): the same 50/30/20
+    targets with rates derived from per-language TOKEN mass."""
+    docs = _docs_with_signals(spark, sf_dir).select(
+        "doc_id", "lang", "n_tokens"
+    )
+    return mixture_sample(
+        docs, MIXTURE_WEIGHTS, weight_col="n_tokens"
+    ).orderBy("doc_id")
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

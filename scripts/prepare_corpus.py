@@ -165,6 +165,12 @@ def main() -> int:
         "without a weight are dropped)",
     )
     ap.add_argument(
+        "--mix-by-tokens", action="store_true",
+        help="make --mixture target TOKEN shares instead of document "
+        "shares (the unit a training run consumes; rates derive from "
+        "per-language token mass)",
+    )
+    ap.add_argument(
         "--decontaminate", default=None, metavar="EVAL_PATH",
         help="parquet table with a text column; drop docs sharing any "
         "13-token gram with it",
@@ -532,7 +538,11 @@ def main() -> int:
             lang_tag, w = part.split("=")
             weights[lang_tag.strip()] = float(w)
         corpus = mixture_sample(
-            corpus, weights, stratum_col="lang", id_col="url"
+            corpus,
+            weights,
+            stratum_col="lang",
+            id_col="url",
+            weight_col="n_tokens" if args.mix_by_tokens else None,
         )
     if args.shard_tokens is not None:
         from readability_ex_spark.operators.sampling import shard_assign

@@ -86,3 +86,31 @@ def test_degenerate_weights_rejected(spark, skewed):
     for bad in ({"en": 0.0}, {"en": -1.0}, {}):
         with _pytest.raises(ValueError):
             mixture_sample(skewed, bad)
+
+
+def test_token_weighted_mix(spark):
+    """weight_col='n_tokens' targets TOKEN shares: long-doc strata
+    downsample by mass, and the token-binding stratum is kept whole
+    even when doc counts would bind differently."""
+    # en: many short docs; de: few long docs -> by tokens de binds much
+    # harder than by docs
+    rows = (
+        [(i, "en", 100) for i in range(6000)]       # 600k tokens
+        + [(10_000 + i, "de", 2000) for i in range(100)]  # 200k tokens
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    weights = {"en": 0.5, "de": 0.5}
+    out = (
+        mixture_sample(df, weights, weight_col="n_tokens")
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").alias("toks"), F.count("*").alias("docs"))
+        .collect()
+    )
+    by = {r.lang: r for r in out}
+    # binding stratum by tokens: de (200k/0.5 = 400k < en's 1.2M)
+    assert by["de"].docs == 100  # kept whole
+    # en downsamples to ~200k tokens (== de's mass, 50/50 target)
+    assert by["en"].toks == pytest.approx(200_000, rel=0.1)
+    # doc-count mixing would instead keep ~all of de AND bind on de's
+    # 100/0.5=200 -> en ~200 docs; token mixing keeps 10x more en docs
+    assert by["en"].docs == pytest.approx(2000, rel=0.1)
