@@ -39,6 +39,9 @@ from readability_ex_spark.operators import qualityclf as QC  # noqa: E402
 from readability_ex_spark.operators import robotstxt as RB  # noqa: E402
 from readability_ex_spark.operators import urlops as U  # noqa: E402
 from readability_ex_spark.operators import wordlist as WL  # noqa: E402
+from readability_ex_spark.streaming.sessions import (  # noqa: E402
+    q_session_window_stats as _q_session_window_stats,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -65,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_buckets": LM.q_lm_buckets,
         "pack_sequences": SA.q_pack_sequences,
         "mixture_sample_tokens": SA.q_mixture_sample_tokens,
+        "session_window_stats": _q_session_window_stats,
         "policy_filter": PO.q_policy_filter,
         "bpe_tokenize": BP.q_bpe_tokenize,
         "top_ngrams": T.q_top_ngrams,
@@ -795,6 +799,30 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM s GROUP BY user_id, session_id
             ORDER BY user_id, session_id
+        """,
+        # mirrors streaming.sessions.session_stats (Spark's NATIVE
+        # session_window operator, batch mode): DuckDB has no session
+        # windows, so the oracle is the equivalent lag + cumulative-sum
+        # clustering — the same rollup as `sessionize`, minus the
+        # within-user session ordinal the native operator doesn't emit
+        "session_window_stats": f"""
+            WITH o AS (
+              SELECT user_id, event_id, value, epoch_us(ts) AS us,
+                     lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events),
+            s AS (
+              SELECT *, CAST(sum(CASE WHEN prev IS NULL
+                                      OR us - prev > {R.SESSION_GAP_US}
+                                 THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM o)
+            SELECT user_id, count(*) AS n_events,
+                   min(us) AS start_us, max(us) AS end_us,
+                   round(sum(value), 2) AS sum_value
+            FROM s GROUP BY user_id, session_id
+            ORDER BY user_id, start_us
         """,
         "events_props": """
             SELECT event_type,

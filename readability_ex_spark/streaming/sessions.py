@@ -59,6 +59,18 @@ def session_stats(
     )
 
 
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checked query for the NATIVE operator in batch mode: the session
+    rollup over the events table (the session is pinned to UTC, so the
+    NTZ-parquet cast is value-preserving — same note as sessionize)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return session_stats(ev).select(
+        "user_id", "n_events", "start_us", "end_us", "sum_value"
+    ).orderBy("user_id", "start_us")
+
+
 def stream_sessions(
     spark: SparkSession,
     input_path: str,
