@@ -181,3 +181,22 @@ def test_pack_sequences_within_shards(spark):
         .count()
         == 0
     )
+
+
+def test_pack_sequences_plan_single_window_exchange(spark):
+    """pack_sequences costs one hash exchange (the stratum window) and
+    nothing else — the explode adds no shuffle."""
+    from readability_ex_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "en", 700), (2, "en", 300), (3, "de", 900)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    plan = (
+        pack_sequences(df, 512)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
