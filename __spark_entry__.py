@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    these; r4-green at best) --
         "robots_parse": RB.q_robots_parse,
         "robots_verdict": RB.q_robots_verdict,
+        "robots_sitemaps": RB.q_robots_sitemaps,
         "quality_classifier": QC.q_quality_classifier,
         "lm_buckets": LM.q_lm_buckets,
         "pack_sequences": SA.q_pack_sequences,
@@ -1554,6 +1555,15 @@ def oracle_sql() -> dict[str, str]:
                    agent, rule, path
             FROM parsed
             ORDER BY host, group_id, agent, rule, path
+        """,
+        # mirrors robotstxt.parse_sitemaps: standalone directive, so a
+        # plain key filter over the same line CTEs (no group windows)
+        "robots_sitemaps": f"""
+            {_ROBOTS_CTES}
+            SELECT DISTINCT host, value AS sitemap_url
+            FROM rkv
+            WHERE key = 'sitemap' AND value <> ''
+            ORDER BY host, sitemap_url
         """,
         # mirrors robotstxt.robots_verdict for ROBOTS_CHECK_AGENT: group
         # selection (exact token else *), REP wildcard escaping (the

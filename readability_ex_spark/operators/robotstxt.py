@@ -104,6 +104,37 @@ def parse_robots(
     )
 
 
+def parse_sitemaps(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """``(host, sitemap_url)`` from robots.txt ``Sitemap:`` lines.
+
+    Per RFC 9309 §2.2.4 / sitemaps.org, ``Sitemap`` is a standalone
+    directive: it lives OUTSIDE user-agent groups (valid anywhere in
+    the file, including before any group), so extraction is a plain
+    line filter — no group window needed.  Duplicate declarations
+    collapse; line order is not meaningful."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.split(F.coalesce(F.col(body_col), F.lit("")), "\n")
+        ).alias("raw"),
+    )
+    stripped = F.trim(F.regexp_extract(F.col("raw"), r"^[^#]*", 0))
+    key = F.lower(F.regexp_extract(stripped, r"^([A-Za-z][A-Za-z-]*)\s*:", 1))
+    value = F.trim(
+        F.regexp_extract(stripped, r"^[A-Za-z][A-Za-z-]*\s*:(.*)$", 1)
+    )
+    return (
+        lines.select("host", key.alias("key"), value.alias("sitemap_url"))
+        .filter((F.col("key") == "sitemap") & (F.col("sitemap_url") != ""))
+        .select("host", "sitemap_url")
+        .distinct()
+    )
+
+
 def rules_for_agent(rules: DataFrame, agent: str = "*") -> DataFrame:
     """The rule rows that govern ``agent`` on each host: the host's
     exact-token group(s) when any exist, else its ``*`` group(s).
@@ -356,7 +387,11 @@ def robots_from_pages(
 ROBOTS_CHECK_AGENT = "goodbot"
 
 ROBOTS_BODY_BY_MOD: dict[int, str] = {
-    1: "User-agent: *\nDisallow: /Articles/\n",
+    1: (
+        "User-agent: *\n"
+        "Disallow: /Articles/\n"
+        "Sitemap: https://cdn.example.com/sitemap.xml\n"
+    ),
     2: (
         "# crawl policy\n"
         "User-agent: GoodBot\n"
@@ -371,12 +406,15 @@ ROBOTS_BODY_BY_MOD: dict[int, str] = {
         "Disallow: /\n"
     ),
     3: (
+        "SITEMAP: https://cdn.example.com/a.xml\n"
         "Disallow: /orphan/\n"
         "\n"
         "user-agent: *\n"
         "ALLOW: /Articles/item\n"
         "disallow: /Articles/item\n"
         "Disallow: /?utm_*\n"
+        "# Sitemap: https://cdn.example.com/commented.xml\n"
+        "Sitemap: https://cdn.example.com/a.xml\n"
     ),
 }
 
@@ -406,6 +444,15 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The parsed rules table over the synthetic robots bodies."""
     return parse_robots(synth_robots_bodies(spark, sf_dir)).orderBy(
         "host", "group_id", "agent", "rule", "path"
+    )
+
+
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap declarations over the synthetic bodies (standalone
+    directive: outside groups, before any group, case-insensitive,
+    commented lines ignored, duplicates collapsed)."""
+    return parse_sitemaps(synth_robots_bodies(spark, sf_dir)).orderBy(
+        "host", "sitemap_url"
     )
 
 

@@ -96,6 +96,83 @@ def test_pattern_escaping_and_wildcards(spark):
         assert r.got is r.expect
 
 
+def _ref_parse(body: str) -> set[tuple]:
+    """Driver-side reference parser implementing the module's rules:
+    comment strip, trim, case-insensitive keys, UA-run group
+    formation, rules-before-any-group dropped, empty values dropped."""
+    import re as _re
+
+    rows, group, prev_ua = [], 0, False
+    agents: dict[int, list] = {}
+    for line in (body or "").split("\n"):
+        s = line.split("#", 1)[0].strip(" ")
+        m = _re.match(r"^([A-Za-z][A-Za-z-]*)\s*:(.*)$", s)
+        if not m:
+            continue
+        key, value = m.group(1).lower(), m.group(2).strip(" ")
+        if key == "user-agent":
+            if not prev_ua:
+                group += 1
+            agents.setdefault(group, []).append(value.lower())
+            prev_ua = True
+        else:
+            if key in ("allow", "disallow") and group > 0 and value:
+                rows.append((group, key, value))
+            if key in ("allow", "disallow", "user-agent"):
+                prev_ua = False
+    return {
+        (g, a, rule, path)
+        for g, rule, path in rows
+        for a in agents.get(g, [])
+    }
+
+
+def test_parse_fuzz_vs_reference(spark):
+    """200 random robots bodies: the Spark window-function parser and
+    the Python reference produce identical rule sets."""
+    import random
+
+    rng = random.Random(607)
+    agents = ["*", "GoodBot", "other-bot", "A"]
+    paths = ["/a", "/a/*", "/b$", "", "/c?x=1", "/ d "]
+
+    def line():
+        k = rng.randrange(8)
+        if k <= 1:
+            return f"User-Agent: {rng.choice(agents)}"
+        if k == 2:
+            return f"user-agent:{rng.choice(agents)}"
+        if k == 3:
+            return f"Allow: {rng.choice(paths)}"
+        if k == 4:
+            return f"disallow: {rng.choice(paths)}"
+        if k == 5:
+            return rng.choice(
+                ["", "# comment", "Crawl-delay: 10", "junk line", ":",
+                 "Sitemap: https://x/s.xml"]
+            )
+        if k == 6:
+            return f"Disallow: {rng.choice(paths)} # trailing"
+        return f"Allow: {rng.choice(paths)}"
+
+    bodies = [
+        "\n".join(line() for _ in range(rng.randint(0, 14)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(f"h{i}.test", b) for i, b in enumerate(bodies)],
+        "host string, robots_txt string",
+    )
+    got: dict[str, set] = {}
+    for r in parse_robots(df).collect():
+        got.setdefault(r.host, set()).add(
+            (r.group_id, r.agent, r.rule, r.path)
+        )
+    for i, b in enumerate(bodies):
+        expect = _ref_parse(b)
+        assert got.get(f"h{i}.test", set()) == expect, (i, b)
+
+
 def _ref_match(pattern: str, path: str) -> bool:
     """Driver-side reference REP matcher: '*' = any run, trailing '$'
     anchors, everything else literal, prefix semantics."""
