@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": SA.q_pack_sequences,
         "mixture_sample_tokens": SA.q_mixture_sample_tokens,
         "session_window_stats": _q_session_window_stats,
+        "contamination_report": DC.q_contamination_report,
         "policy_filter": PO.q_policy_filter,
         "bpe_tokenize": BP.q_bpe_tokenize,
         "top_ngrams": T.q_top_ngrams,
@@ -1231,6 +1232,48 @@ def oracle_sql() -> dict[str, str]:
             FROM t JOIN e USING (gram)
             GROUP BY t.doc_id
             ORDER BY doc_id
+        """,
+        # mirrors decontam.contamination_report: per-EVAL-ITEM audit —
+        # leaked gram count + breadth (distinct corpus docs carrying
+        # any of the item's grams); zeros for clean items
+        "contamination_report": f"""
+            WITH g AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = ''
+                               OR len({toks}) < {DC.N_DECONTAM}
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE list_distinct(list_transform(
+                            generate_series(
+                              1, len({toks}) - {DC.N_DECONTAM - 1}),
+                            i -> substr(md5(array_to_string(
+                              list_slice({toks}, i, i + {DC.N_DECONTAM - 1}),
+                              ' ')), 1, 16)))
+                          END AS sh,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1,
+                            {DC.EVAL_HEX_BITS}) = '{DC.EVAL_HEX_PREFIX}'
+                       AS is_eval
+              FROM documents),
+            e AS (SELECT doc_id, unnest(sh) AS gram FROM g WHERE is_eval),
+            t AS (SELECT doc_id AS cdoc, unnest(sh) AS gram
+                  FROM g WHERE NOT is_eval),
+            hits AS (
+              SELECT e.doc_id,
+                     count(DISTINCT e.gram) AS n_leaked_grams,
+                     count(DISTINCT t.cdoc) AS n_corpus_docs
+              FROM e JOIN t USING (gram)
+              GROUP BY e.doc_id),
+            tot AS (
+              SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_grams
+              FROM g WHERE is_eval)
+            SELECT tot.doc_id,
+                   tot.n_grams,
+                   CAST(coalesce(h.n_leaked_grams, 0) AS BIGINT)
+                     AS n_leaked_grams,
+                   CAST(coalesce(h.n_corpus_docs, 0) AS BIGINT)
+                     AS n_corpus_docs,
+                   coalesce(h.n_leaked_grams, 0) > 0 AS leaked
+            FROM tot LEFT JOIN hits h USING (doc_id)
+            ORDER BY tot.doc_id
         """,
         # mirrors decontam.decontaminate_spans: eval 13-gram set, train
         # side positional windows, overlapping hit spans cut and merged

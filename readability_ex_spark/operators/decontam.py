@@ -73,6 +73,75 @@ def decontaminate(
     )
 
 
+def contamination_report(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    eval_id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = N_DECONTAM,
+) -> DataFrame:
+    """Per-EVAL-ITEM leak audit — the flip side of
+    :func:`decontaminate`'s corpus verdict: for every eval document,
+    how many of its ``n``-grams leak into the corpus and how many
+    corpus documents carry at least one of them.  This is the table a
+    benchmark owner reads to decide which ITEMS are compromised (and
+    how broadly), where decontamination decides which CORPUS DOCS to
+    drop.
+
+    Returns ``(eval_id_col, n_grams, n_leaked_grams, n_corpus_docs,
+    leaked)`` for every eval doc (zeros when clean).
+
+    Plan shape: identical budget to :func:`decontaminate` — corpus-side
+    explode, BROADCAST join against the (eval_id, gram) set (still
+    small: eval items x grams-per-item), one partial-agg keyed on the
+    eval id.  The corpus is scanned once, never shuffled on gram.
+    """
+    eval_grams = (
+        eval_df.select(
+            F.col(eval_id_col),
+            F.explode(shingle_expr(text_col, w=n)).alias("gram"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the join AND the totals
+    )
+    corpus_grams = docs.select(
+        F.col(id_col).alias("_cdoc"),
+        F.explode(shingle_expr(text_col, w=n)).alias("gram"),
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(eval_id_col)
+        .agg(
+            F.count_distinct("gram").alias("n_leaked_grams"),
+            F.count_distinct("_cdoc").alias("n_corpus_docs"),
+        )
+    )
+    totals = eval_grams.groupBy(eval_id_col).agg(
+        F.count("*").alias("n_grams")
+    )
+    return (
+        eval_df.select(eval_id_col)
+        .join(totals, eval_id_col, "left")
+        .join(hits, eval_id_col, "left")
+        .select(
+            eval_id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_leaked_grams", F.lit(0)).alias("n_leaked_grams"),
+            F.coalesce("n_corpus_docs", F.lit(0)).alias("n_corpus_docs"),
+            (F.coalesce("n_leaked_grams", F.lit(0)) > 0).alias("leaked"),
+        )
+    )
+
+
+def q_contamination_report(spark, sf_dir: str) -> DataFrame:
+    """Leak audit of the deterministic eval split vs the train split."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eval_df = _eval_split(docs)
+    train = docs.join(eval_df.select("doc_id"), "doc_id", "left_anti")
+    return contamination_report(train, eval_df).orderBy("doc_id")
+
+
 def decontaminate_spans(
     docs: DataFrame,
     eval_df: DataFrame,

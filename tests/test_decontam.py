@@ -349,3 +349,38 @@ def test_chunk_document_frequency_additive(spark):
     assert {(r.chunk_h, r.df) for r in summed} == {
         (r.chunk_h, r.df) for r in union
     }
+
+
+def test_contamination_report_per_item_audit(spark):
+    """The eval-side audit counts leaked grams and corpus breadth per
+    item; clean items report zeros."""
+    from readability_ex_spark.operators.decontam import (
+        N_DECONTAM,
+        contamination_report,
+    )
+
+    leak = " ".join(f"w{i}" for i in range(N_DECONTAM))  # one exact gram
+    eval_df = spark.createDataFrame(
+        [
+            (100, leak + " tail tokens beyond"),
+            (101, " ".join(f"clean{i}" for i in range(N_DECONTAM + 3))),
+            (102, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix " + leak),
+            (2, leak + " another suffix"),
+            (3, "unrelated body of words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r for r in contamination_report(corpus, eval_df).collect()
+    }
+    assert rows[100].leaked and rows[100].n_corpus_docs == 2
+    assert rows[100].n_leaked_grams == 1
+    assert rows[100].n_grams == 4  # 16 tokens -> 16 - 13 + 1 windows
+    assert not rows[101].leaked and rows[101].n_corpus_docs == 0
+    assert rows[102].n_grams == 0 and not rows[102].leaked
