@@ -116,6 +116,13 @@ def main() -> int:
         "token-less docs always drop)",
     )
     ap.add_argument(
+        "--lm-bands", type=int, default=None, metavar="K",
+        help="annotate each doc with lm_bucket (1=head ... K=tail): "
+        "per-language percentile bands of the unigram-LM score "
+        "(CCNet head/middle/tail; scalable broadcast-threshold "
+        "assignment — docs the model cannot score land in band K)",
+    )
+    ap.add_argument(
         "--clf-model", default=None, metavar="MODEL_PATH",
         help="parquet weight table written by qualityclf.save_model (a "
         "quality classifier trained on YOUR labeled sample via "
@@ -444,7 +451,7 @@ def main() -> int:
     if args.min_quality > 0:
         corpus = corpus.filter(F.col("quality_score") >= args.min_quality)
     lm_vocab_df = None
-    if args.min_lm_logprob is not None:
+    if args.min_lm_logprob is not None or args.lm_bands:
         from readability_ex_spark.operators.lmquality import (
             unigram_logprob,
             unigram_vocab,
@@ -475,13 +482,36 @@ def main() -> int:
             lm_vocab_df = unigram_vocab(corpus, text_col="text")
             print("lm_vocab=estimated")
         lm = unigram_logprob(corpus, id_col="url", vocab=lm_vocab_df)
-        corpus = corpus.join(
-            lm.filter(
-                F.col("lm_logprob") >= args.min_lm_logprob
-            ).select("url"),
-            "url",
-            "left_semi",
-        )
+        if args.min_lm_logprob is not None:
+            corpus = corpus.join(
+                lm.filter(
+                    F.col("lm_logprob") >= args.min_lm_logprob
+                ).select("url"),
+                "url",
+                "left_semi",
+            )
+        if args.lm_bands:
+            # CCNet head/middle/tail annotation via the SCALABLE
+            # percentile-threshold path (broadcast cuts + codegen CASE;
+            # the exact ntile would funnel a dominant language through
+            # one window task). Scoring + thresholds + assignment all
+            # reference the corpus — checkpoint once (plans are trees).
+            from readability_ex_spark.operators.lmquality import (
+                assign_lm_buckets,
+                lm_bucket_thresholds,
+            )
+
+            corpus = corpus.localCheckpoint(eager=False)
+            scored = unigram_logprob(
+                corpus, id_col="url", vocab=lm_vocab_df
+            ).join(corpus.select("url", "lang"), "url")
+            cuts = lm_bucket_thresholds(scored, n_buckets=args.lm_bands)
+            corpus = corpus.join(
+                assign_lm_buckets(
+                    scored, cuts, n_buckets=args.lm_bands
+                ).select("url", "lm_bucket"),
+                "url",
+            )
     if args.clf_model:
         # trained-classifier floor (fastText/CCNet practice): the model
         # is a bounded driver-side load, scoring is the one-pass

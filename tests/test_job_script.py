@@ -320,6 +320,33 @@ def test_prepare_corpus_script_clf_floor(spark, tmp_path):
     assert urls == {"http://clf.test/good1", "http://clf.test/good2"}
 
 
+def test_prepare_corpus_script_lm_bands(jobdir, spark):
+    """--lm-bands annotates lm_bucket per doc: every language's docs
+    span band 1..K with roughly balanced shares."""
+    out = jobdir / "corpus_bands"
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(jobdir / "pages"),
+            "--output", str(out),
+            "--partitions", "4",
+            "--lm-bands", "3",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    corpus = spark.read.parquet(str(out))
+    assert "lm_bucket" in corpus.columns
+    rows = corpus.groupBy("lang", "lm_bucket").count().collect()
+    buckets = {r.lm_bucket for r in rows}
+    assert buckets <= {1, 2, 3} and 1 in buckets
+    # the dominant language gets a real split (all three bands)
+    by_lang: dict[str, set] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, set()).add(r.lm_bucket)
+    assert any(len(v) == 3 for v in by_lang.values())
+
+
 def test_prepare_corpus_script_pack_sequences(jobdir, spark):
     """--pack-seq-len writes the _sequences sidecar: every shipped doc
     tiled into fixed-length slices within its (lang, shard) windows."""
