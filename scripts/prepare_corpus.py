@@ -76,8 +76,15 @@ def main() -> int:
     )
     ap.add_argument(
         "--robots-agent", default="*",
-        help="product token to evaluate --robots-txt rules for "
+        help="product token to evaluate robots rules for "
         "(exact group when the host declares one, else the * group)",
+    )
+    ap.add_argument(
+        "--robots-from-crawl", action="store_true",
+        help="derive the robots rules from the INPUT pages themselves "
+        "(rows whose path is exactly /robots.txt; latest fetch per "
+        "host wins) — no separate --robots-txt table needed when the "
+        "crawl archived its robots fetches",
     )
     ap.add_argument(
         "--scrub-pii", action="store_true",
@@ -268,18 +275,26 @@ def main() -> int:
         from readability_ex_spark.operators.policyops import policy_filter
 
         extracted = policy_filter(extracted)
-    if args.robots_txt:
+    if args.robots_txt or args.robots_from_crawl:
         # host-level REP rules, same early position as the meta flags:
         # the rules table is tiny (one row per host x agent x rule) and
         # broadcast; only matched urls reach the precedence agg
         from readability_ex_spark.operators.robotstxt import (
             parse_robots,
             robots_filter,
+            robots_from_pages,
         )
 
-        robots_rules = parse_robots(
-            spark.read.parquet(args.robots_txt)
-        ).localCheckpoint(eager=True)  # tiny; cut the re-derivation per use
+        if args.robots_txt:
+            robots_df = spark.read.parquet(args.robots_txt)
+        else:
+            # the crawl archived its own robots fetches: lift them off
+            # the RAW page rows (robots.txt is not HTML — those rows
+            # never become corpus docs anyway)
+            robots_df = robots_from_pages(pages, ts_col="warc_ts")
+        robots_rules = parse_robots(robots_df).localCheckpoint(
+            eager=True
+        )  # tiny; cut the re-derivation per use
         extracted = robots_filter(
             extracted, robots_rules, agent=args.robots_agent
         )

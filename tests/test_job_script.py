@@ -320,6 +320,47 @@ def test_prepare_corpus_script_clf_floor(spark, tmp_path):
     assert urls == {"http://clf.test/good1", "http://clf.test/good2"}
 
 
+def test_prepare_corpus_script_robots_from_crawl(jobdir, spark):
+    """--robots-from-crawl lifts the rules off the input's own
+    /robots.txt rows — same verdicts as a side table."""
+    import datetime
+
+    robots_row = spark.createDataFrame(
+        [(
+            "http://synth.test/robots.txt",
+            datetime.datetime(2024, 6, 1),
+            b"User-agent: corpusbot\nDisallow: /doc/1*\n",
+            "",
+            "en",
+        )],
+        "url string, warc_ts timestamp, html binary, "
+        "text string, lang string",
+    )
+    pages = spark.read.parquet(str(jobdir / "pages")).unionByName(robots_row)
+    pages.coalesce(1).write.mode("overwrite").parquet(
+        str(jobdir / "pages_rc")
+    )
+    out = jobdir / "corpus_rc"
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(jobdir / "pages_rc"),
+            "--output", str(out),
+            "--partitions", "4",
+            "--robots-from-crawl",
+            "--robots-agent", "CorpusBot",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    ids = {
+        int(r.url.rsplit("/", 1)[1])
+        for r in spark.read.parquet(str(out)).select("url").collect()
+        if not r.url.endswith("robots.txt")
+    }
+    assert ids and not any(str(i).startswith("1") for i in ids)
+
+
 def test_prepare_corpus_script_lm_bands(jobdir, spark):
     """--lm-bands annotates lm_bucket per doc: every language's docs
     span band 1..K with roughly balanced shares."""
