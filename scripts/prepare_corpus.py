@@ -190,6 +190,14 @@ def main() -> int:
         "13-token gram with it",
     )
     ap.add_argument(
+        "--contamination-report", action="store_true",
+        help="with --decontaminate: also write a _contamination sidecar "
+        "auditing each eval item (keyed by md5 of its text): how many "
+        "of its 13-grams leaked into the PRE-drop corpus and how many "
+        "corpus docs carried them — the table the benchmark owner "
+        "reads; costs one extra corpus gram pass",
+    )
+    ap.add_argument(
         "--decontaminate-spans", default=None, metavar="EVAL_PATH",
         help="cut eval-overlapping 13-token spans from each doc's text "
         "(surgical variant of --decontaminate: the page survives, the "
@@ -318,11 +326,28 @@ def main() -> int:
 
     keep = manifest.filter(F.col("keep")).select("url", "fingerprint", "n_copies")
     survivors = extracted.join(keep, "url")
+    contamination_rep_df = None
     if args.decontaminate:
         from readability_ex_spark.operators.decontam import decontaminate
 
         eval_df = spark.read.parquet(args.decontaminate)
         verdicts = decontaminate(survivors, eval_df, id_col="url")
+        if args.contamination_report:
+            # audit the PRE-drop corpus (what was endangered); written
+            # AFTER the corpus lands — an overwrite-mode corpus write
+            # wipes the output dir, sidecars included
+            from readability_ex_spark.operators.decontam import (
+                contamination_report,
+            )
+
+            contamination_rep_df = contamination_report(
+                survivors,
+                eval_df.select(
+                    F.md5("text").alias("eval_id"), "text"
+                ).distinct(),
+                id_col="url",
+                eval_id_col="eval_id",
+            )
         survivors = survivors.join(
             verdicts.filter("contaminated").select("url"), "url", "left_anti"
         )
@@ -778,6 +803,9 @@ def main() -> int:
                 "_bands",
             )
             print("band_index=rebuilt")
+    if contamination_rep_df is not None:
+        write_sidecar(contamination_rep_df, args.output, "_contamination")
+        print("contamination_report=written")
     if args.pack_seq_len is not None:
         # derived sidecar, rebuilt from the SHIPPED corpus every run
         # (update mode shifts downstream offsets, so incremental
@@ -875,6 +903,7 @@ def main() -> int:
                 "_lm_vocab",
                 "_quality_stats",
                 "_sequences",
+                "_contamination",
                 "_datacard",
             )
             if sidecar_exists(args.output, n)

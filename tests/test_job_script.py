@@ -455,6 +455,55 @@ def test_prepare_corpus_script_safety_stages(jobdir, spark):
     assert {"n_email", "n_ipv4", "n_phone"} <= set(corpus.columns)
 
 
+def test_prepare_corpus_script_contamination_report(jobdir, spark):
+    """--decontaminate --contamination-report writes the _contamination
+    audit sidecar: the self-quoted eval items report leaks; the clean
+    item reports zeros."""
+    from pyspark.sql import functions as F
+
+    out = jobdir / "corpus_audit"
+    eval_path = jobdir / "evalset_audit"
+    quoted = (
+        spark.read.parquet(str(jobdir / "pages"))
+        .filter(F.col("html").isNotNull())
+        .orderBy("url")
+        .limit(3)
+        .select("text")
+    )
+    clean = spark.createDataFrame(
+        [(" ".join(f"neverleaked{i}" for i in range(20)),)], "text string"
+    )
+    quoted.unionByName(clean).write.mode("overwrite").parquet(
+        str(eval_path)
+    )
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(jobdir / "pages"),
+            "--output", str(out),
+            "--partitions", "4",
+            "--decontaminate", str(eval_path),
+            "--contamination-report",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    assert "contamination_report=written" in proc.stdout
+    rep = spark.read.parquet(str(out / "_contamination"))
+    rows = rep.collect()
+    assert len(rows) == 4
+    leaked = [r for r in rows if r.leaked]
+    assert leaked and all(
+        r.n_leaked_grams > 0 and r.n_corpus_docs > 0 for r in leaked
+    )
+    clean_rows = [r for r in rows if not r.leaked]
+    assert clean_rows and all(r.n_corpus_docs == 0 for r in clean_rows)
+    import json as _json
+
+    sj = _json.loads((out / "_sidecars.json").read_text())
+    assert "_contamination" in sj["artifacts"]
+
+
 def test_prepare_corpus_script_decontaminate_spans(jobdir, spark):
     """--decontaminate-spans cuts quoted eval text from survivors'
     shipped text (run without quality rules: a self-quoted page is
