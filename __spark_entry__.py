@@ -33,6 +33,7 @@ from readability_ex_spark.operators import spanops as SP  # noqa: E402
 from readability_ex_spark.operators import substrdedup as SD  # noqa: E402
 from readability_ex_spark.operators import textops as T  # noqa: E402
 from readability_ex_spark.operators import bpe as BP  # noqa: E402
+from readability_ex_spark.operators import linkgraph as LG  # noqa: E402
 from readability_ex_spark.operators import lmquality as LM  # noqa: E402
 from readability_ex_spark.operators import policyops as PO  # noqa: E402
 from readability_ex_spark.operators import qualityclf as QC  # noqa: E402
@@ -62,6 +63,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never / least-recently driver-checked (r5 window missed
         #    these; r4-green at best) --
+        "extract_outlinks": LG.q_extract_outlinks,
+        "host_graph": LG.q_host_graph,
+        "host_pagerank": LG.q_host_pagerank,
         "robots_parse": RB.q_robots_parse,
         "robots_verdict": RB.q_robots_verdict,
         "robots_sitemaps": RB.q_robots_sitemaps,
@@ -500,6 +504,74 @@ _URLS_CTE = """
       FROM documents)
 """
 
+# --- link-graph oracles (mirrors operators/linkgraph.py) ---------------
+# host pattern shared by host_of() — userinfo and port stripped
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)"
+
+# synthetic page-level edges (mirrors linkgraph.synth_host_edges): 13
+# case-varied source hosts, 17 destination hosts → hosts 13-16 dangling
+_HOST_EDGES_CTES = f"""
+    d AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+    e0 AS (
+      SELECT 'http://Host-' || CAST(d % 13 AS VARCHAR)
+             || '.Test/page/' || CAST(d % 7 AS VARCHAR) AS src,
+             'https://host-' || CAST((d * 7 + 1) % 17 AS VARCHAR)
+             || '.test/x' AS dst
+      FROM d
+      UNION ALL
+      SELECT 'http://Host-' || CAST(d % 13 AS VARCHAR)
+             || '.Test/page/' || CAST(d % 7 AS VARCHAR),
+             'http://host-' || CAST((d * 11 + 3) % 17 AS VARCHAR)
+             || '.test/y#f'
+      FROM d),
+    he AS (
+      SELECT lower(regexp_extract(src, '{_HOST_RE}', 1)) AS src_host,
+             lower(regexp_extract(dst, '{_HOST_RE}', 1)) AS dst_host
+      FROM e0
+      WHERE lower(regexp_extract(src, '{_HOST_RE}', 1)) <> ''
+        AND lower(regexp_extract(dst, '{_HOST_RE}', 1)) <> '')
+"""
+
+
+def _pagerank_oracle_sql(k: int = 3, damping: float = 0.85) -> str:
+    """Unrolled K-iteration PageRank CTE chain over the synthetic host
+    graph — the same damped update host_pagerank runs iteratively,
+    with the float literals injected as Python double reprs so both
+    engines compute the identical IEEE expression."""
+    ctes = [
+        f"""WITH {_HOST_EDGES_CTES.strip()},
+    eg AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM he),
+    nodes AS (SELECT src AS host FROM eg UNION SELECT dst AS host FROM eg),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (SELECT src AS host, CAST(count(*) AS DOUBLE) AS deg
+               FROM eg GROUP BY src),
+    r0 AS (SELECT host, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""
+    ]
+    base = f"CAST({(1.0 - damping)!r} AS DOUBLE) / nn.n"
+    damp = f"CAST({damping!r} AS DOUBLE)"
+    for i in range(1, k + 1):
+        ctes.append(
+            f"""d{i} AS (SELECT coalesce(sum(r.rank), 0.0) AS dm
+           FROM r{i - 1} r LEFT JOIN outdeg o ON o.host = r.host
+           WHERE o.deg IS NULL),
+    c{i} AS (SELECT e.dst AS host, sum(r.rank / o.deg) AS c
+           FROM eg e
+           JOIN r{i - 1} r ON r.host = e.src
+           JOIN outdeg o ON o.host = e.src
+           GROUP BY e.dst),
+    r{i} AS (SELECT nodes.host,
+                  {base} + {damp} * (coalesce(c{i}.c, 0.0)
+                                     + d{i}.dm / nn.n) AS rank
+           FROM nodes CROSS JOIN nn CROSS JOIN d{i}
+           LEFT JOIN c{i} ON c{i}.host = nodes.host)"""
+        )
+    return (
+        ",\n    ".join(ctes)
+        + f"\n    SELECT host, round(rank, 6) AS rank"
+        f" FROM r{k} ORDER BY host"
+    )
+
+
 _URL_CTES = f"""
     WITH {_URLS_CTE.strip()},
     u1 AS (
@@ -707,6 +779,105 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sqls = {
+        # mirrors linkgraph.q_extract_outlinks: synthetic page html over
+        # the synthetic url base; href harvest (double-quoted matches
+        # first, then single-quoted) + the RFC 3986 safe-subset
+        # resolution, NULL elements preserved as the skip audit trail
+        "extract_outlinks": f"""
+            WITH {_URLS_CTE.strip()},
+            lp AS (
+              SELECT u.doc_id, u.url,
+                     '<html><body><p>doc</p><a href="HTTPS://Other'
+                     || CAST(d.doc_id % 9 AS VARCHAR)
+                     || '.Example.net/Lib/x">abs</a>'
+                     || CASE WHEN d.doc_id % 3 = 0
+                             THEN '<A Href=''/Local/Page-'
+                                  || CAST(d.doc_id % 6 AS VARCHAR)
+                                  || '''>root</A>' ELSE '' END
+                     || CASE WHEN d.doc_id % 3 = 1
+                             THEN '<a id="r" href="rel/item-'
+                                  || CAST(d.doc_id % 4 AS VARCHAR)
+                                  || '.html">rel</a>' ELSE '' END
+                     || CASE WHEN d.doc_id % 3 = 2
+                             THEN '<a href="../up/'
+                                  || CAST(d.doc_id % 4 AS VARCHAR)
+                                  || '">up</a>' ELSE '' END
+                     || CASE WHEN d.doc_id % 4 = 0
+                             THEN '<a href="//cdn.example.net/l">pp</a>'
+                             ELSE '' END
+                     || CASE WHEN d.doc_id % 4 = 1
+                             THEN '<a href="?Page=2">q</a>' ELSE '' END
+                     || CASE WHEN d.doc_id % 4 = 2
+                             THEN '<a href="#frag">f</a>'
+                                  || '<a href="mailto:x@y.z">m</a>'
+                             ELSE '' END
+                     || CASE WHEN d.doc_id % 4 = 3
+                             THEN '<a href="javascript:void(0)">j</a>'
+                             ELSE '' END
+                     || '</body></html>' AS html
+              FROM urls u JOIN documents d USING (doc_id)),
+            hr AS (
+              SELECT doc_id, url,
+                     list_concat(
+                       regexp_extract_all(html,
+                         '(?i)<a\\s[^>]*?href\\s*=\\s*"([^"]*)"', 1),
+                       regexp_extract_all(html,
+                         '(?i)<a\\s[^>]*?href\\s*=\\s*''([^'']*)''', 1)
+                     ) AS hrefs
+              FROM lp),
+            bp AS (
+              SELECT doc_id, url, hrefs,
+                     regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0) AS auth,
+                     lower(regexp_extract(url,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme
+              FROM hr),
+            bp2 AS (
+              SELECT *, regexp_extract(substring(url, length(auth) + 1),
+                                       '^[^?#]*', 0) AS path
+              FROM bp),
+            bp3 AS (
+              SELECT *, CASE WHEN regexp_extract(path, '^.*/', 0) = ''
+                             THEN '/'
+                             ELSE regexp_extract(path, '^.*/', 0)
+                        END AS basedir
+              FROM bp2),
+            res AS (
+              SELECT doc_id, CAST(len(hrefs) AS INTEGER) AS n_hrefs,
+                     list_transform(
+                       list_transform(hrefs,
+                         x -> regexp_extract(trim(x), '^[^#]*', 0)),
+                       h -> CASE
+                         WHEN h = '' THEN NULL
+                         WHEN regexp_matches(lower(h), '^https?://')
+                           THEN h
+                         WHEN regexp_matches(h,
+                              '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
+                         WHEN auth = '' THEN NULL
+                         WHEN left(h, 2) = '//'
+                           THEN scheme || ':' || h
+                         WHEN left(h, 1) = '/' THEN auth || h
+                         WHEN left(h, 1) = '?' THEN auth || path || h
+                         ELSE auth || basedir || h
+                       END) AS outlinks
+              FROM bp3)
+            SELECT doc_id, n_hrefs, outlinks,
+                   CAST(len(list_filter(outlinks, x -> x IS NOT NULL))
+                        AS INTEGER) AS n_outlinks
+            FROM res ORDER BY doc_id
+        """,
+        # mirrors linkgraph.host_graph over synth_host_edges: one hash
+        # aggregation on the lowercased host pair
+        "host_graph": f"""
+            WITH {_HOST_EDGES_CTES.strip()}
+            SELECT src_host, dst_host, count(*) AS n_links
+            FROM he
+            GROUP BY src_host, dst_host
+            ORDER BY src_host, dst_host
+        """,
+        # mirrors linkgraph.host_pagerank (K=3, d=0.85): unrolled CTE
+        # chain with dangling-mass redistribution
+        "host_pagerank": _pagerank_oracle_sql(k=3, damping=0.85),
         "filter_project": """
             SELECT doc_id, md5(text) AS text_md5, n_chars,
                    CAST(strlen(text) AS BIGINT) AS n_bytes

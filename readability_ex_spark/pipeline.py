@@ -61,6 +61,11 @@ EXTRACT_SCHEMA = T.StructType(
         # DOM is already built for extraction, so emitting the edge here
         # saves the chain pass a second full-corpus parse
         T.StructField("next_url", T.StringType(), True),
+        # absolutized http(s) <a href> targets of the ORIGINAL document
+        # (kernel/links.py: WHATWG-resolved, deduped, capped) — the
+        # link-graph feed (operators/linkgraph.py) without a second
+        # full-corpus parse
+        T.StructField("outlinks", T.ArrayType(T.StringType()), True),
         T.StructField("status", T.StringType(), False),
         T.StructField("error", T.StringType(), True),
     ]
@@ -81,6 +86,7 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from readability_ex_spark.kernel import dom, parse
     from readability_ex_spark.kernel.api import NotReadable, TooLarge
     from readability_ex_spark.kernel.encoding import decode_html
+    from readability_ex_spark.kernel.links import collect_outlinks
     from readability_ex_spark.kernel.paging import find_next_page_link
     from readability_ex_spark.kernel.policy import extract_policy
     from readability_ex_spark.kernel.readerable import is_probably_readerable
@@ -93,7 +99,8 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "url", "title", "byline", "dir", "lang", "site_name",
             "published_time", "excerpt", "content_html", "text", "spans",
             "length", "readerable", "robots_noindex", "robots_noarchive",
-            "robots_noai", "license_url", "next_url", "status", "error",
+            "robots_noai", "license_url", "next_url", "outlinks",
+            "status", "error",
         )}
         for url, html in zip(pdf["url"], pdf["html"]):
             row = {
@@ -102,7 +109,7 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "content_html": None, "text": None, "spans": None,
                 "length": 0, "readerable": None, "robots_noindex": None,
                 "robots_noarchive": None, "robots_noai": None,
-                "license_url": None, "next_url": None,
+                "license_url": None, "next_url": None, "outlinks": None,
             }
             if html is None or len(html) == 0:
                 # terminal: the payload itself is missing — retrying can
@@ -126,6 +133,12 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         row["next_url"] = find_next_page_link(doc, url)
                     except Exception:  # noqa: BLE001 — scoring is advisory
                         row["next_url"] = None
+                    try:
+                        # before parse(): the link graph wants the FULL
+                        # page's edges, not the cleaned article's
+                        row["outlinks"] = collect_outlinks(doc, url)
+                    except Exception:  # noqa: BLE001 — edges are advisory
+                        row["outlinks"] = None
                     r = parse(raw, doc=doc, base_uri=url, **guards)
                     row.update(
                         title=r["title"], byline=r["byline"], dir=r["dir"],

@@ -85,6 +85,15 @@ def main() -> int:
         "(url/title/text/lang per object) under DIR — the format LLM "
         "data loaders consume directly",
     )
+    ap.add_argument(
+        "--host-rank", action="store_true",
+        help="also write a host-level PageRank artifact to "
+        "<output>/_hostrank, computed over the kernel-emitted outlinks "
+        "of the FULL output table (read back after this run's append, "
+        "so resumed runs rank the whole corpus, not the residual); "
+        "page-level edges are distinct-ed first so --retry-errors "
+        "appends can't double-count a link",
+    )
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
 
@@ -105,6 +114,9 @@ def main() -> int:
         ap.error("--chain-pages emits parquet artifacts under --output, "
                  "which is a catalog table name with --table-format "
                  "iceberg; run the chain pass with parquet output")
+    if args.host_rank and args.table_format == "iceberg":
+        ap.error("--host-rank writes a parquet artifact under --output; "
+                 "run it with parquet output")
 
     spark = SparkSession.builder.appName("readability_extract").getOrCreate()
     run_id = args.run_id or f"run-{int(time.time())}"
@@ -182,6 +194,29 @@ def main() -> int:
             assemble_articles(
                 chains, extracted.filter(extracted.status == "ok")
             ).write.mode("append").parquet(f"{args.output}/_assembled")
+
+    if args.host_rank:
+        from pyspark.sql import functions as F
+
+        from readability_ex_spark.operators.linkgraph import (
+            host_graph,
+            host_pagerank,
+        )
+
+        # read BACK the output table: it now holds every run's rows, so
+        # the graph covers the whole corpus even on a resumed run.
+        # outlinks are harvested pre-parse, so not_readable/error pages
+        # still contribute their edges — only empty-html rows drop out.
+        committed = spark.read.parquet(args.output)
+        edges = (
+            committed.filter(F.col("outlinks").isNotNull())
+            .select("url", F.explode("outlinks").alias("dst"))
+            .distinct()
+        )
+        ranks = host_pagerank(
+            host_graph(edges, src_col="url", dst_col="dst"), iterations=5
+        )
+        ranks.write.mode("overwrite").parquet(f"{args.output}/_hostrank")
 
     by_status = {
         r["status"]: r["count"]

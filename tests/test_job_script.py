@@ -1020,3 +1020,26 @@ def test_prepare_corpus_chunk_df_counts_over_cap_chunks(spark, tmp_path):
     assert len(new_doc) == 1
     assert "c0" not in new_doc[0].text
     assert "dx0" in new_doc[0].text
+
+
+def test_run_job_host_rank(jobdir, spark):
+    """--host-rank writes the _hostrank artifact from the read-back
+    output table — a fully-resumed run (processed=0) still ranks the
+    whole corpus."""
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "run_job.py"),
+            "--input", str(jobdir / "pages"),
+            "--output", str(jobdir / "out"),
+            "--partitions", "4",
+            "--host-rank",
+            "--run-id", "rank0",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    ranks = spark.read.parquet(str(jobdir / "out" / "_hostrank")).collect()
+    # synthetic pages link only within synth.test -> one host, rank 1
+    assert [(r.host, round(r.rank, 9)) for r in ranks] == [
+        ("synth.test", 1.0)
+    ]

@@ -1,0 +1,272 @@
+"""Link-graph operator tests: href resolution rules, host graph
+aggregation, PageRank vs an independent numpy reference, and the plan
+shapes the 100 TB story depends on."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from readability_ex_spark.operators.linkgraph import (
+    extract_outlinks,
+    host_graph,
+    host_pagerank,
+    outlink_edges,
+    synth_host_edges,
+)
+
+BASE = "https://www.example.com/a/b/page.html?x=1"
+
+RESOLVE_CASES = [
+    # (href, expected outlink or None)
+    ("https://other.net/x", "https://other.net/x"),
+    ("HTTP://Cased.NET/x", "HTTP://Cased.NET/x"),  # passthrough keeps case
+    ("mailto:a@b.c", None),
+    ("javascript:void(0)", None),
+    ("tel:+1234", None),
+    ("data:text/plain,hi", None),
+    ("//cdn.net/lib.js", "https://cdn.net/lib.js"),  # base scheme
+    ("/root/path", "https://www.example.com/root/path"),
+    ("?page=2", "https://www.example.com/a/b/page.html?page=2"),
+    ("rel/item.html", "https://www.example.com/a/b/rel/item.html"),
+    ("../up/x", "https://www.example.com/a/b/../up/x"),  # no dot removal
+    ("#frag", None),  # self-link
+    ("", None),
+    ("  /sp/aced  ", "https://www.example.com/sp/aced"),  # trimmed
+    ("x.html#sec", "https://www.example.com/a/b/x.html"),  # frag stripped
+]
+
+
+def test_resolve_href_rules(spark):
+    html = "".join(f'<a href="{h}">t</a>' for h, _ in RESOLVE_CASES)
+    df = spark.createDataFrame([(BASE, html)], "url string, html string")
+    row = extract_outlinks(df).collect()[0]
+    assert row.n_hrefs == len(RESOLVE_CASES)
+    assert list(row.outlinks) == [want for _, want in RESOLVE_CASES]
+    assert row.n_outlinks == sum(1 for _, w in RESOLVE_CASES if w is not None)
+
+
+def test_resolve_against_opaque_base(spark):
+    """A urn: base resolves nothing but absolute http(s) refs."""
+    html = (
+        '<a href="https://abs.net/x">a</a>'
+        '<a href="/rel">r</a><a href="p/q">p</a>'
+    )
+    df = spark.createDataFrame([("urn:doc:42", html)], "url string, html string")
+    row = extract_outlinks(df).collect()[0]
+    assert list(row.outlinks) == ["https://abs.net/x", None, None]
+
+
+def test_single_and_double_quoted_hrefs(spark):
+    """Double-quoted matches first, then single-quoted (the order the
+    oracle's list_concat mirrors); case-insensitive tag/attr."""
+    html = "<A HREF='/sq'>s</A><a href=\"/dq\">d</a>"
+    df = spark.createDataFrame([(BASE, html)], "url string, html string")
+    row = extract_outlinks(df).collect()[0]
+    assert list(row.outlinks) == [
+        "https://www.example.com/dq",
+        "https://www.example.com/sq",
+    ]
+
+
+def test_base_with_no_path_slash(spark):
+    """scheme://host (no path) resolves relative refs from '/'."""
+    df = spark.createDataFrame(
+        [("http://h.io", '<a href="x.html">x</a>')], "url string, html string"
+    )
+    row = extract_outlinks(df).collect()[0]
+    assert list(row.outlinks) == ["http://h.io/x.html"]
+
+
+def test_outlink_edges_drops_skipped(spark):
+    df = spark.createDataFrame(
+        [(BASE, '<a href="/a">a</a><a href="mailto:x@y">m</a>')],
+        "url string, html string",
+    )
+    edges = outlink_edges(df).collect()
+    assert [(r.src, r.dst) for r in edges] == [
+        (BASE, "https://www.example.com/a")
+    ]
+
+
+def test_host_graph_folds_case_and_counts(spark):
+    edges = spark.createDataFrame(
+        [
+            ("http://A.COM/1", "https://B.net/x"),
+            ("http://a.com/2", "https://b.NET:443/y"),
+            ("urn:doc:1", "https://b.net/z"),  # no src host -> dropped
+        ],
+        "src string, dst string",
+    )
+    rows = host_graph(edges).collect()
+    assert [(r.src_host, r.dst_host, r.n_links) for r in rows] == [
+        ("a.com", "b.net", 2)
+    ]
+
+
+def _numpy_pagerank(edges, k=3, d=0.85):
+    """Independent dense reference: damped update with dangling mass."""
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    idx = {h: i for i, h in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    for s, t in set(edges):
+        out.setdefault(s, []).append(t)
+    r = np.full(n, 1.0 / n)
+    for _ in range(k):
+        nxt = np.full(n, (1.0 - d) / n)
+        dangling = sum(r[idx[h]] for h in nodes if h not in out)
+        nxt += d * dangling / n
+        for s, ts in out.items():
+            share = r[idx[s]] / len(ts)
+            for t in ts:
+                nxt[idx[t]] += d * share
+        r = nxt
+    return dict(zip(nodes, r))
+
+
+GRAPH = [
+    ("a", "b"),
+    ("a", "c"),
+    ("b", "c"),
+    ("c", "a"),
+    ("c", "c"),  # self-loop kept
+    ("a", "d"),  # d is dangling (no outlinks)
+    ("a", "b"),  # duplicate edge collapsed by distinct
+]
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    edges = spark.createDataFrame(GRAPH, "src_host string, dst_host string")
+    got = {
+        r.host: r.rank
+        for r in host_pagerank(edges, iterations=3, damping=0.85).collect()
+    }
+    want = _numpy_pagerank(GRAPH)
+    assert set(got) == set(want)
+    for h in want:
+        assert got[h] == pytest.approx(want[h], abs=1e-12)
+
+
+def test_pagerank_mass_conserved(spark):
+    """The damped update conserves total rank mass exactly (dangling
+    mass is redistributed, not lost)."""
+    edges = spark.createDataFrame(GRAPH, "src_host string, dst_host string")
+    ranks = host_pagerank(edges, iterations=4).agg(F.sum("rank")).collect()
+    assert ranks[0][0] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_empty_graph(spark):
+    edges = spark.createDataFrame([], "src_host string, dst_host string")
+    assert host_pagerank(edges, iterations=2).count() == 0
+
+
+def test_synth_edges_have_dangling_hosts(spark):
+    """The checked-query derivation must actually exercise the
+    dangling-mass path: hosts 13-16 appear as dst only."""
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    hg = host_graph(synth_host_edges(docs))
+    srcs = {r.src_host for r in hg.select("src_host").distinct().collect()}
+    dsts = {r.dst_host for r in hg.select("dst_host").distinct().collect()}
+    assert "host-16.test" in dsts - srcs
+
+
+def test_extract_outlinks_plan_is_pure_codegen(spark):
+    """Outlink extraction must stay a free map: no exchange, no
+    Python eval — the regex harvest + resolution fuse into the scan."""
+    pages = spark.range(50).select(
+        F.concat(F.lit("http://h"), F.col("id") % 5, F.lit(".com/p/x")).alias(
+            "url"
+        ),
+        F.lit('<a href="/a">a</a>').alias("html"),
+    )
+    plan = (
+        extract_outlinks(pages)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "mapInPandas"):
+        assert marker not in plan
+
+
+def test_host_graph_plan_single_exchange(spark):
+    """Host aggregation is ONE hash agg: partial map-side collapse,
+    one exchange on the host pair."""
+    edges = spark.createDataFrame(GRAPH, "src string, dst string")
+    edges = edges.select(
+        F.concat(F.lit("http://"), "src", F.lit(".com/")).alias("src"),
+        F.concat(F.lit("http://"), "dst", F.lit(".com/")).alias("dst"),
+    )
+    plan = host_graph(edges)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
+def test_kernel_collect_outlinks():
+    """DOM-accurate harvest: WHATWG resolution (dot segments removed,
+    unlike the bulk regex path), scheme skip, order-preserving dedup,
+    cap."""
+    from readability_ex_spark.kernel import dom
+    from readability_ex_spark.kernel.links import collect_outlinks
+
+    html = (
+        "<html><body>"
+        '<a href="https://abs.net/x#frag">a</a>'
+        '<a href="/root">r</a>'
+        '<a href="../up/y">u</a>'
+        '<a href="rel.html">p</a>'
+        '<a href="mailto:a@b.c">m</a>'
+        '<a href="javascript:void(0)">j</a>'
+        '<a href="#sec">f</a>'
+        '<a href="https://abs.net/x">dup</a>'
+        "</body></html>"
+    )
+    doc = dom.parse_document(html)
+    got = collect_outlinks(doc, "https://h.io/a/b/page.html")
+    assert got == [
+        "https://abs.net/x",
+        "https://h.io/root",
+        "https://h.io/a/up/y",  # WHATWG removes the dot segment
+        "https://h.io/a/b/rel.html",
+    ]
+
+
+def test_kernel_collect_outlinks_cap():
+    from readability_ex_spark.kernel import dom
+    from readability_ex_spark.kernel.links import collect_outlinks
+
+    html = "".join(f'<a href="/p{i}">x</a>' for i in range(50))
+    doc = dom.parse_document(f"<html><body>{html}</body></html>")
+    got = collect_outlinks(doc, "http://h.io/", max_links=10)
+    assert len(got) == 10
+    assert got[0] == "http://h.io/p0"
+
+
+def test_pipeline_emits_outlinks(spark):
+    """End-to-end: the extraction UDF carries the kernel outlinks
+    column; the synthetic pages' nav links resolve against the page
+    url."""
+    from readability_ex_spark.pipeline import run_extraction
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "http://h.io/a/page",
+                None,
+                '<html><body><nav><a href="/">Home</a></nav>'
+                "<article><h1>T</h1>"
+                + "<p>alpha beta gamma delta epsilon zeta eta theta "
+                  "iota kappa word more text here now then, commas, "
+                  "yes.</p>" * 20
+                + '<a href="next.html">continue</a></article>'
+                "</body></html>",
+            )
+        ],
+        "url string, warc_ts timestamp, html string",
+    )
+    row = run_extraction(pages, n_partitions=1).collect()[0]
+    assert row.status == "ok"
+    assert "http://h.io/" in row.outlinks
+    assert "http://h.io/a/next.html" in row.outlinks
