@@ -233,6 +233,18 @@ def main() -> int:
     )
     run("wordlist_filter", lambda: q_wordlist_filter(spark, sf_dir).count())
     run("canonical_dedup", lambda: q_canonical_dedup(spark, sf_dir).count())
+    from readability_ex_spark.operators.linkgraph import (
+        q_extract_outlinks,
+        q_host_pagerank,
+    )
+
+    run(
+        "extract_outlinks",
+        lambda: q_extract_outlinks(spark, sf_dir).count(),
+    )
+    # pays edge derivation + host agg + 3 PageRank iterations (each one
+    # join + one agg + an eager localCheckpoint) + 3 dangling scalars
+    run("host_pagerank", lambda: q_host_pagerank(spark, sf_dir).count())
     run("mixture_sample", lambda: q_mixture_sample(spark, sf_dir).count())
     from readability_ex_spark.operators.corpus import q_repetition_stats
     from readability_ex_spark.operators.decontam import q_decontaminate

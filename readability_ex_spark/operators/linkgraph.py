@@ -200,15 +200,16 @@ def host_pagerank(
     are kept (a host linking itself is ordinary graph structure and
     both engines treat it identically).
 
-    Plan: edges and outdegrees are computed once and cached (reused
-    every round); each iteration is one shuffle join on the src host +
-    one hash agg on the dst host + a left join back to the node table,
-    then an eager ``localCheckpoint`` so iteration t+1's plan starts
-    from materialized ranks instead of re-deriving t rounds of
-    lineage.  Driver-side state per iteration is exactly one scalar
-    (the dangling mass, a single-row agg); the node count N is one
-    more scalar up front — both bounded by definition, never by data
-    volume.  Nothing is broadcast: at web scale the rank table is
+    Plan: edges and outdegrees are computed once and checkpointed
+    (reused every round); each iteration is one shuffle join on the
+    src host + one hash agg on the dst host + a left join back to the
+    node table, then an eager ``localCheckpoint`` so iteration t+1's
+    plan starts from materialized ranks instead of re-deriving t
+    rounds of lineage.  The dangling mass is a 1-row aggregate folded
+    in as a broadcast cross join — NOT collected to the driver — so
+    each iteration is exactly ONE Spark job (the checkpoint) and the
+    only driver-side value in the whole operator is the node count N.
+    The rank table itself is never broadcast: at web scale it is
     ~#hosts rows and must flow through ordinary co-partitioned
     shuffles.
     """
@@ -236,8 +237,7 @@ def host_pagerank(
     for _ in range(iterations):
         dangling = (
             ranks.join(outdeg, ranks.host == outdeg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
         contrib = (
             e.join(outdeg, "src")
@@ -247,6 +247,7 @@ def host_pagerank(
         )
         ranks = (
             nodes.join(contrib, nodes.host == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "host",
                 (
@@ -254,7 +255,7 @@ def host_pagerank(
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("c"), F.lit(0.0))
-                        + F.lit(dangling / n)
+                        + F.col("dm") / F.lit(float(n))
                     )
                 ).alias("rank"),
             )
