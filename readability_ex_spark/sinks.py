@@ -230,3 +230,56 @@ def read_done_urls(
         if _is_missing_table(exc):
             return None  # first run: nothing committed yet
         raise
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int,
+    key: str = "url",
+    sort: bool = True,
+) -> None:
+    """Write ``df`` as a BUCKETED (and optionally bucket-sorted)
+    parquet table registered in the session catalog.
+
+    Bucketing is the mechanism for repeated co-located joins: two
+    tables bucketed on the same key with the same bucket count satisfy
+    each other's join distribution, so a join between them runs with
+    ZERO exchange on either side (plan-asserted in
+    tests/test_plans.py).  With ``sort=True`` each bucket is written
+    as ONE sorted file (the repartition below guarantees the 1:1
+    task-to-bucket mapping); Spark 4 no longer propagates on-disk
+    order from bucketed scans (the 3.x legacy flag was removed), so a
+    sort-merge join still adds a LOCAL sort — per-partition, no
+    exchange, and nearly free over already-sorted runs — while the
+    shuffle, the expensive part, stays eliminated.  At 100 TB this is
+    the
+    layout for artifact families that are re-joined on every run:
+    corpus <-> manifest audits, corpus <-> eval label tables, update
+    deltas <-> the stored corpus. One bucketed write amortizes the
+    exchange that every later join would otherwise pay; Spark's rule
+    of thumb is to size ``n_buckets`` so a bucket is 100-200 MB.
+
+    The bucket spec lives in the catalog, not the files: this sandbox
+    runs the default in-memory catalog, so the registration (and the
+    exchange-free plans) lasts for the session. Production deployments
+    point the session at a persistent metastore (or use Iceberg's
+    bucket partition transform, sources/pages.py) and keep it across
+    jobs. ``spark.table(table)`` reads it back bucket-aware;
+    ``spark.read.parquet(path)`` reads the same bytes WITHOUT the
+    bucket metadata (correct, but joins shuffle again).
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if sort:
+        # Spark only trusts a bucket's on-disk sort order when the
+        # bucket is ONE file; repartitioning on the bucket key uses the
+        # same hash as the bucketing spec, so each task owns exactly
+        # one bucket and writes exactly one file
+        df = df.repartition(n_buckets, F.col(key))
+    w = df.write.format("parquet").mode("overwrite").option("path", path)
+    w = w.bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)

@@ -98,6 +98,15 @@ def main() -> int:
         "canonical space — use consistently across --update runs",
     )
     ap.add_argument(
+        "--host-rank-floor", type=float, default=0.0, metavar="FRAC",
+        help="drop documents whose host sits in the bottom FRAC of the "
+        "batch's host-PageRank distribution (link graph built from the "
+        "kernel-emitted outlinks; 5 iterations). Hosts absent from the "
+        "graph are KEPT (unknown != bad). Writes the rank table as a "
+        "_hostrank sidecar. In --update mode the graph covers the "
+        "batch only (same batch-local scope as the df statistics)",
+    )
+    ap.add_argument(
         "--blocklist", default=None, metavar="WORDS",
         help="comma-separated lowercase words/phrases; drop any doc "
         "containing one (C4 bad-words rule)",
@@ -306,6 +315,43 @@ def main() -> int:
         extracted = robots_filter(
             extracted, robots_rules, agent=args.robots_agent
         )
+    hostrank_df = None
+    if args.host_rank_floor > 0:
+        # crawl-graph quality floor: rank hosts by the batch's own link
+        # structure (kernel-emitted outlinks — no second parse) and cut
+        # the bottom slice BEFORE any content work pays for its pages.
+        # One approx-percentile scalar instead of a global rank window,
+        # so no single-partition sort at 10^8 hosts.
+        from readability_ex_spark.operators.linkgraph import (
+            host_graph,
+            host_pagerank,
+        )
+        from readability_ex_spark.operators.urlops import host_expr
+
+        edges = (
+            extracted.filter(F.col("outlinks").isNotNull())
+            .select("url", F.explode("outlinks").alias("dst"))
+            .distinct()
+        )
+        hostrank_df = host_pagerank(
+            host_graph(edges, src_col="url", dst_col="dst"), iterations=5
+        )
+        thr_row = hostrank_df.agg(
+            F.expr(
+                f"approx_percentile(rank, {args.host_rank_floor})"
+            ).alias("thr")
+        ).collect()
+        thr = thr_row[0]["thr"]
+        if thr is not None:
+            low = hostrank_df.filter(F.col("rank") < thr).select("host")
+            extracted = extracted.join(
+                low,
+                host_expr(F.col("url")) == low.host,
+                "left_anti",
+            )
+        # the sidecar itself is written AFTER the corpus write — the
+        # corpus overwrite clears the output dir (hostrank_df is
+        # checkpoint-materialized, so it survives the wait)
     if args.lang:
         extracted = extracted.filter(
             F.lower(F.coalesce(F.col("lang"), F.lit(""))).startswith(
@@ -776,6 +822,10 @@ def main() -> int:
         shutil.move(chunk_df_staging, chunk_df_path)
     # the dedup audit trail: every extracted url's keep decision
     write_sidecar(manifest, args.output, "_manifest", mode=write_mode)
+    if hostrank_df is not None:
+        # batch-scope host PageRank behind --host-rank-floor (the rank
+        # table the floor was cut against, for audit/reuse)
+        write_sidecar(hostrank_df, args.output, "_hostrank")
     if not args.no_near_dup:
         # persist/extend the banded-LSH index of the kept corpus so the
         # NEXT --update equality-joins stored blocks instead of
@@ -904,6 +954,7 @@ def main() -> int:
                 "_quality_stats",
                 "_sequences",
                 "_contamination",
+                "_hostrank",
                 "_datacard",
             )
             if sidecar_exists(args.output, n)

@@ -1043,3 +1043,67 @@ def test_run_job_host_rank(jobdir, spark):
     assert [(r.host, round(r.rank, 9)) for r in ranks] == [
         ("synth.test", 1.0)
     ]
+
+
+def test_prepare_corpus_host_rank_floor(spark, tmp_path):
+    """--host-rank-floor drops documents on the worst-ranked hosts of
+    the batch's own link graph and writes the _hostrank sidecar."""
+
+    def page(host, n, links):
+        body = "".join(f'<a href="{u}">l</a>' for u in links)
+        # fully disjoint token sets per page so neither exact nor
+        # near-dup can collapse the hosts before the rank floor runs
+        tag = f"{host.split('.')[0]}{n}"
+        para = "".join(
+            f"<p>{tag}w{i}a {tag}w{i}b {tag}w{i}c {tag}w{i}d "
+            f"{tag}w{i}e {tag}w{i}f {tag}w{i}g {tag}w{i}h, with "
+            f"commas, here.</p>"
+            for i in range(20)
+        )
+        return (
+            f"http://{host}/p{n}",
+            None,
+            f"<html><body><article><h1>T</h1>{para}{body}"
+            "</article></body></html>",
+        )
+
+    rows = [
+        # a.test and b.test link to each other; c.test links out but
+        # nothing links to c.test -> lowest possible rank (dangling feed)
+        page("a.test", 1, ["http://b.test/p1", "http://a.test/p2"]),
+        page("a.test", 2, ["http://a.test/p1"]),
+        page("b.test", 1, ["http://a.test/p1"]),
+        page("c.test", 1, ["http://a.test/p2"]),
+    ]
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "pages"))
+
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(tmp_path / "pages"),
+            "--output", str(tmp_path / "corpus"),
+            "--host-rank-floor", "0.34",
+            "--partitions", "2",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    hosts = {
+        r.h
+        for r in corpus.selectExpr(
+            "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#@]*@)?([^/?#:]*)', 2) AS h"
+        ).collect()
+    }
+    assert "c.test" not in hosts  # bottom-third host cut
+    assert {"a.test", "b.test"} <= hosts
+    ranks = spark.read.parquet(str(tmp_path / "corpus" / "_hostrank"))
+    got = {r.host: r.rank for r in ranks.collect()}
+    assert set(got) == {"a.test", "b.test", "c.test"}
+    assert got["c.test"] == min(got.values())
+    import json as _json
+
+    sc = _json.loads((tmp_path / "corpus" / "_sidecars.json").read_text())
+    assert "_hostrank" in sc["artifacts"]

@@ -123,3 +123,50 @@ def test_anti_join_resume_query_plan_shape(spark):
         s for s in re.findall(r"ReadSchema: (\S+)", plan) if "o_orderkey" in s
     ]
     assert o_schema and all("o_orderdate" not in s for s in o_schema)
+
+
+def test_bucketed_tables_join_with_zero_exchange(spark, tmp_path):
+    """Two tables bucketed+sorted on the same key and bucket count join
+    with no exchange and no sort on either side — the co-located-join
+    layout write_bucketed exists for."""
+    from readability_ex_spark.sinks import write_bucketed
+
+    docs = spark.range(2000).select(
+        F.concat(F.lit("http://h"), F.col("id") % 97, F.lit(".com/p"),
+                 F.col("id")).alias("url"),
+        (F.col("id") * 7).alias("score"),
+    )
+    labels = spark.range(2000).select(
+        F.concat(F.lit("http://h"), F.col("id") % 97, F.lit(".com/p"),
+                 F.col("id")).alias("url"),
+        (F.col("id") % 3).alias("label"),
+    )
+    write_bucketed(docs, "bt_docs", str(tmp_path / "d"), 8)
+    write_bucketed(labels, "bt_labels", str(tmp_path / "l"), 8)
+    try:
+        joined = (
+            spark.table("bt_docs")
+            .hint("merge")  # forbid broadcast: the co-location must carry it
+            .join(spark.table("bt_labels"), "url")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 2000
+        # Spark 4 dropped on-disk-order propagation from bucketed
+        # scans, so an SMJ still sorts — but LOCALLY (global=false),
+        # never through an exchange
+        for m in re.finditer(r"Sort \[[^]]*\], (\w+),", plan):
+            assert m.group(1) == "false"
+        # a plain parquet read of the same files lacks the bucket
+        # metadata and must shuffle again (the catalog is the carrier)
+        raw = (
+            spark.read.parquet(str(tmp_path / "d"))
+            .hint("merge")
+            .join(spark.read.parquet(str(tmp_path / "l")), "url")
+        )
+        rawplan = raw._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in rawplan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_docs")
+        spark.sql("DROP TABLE IF EXISTS bt_labels")
