@@ -38,6 +38,8 @@ def stream_extraction(
     respect_robots: bool = False,
     robots_txt_path: str | None = None,
     robots_agent: str = "*",
+    hostrank_path: str | None = None,
+    host_rank_floor: float = 0.0,
 ):
     """Start the streaming extraction query. Returns the StreamingQuery.
 
@@ -56,6 +58,26 @@ def stream_extraction(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     pages = reader.parquet(input_path)
+
+    low_hosts = None
+    if hostrank_path and host_rank_floor > 0:
+        # batch-computed host PageRank (_hostrank sidecar of a
+        # prepare_corpus --host-rank-floor build, or run_job
+        # --host-rank) joined as a static side input: PageRank needs
+        # the whole graph, so the STREAM never computes it — it
+        # consumes the last batch build's ranks, the standard
+        # batch-signal-into-stream shape. Threshold resolved once at
+        # query start; each micro-batch pays one broadcast anti-join.
+        ranks = spark.read.parquet(hostrank_path)
+        thr = ranks.agg(
+            F.expr(f"approx_percentile(rank, {host_rank_floor})")
+        ).collect()[0][0]
+        if thr is not None:
+            low_hosts = (
+                ranks.filter(F.col("rank") < thr)
+                .select("host")
+                .localCheckpoint(eager=True)
+            )
 
     robots_rules = None
     if robots_txt_path:
@@ -96,6 +118,14 @@ def stream_extraction(
 
             extracted = robots_filter(
                 extracted, robots_rules, agent=robots_agent
+            )
+        if low_hosts is not None:
+            from readability_ex_spark.operators.urlops import host_expr
+
+            extracted = extracted.join(
+                F.broadcast(low_hosts),
+                host_expr(F.col("url")) == low_hosts.host,
+                "left_anti",
             )
         # stage ORDER mirrors scripts/prepare_corpus.py (pii scrub, THEN
         # blocklist): with both flags on, a doc whose only blocklist hit

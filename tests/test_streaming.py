@@ -475,3 +475,52 @@ def test_stream_extraction_robots_txt_matches_batch(spark, tmpdir):
     assert got and not any(
         u.rsplit("/", 1)[1].startswith("1") for u in got
     )
+
+
+def test_stream_extraction_host_rank_floor(spark, tmpdir):
+    """A batch-computed _hostrank artifact consumed as a static side
+    input: streamed pages on the low-ranked host are dropped, the rest
+    flow through."""
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001").limit(40)
+    pages.write.mode("overwrite").parquet(str(tmpdir / "pages_hr"))
+    # the batch build ranked synth.test well and lowhost.test poorly
+    spark.createDataFrame(
+        [("synth.test", 0.9), ("lowhost.test", 0.05), ("mid.test", 0.4)],
+        "host string, rank double",
+    ).write.mode("overwrite").parquet(str(tmpdir / "hostrank"))
+
+    q = stream_extraction(
+        spark,
+        str(tmpdir / "pages_hr"),
+        str(tmpdir / "out_hr"),
+        str(tmpdir / "ckpt_hr"),
+        available_now=True,
+        hostrank_path=str(tmpdir / "hostrank"),
+        host_rank_floor=0.34,
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(str(tmpdir / "out_hr"))
+    # synth.test sits above the floor -> everything survives
+    assert out.count() == pages.select("url").distinct().count()
+
+    # same stream with the floor above synth.test's rank: all dropped
+    spark.createDataFrame(
+        [("synth.test", 0.05), ("good.test", 0.9), ("best.test", 0.95)],
+        "host string, rank double",
+    ).write.mode("overwrite").parquet(str(tmpdir / "hostrank2"))
+    q2 = stream_extraction(
+        spark,
+        str(tmpdir / "pages_hr"),
+        str(tmpdir / "out_hr2"),
+        str(tmpdir / "ckpt_hr2"),
+        available_now=True,
+        hostrank_path=str(tmpdir / "hostrank2"),
+        host_rank_floor=0.34,
+    )
+    q2.awaitTermination(300)
+    # all rows cut: no data files land (the dir may exist but empty)
+    import glob as _glob
+
+    assert not _glob.glob(
+        str(tmpdir / "out_hr2" / "**" / "part-*.parquet"), recursive=True
+    )
