@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_outlinks": LG.q_extract_outlinks,
         "host_graph": LG.q_host_graph,
         "host_pagerank": LG.q_host_pagerank,
+        "extract_anchors": LG.q_extract_anchors,
+        "anchor_index": LG.q_anchor_index,
         "robots_parse": RB.q_robots_parse,
         "robots_verdict": RB.q_robots_verdict,
         "robots_sitemaps": RB.q_robots_sitemaps,
@@ -508,6 +510,83 @@ _URLS_CTE = """
 # host pattern shared by host_of() — userinfo and port stripped
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)"
 
+# anchor grammar (mirrors linkgraph._ANCHOR_DQ_RE), spelled for a
+# DuckDB single-quoted string (backslashes are literal there)
+_ANCHOR_RE_SQL = (
+    r'(?i)<a\s[^>]*?href\s*=\s*"([^"]*)"[^>]*>([\s\S]*?)</a>'
+)
+
+# synthetic link page html (mirrors linkgraph.synth_link_html_expr),
+# as a SELECT body over (urls u JOIN documents d)
+_LINK_HTML_SQL = """
+              '<html><body><p>doc</p><a href="HTTPS://Other'
+              || CAST(d.doc_id % 9 AS VARCHAR)
+              || '.Example.net/Lib/x">abs</a>'
+              || CASE WHEN d.doc_id % 3 = 0
+                      THEN '<A Href=''/Local/Page-'
+                           || CAST(d.doc_id % 6 AS VARCHAR)
+                           || '''>root</A>' ELSE '' END
+              || CASE WHEN d.doc_id % 3 = 1
+                      THEN '<a id="r" href="rel/item-'
+                           || CAST(d.doc_id % 4 AS VARCHAR)
+                           || '.html">rel</a>' ELSE '' END
+              || CASE WHEN d.doc_id % 3 = 2
+                      THEN '<a href="../up/'
+                           || CAST(d.doc_id % 4 AS VARCHAR)
+                           || '">up</a>' ELSE '' END
+              || CASE WHEN d.doc_id % 4 = 0
+                      THEN '<a href="//cdn.example.net/l">pp</a>'
+                      ELSE '' END
+              || CASE WHEN d.doc_id % 4 = 1
+                      THEN '<a href="?Page=2">q</a>' ELSE '' END
+              || CASE WHEN d.doc_id % 4 = 2
+                      THEN '<a href="#frag">f</a>'
+                           || '<a href="mailto:x@y.z">m</a>'
+                      ELSE '' END
+              || CASE WHEN d.doc_id % 4 = 3
+                      THEN '<a href="javascript:void(0)">j</a>'
+                      ELSE '' END
+              || '</body></html>'
+"""
+
+# base-uri parts of the synthetic url (consumed by _resolve_case);
+# prefix with the urls CTE and an lp CTE providing (doc_id, url, ...)
+_LINK_BASE_CTES = """
+    bp AS (
+      SELECT *,
+             regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0) AS auth,
+             lower(regexp_extract(url,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme
+      FROM lp),
+    bp2 AS (
+      SELECT *, regexp_extract(substring(url, length(auth) + 1),
+                               '^[^?#]*', 0) AS path
+      FROM bp),
+    bp3 AS (
+      SELECT *, CASE WHEN regexp_extract(path, '^.*/', 0) = ''
+                     THEN '/'
+                     ELSE regexp_extract(path, '^.*/', 0)
+                END AS basedir
+      FROM bp2)
+"""
+
+
+def _resolve_case(var: str) -> str:
+    """The linkgraph.resolve_href CASE over a fragment-stripped href
+    ``var``; expects auth/scheme/path/basedir columns in scope."""
+    return f"""CASE
+        WHEN {var} = '' THEN NULL
+        WHEN regexp_matches(lower({var}), '^https?://') THEN {var}
+        WHEN regexp_matches({var},
+             '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
+        WHEN auth = '' THEN NULL
+        WHEN left({var}, 2) = '//' THEN scheme || ':' || {var}
+        WHEN left({var}, 1) = '/' THEN auth || {var}
+        WHEN left({var}, 1) = '?' THEN auth || path || {var}
+        ELSE auth || basedir || {var}
+    END"""
+
 # synthetic page-level edges (mirrors linkgraph.synth_host_edges): 13
 # case-varied source hosts, 17 destination hosts → hosts 13-16 dangling
 _HOST_EDGES_CTES = f"""
@@ -786,85 +865,99 @@ def oracle_sql() -> dict[str, str]:
         "extract_outlinks": f"""
             WITH {_URLS_CTE.strip()},
             lp AS (
-              SELECT u.doc_id, u.url,
-                     '<html><body><p>doc</p><a href="HTTPS://Other'
-                     || CAST(d.doc_id % 9 AS VARCHAR)
-                     || '.Example.net/Lib/x">abs</a>'
-                     || CASE WHEN d.doc_id % 3 = 0
-                             THEN '<A Href=''/Local/Page-'
-                                  || CAST(d.doc_id % 6 AS VARCHAR)
-                                  || '''>root</A>' ELSE '' END
-                     || CASE WHEN d.doc_id % 3 = 1
-                             THEN '<a id="r" href="rel/item-'
-                                  || CAST(d.doc_id % 4 AS VARCHAR)
-                                  || '.html">rel</a>' ELSE '' END
-                     || CASE WHEN d.doc_id % 3 = 2
-                             THEN '<a href="../up/'
-                                  || CAST(d.doc_id % 4 AS VARCHAR)
-                                  || '">up</a>' ELSE '' END
-                     || CASE WHEN d.doc_id % 4 = 0
-                             THEN '<a href="//cdn.example.net/l">pp</a>'
-                             ELSE '' END
-                     || CASE WHEN d.doc_id % 4 = 1
-                             THEN '<a href="?Page=2">q</a>' ELSE '' END
-                     || CASE WHEN d.doc_id % 4 = 2
-                             THEN '<a href="#frag">f</a>'
-                                  || '<a href="mailto:x@y.z">m</a>'
-                             ELSE '' END
-                     || CASE WHEN d.doc_id % 4 = 3
-                             THEN '<a href="javascript:void(0)">j</a>'
-                             ELSE '' END
-                     || '</body></html>' AS html
+              SELECT u.doc_id, u.url, {_LINK_HTML_SQL.strip()} AS html
               FROM urls u JOIN documents d USING (doc_id)),
+            {_LINK_BASE_CTES.strip()},
             hr AS (
-              SELECT doc_id, url,
+              SELECT *,
                      list_concat(
                        regexp_extract_all(html,
                          '(?i)<a\\s[^>]*?href\\s*=\\s*"([^"]*)"', 1),
                        regexp_extract_all(html,
                          '(?i)<a\\s[^>]*?href\\s*=\\s*''([^'']*)''', 1)
                      ) AS hrefs
-              FROM lp),
-            bp AS (
-              SELECT doc_id, url, hrefs,
-                     regexp_extract(url,
-                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0) AS auth,
-                     lower(regexp_extract(url,
-                       '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme
-              FROM hr),
-            bp2 AS (
-              SELECT *, regexp_extract(substring(url, length(auth) + 1),
-                                       '^[^?#]*', 0) AS path
-              FROM bp),
-            bp3 AS (
-              SELECT *, CASE WHEN regexp_extract(path, '^.*/', 0) = ''
-                             THEN '/'
-                             ELSE regexp_extract(path, '^.*/', 0)
-                        END AS basedir
-              FROM bp2),
+              FROM bp3),
             res AS (
               SELECT doc_id, CAST(len(hrefs) AS INTEGER) AS n_hrefs,
                      list_transform(
                        list_transform(hrefs,
                          x -> regexp_extract(trim(x), '^[^#]*', 0)),
-                       h -> CASE
-                         WHEN h = '' THEN NULL
-                         WHEN regexp_matches(lower(h), '^https?://')
-                           THEN h
-                         WHEN regexp_matches(h,
-                              '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
-                         WHEN auth = '' THEN NULL
-                         WHEN left(h, 2) = '//'
-                           THEN scheme || ':' || h
-                         WHEN left(h, 1) = '/' THEN auth || h
-                         WHEN left(h, 1) = '?' THEN auth || path || h
-                         ELSE auth || basedir || h
-                       END) AS outlinks
-              FROM bp3)
+                       h -> {_resolve_case('h')}) AS outlinks
+              FROM hr)
             SELECT doc_id, n_hrefs, outlinks,
                    CAST(len(list_filter(outlinks, x -> x IS NOT NULL))
                         AS INTEGER) AS n_outlinks
             FROM res ORDER BY doc_id
+        """,
+        # mirrors linkgraph.extract_anchors: one pattern, two group
+        # extractions (index-aligned), tag-strip + ws-collapse with 'g'
+        # (DuckDB replaces first-only by default; Spark always-all)
+        "extract_anchors": f"""
+            WITH {_URLS_CTE.strip()},
+            lp AS (
+              SELECT u.doc_id, u.url, {_LINK_HTML_SQL.strip()} AS html
+              FROM urls u JOIN documents d USING (doc_id)),
+            {_LINK_BASE_CTES.strip()},
+            an AS (
+              SELECT *,
+                     regexp_extract_all(html,
+                       '{_ANCHOR_RE_SQL}', 1) AS hrefs,
+                     list_transform(
+                       regexp_extract_all(html,
+                         '{_ANCHOR_RE_SQL}', 2),
+                       t -> trim(regexp_replace(regexp_replace(t,
+                              '<[^>]*>', '', 'g'),
+                              '\\s+', ' ', 'g'))) AS texts
+              FROM bp3),
+            ex AS (
+              SELECT doc_id, auth, scheme, path, basedir,
+                     hrefs[CAST(u.i AS INTEGER)] AS href,
+                     texts[CAST(u.i AS INTEGER)] AS anchor_text
+              FROM an, unnest(range(1, len(hrefs) + 1)) AS u(i)),
+            rs AS (
+              SELECT doc_id, href, anchor_text,
+                     auth, scheme, path, basedir,
+                     regexp_extract(trim(href), '^[^#]*', 0) AS h0
+              FROM ex),
+            rs2 AS (
+              SELECT doc_id, href, anchor_text,
+                     {_resolve_case('h0')} AS outlink
+              FROM rs)
+            SELECT doc_id, href, anchor_text, outlink
+            FROM rs2 ORDER BY doc_id, href, anchor_text
+        """,
+        # mirrors linkgraph.anchor_index over the same derivation
+        "anchor_index": f"""
+            WITH {_URLS_CTE.strip()},
+            lp AS (
+              SELECT u.doc_id, u.url, {_LINK_HTML_SQL.strip()} AS html
+              FROM urls u JOIN documents d USING (doc_id)),
+            {_LINK_BASE_CTES.strip()},
+            an AS (
+              SELECT *,
+                     regexp_extract_all(html,
+                       '{_ANCHOR_RE_SQL}', 1) AS hrefs,
+                     list_transform(
+                       regexp_extract_all(html,
+                         '{_ANCHOR_RE_SQL}', 2),
+                       t -> trim(regexp_replace(regexp_replace(t,
+                              '<[^>]*>', '', 'g'),
+                              '\\s+', ' ', 'g'))) AS texts
+              FROM bp3),
+            ex AS (
+              SELECT doc_id, auth, scheme, path, basedir,
+                     regexp_extract(trim(hrefs[CAST(u.i AS INTEGER)]),
+                                    '^[^#]*', 0) AS h0,
+                     texts[CAST(u.i AS INTEGER)] AS anchor_text
+              FROM an, unnest(range(1, len(hrefs) + 1)) AS u(i)),
+            rs AS (
+              SELECT {_resolve_case('h0')} AS target, anchor_text
+              FROM ex)
+            SELECT target, anchor_text, count(*) AS n_anchors
+            FROM rs
+            WHERE target IS NOT NULL AND anchor_text <> ''
+            GROUP BY target, anchor_text
+            ORDER BY target, anchor_text
         """,
         # mirrors linkgraph.host_graph over synth_host_edges: one hash
         # aggregation on the lowercased host pair

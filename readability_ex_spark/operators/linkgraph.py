@@ -374,3 +374,120 @@ def q_host_pagerank(spark, sf_dir: str) -> DataFrame:
     return ranks.select(
         "host", F.round("rank", 6).alias("rank")
     ).orderBy("host")
+
+
+# ---------------------------------------------------------------------------
+# anchor text
+# ---------------------------------------------------------------------------
+
+# same href grammar as _HREF_DQ_RE plus the anchor body: group 1 = href,
+# group 2 = inner markup up to the matching close tag ([\s\S] because
+# RE2/Java '.' excludes newlines and anchors wrap across lines)
+_ANCHOR_DQ_RE = r'(?i)<a\s[^>]*?href\s*=\s*"([^"]*)"[^>]*>([\s\S]*?)</a>'
+
+
+def anchor_pairs(html: Column | str) -> tuple[Column, Column]:
+    """Aligned arrays (hrefs, anchor_texts) of the double-quoted-href
+    anchors of ``html`` — same pattern, two group extractions, so the
+    arrays index-align by construction.  Anchor text is tag-stripped
+    (literal replacement, no capture-group backrefs — the dialect trap)
+    and whitespace-collapsed."""
+    h = F.col(html) if isinstance(html, str) else html
+    hrefs = F.regexp_extract_all(h, F.lit(_ANCHOR_DQ_RE), 1)
+    texts = F.transform(
+        F.regexp_extract_all(h, F.lit(_ANCHOR_DQ_RE), 2),
+        lambda t: F.trim(
+            F.regexp_replace(
+                F.regexp_replace(t, r"<[^>]*>", ""), r"\s+", " "
+            )
+        ),
+    )
+    return hrefs, texts
+
+
+def extract_anchors(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Pages → one row per anchor: (``keep``..., url, href, anchor_text,
+    outlink) with outlink the resolved target (NULL for skipped refs —
+    rows are kept so anchor text onto non-http targets stays auditable).
+
+    The anchor text of a page's INLINKS is a training-data signal for
+    the target page (a human-written summary of what the page is —
+    MassiveWeb/DeepMind-style anchor corpora); this is the harvest
+    side, :func:`anchor_index` the aggregation side.  Pure codegen +
+    one posexplode; no UDF, no exchange.
+    """
+    h = F.col(html_col).cast("string")
+    hrefs, texts = anchor_pairs(h)
+    exploded = pages.select(
+        *[F.col(c) for c in keep],
+        F.col(url_col),
+        F.posexplode(hrefs).alias("pos", "href"),
+        texts.alias("_texts"),
+    )
+    return exploded.select(
+        *keep,
+        url_col,
+        "href",
+        F.element_at("_texts", F.col("pos") + 1).alias("anchor_text"),
+        resolve_href(F.col("href"), F.col(url_col)).alias("outlink"),
+    )
+
+
+def anchor_index(
+    anchors: DataFrame,
+    target_col: str = "outlink",
+    text_col: str = "anchor_text",
+) -> DataFrame:
+    """(target, anchor_text, n_anchors): how the web describes each
+    target — one hash aggregation over the anchor rows (empty texts
+    and unresolved targets dropped).  At crawl scale the partial agg
+    collapses the dominant repeated anchors ("home", a site's name)
+    map-side before the exchange."""
+    return (
+        anchors.filter(
+            F.col(target_col).isNotNull() & (F.col(text_col) != "")
+        )
+        .groupBy(
+            F.col(target_col).alias("target"),
+            F.col(text_col).alias("anchor_text"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_anchors"))
+    )
+
+
+def q_extract_anchors(spark, sf_dir: str) -> DataFrame:
+    """Anchor harvest over the synthetic page/url derivation
+    (double-quoted anchors; the single-quoted synth anchor is excluded
+    by grammar in both engines)."""
+    from readability_ex_spark.operators.urlops import synth_url_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        "doc_id",
+        synth_url_expr().alias("url"),
+        synth_link_html_expr().alias("html"),
+    )
+    return (
+        extract_anchors(pages, keep=("doc_id",))
+        .drop("url")
+        .orderBy("doc_id", "href", "anchor_text")
+    )
+
+
+def q_anchor_index(spark, sf_dir: str) -> DataFrame:
+    """Aggregated anchor-text index over the same derivation."""
+    from readability_ex_spark.operators.urlops import synth_url_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        synth_url_expr().alias("url"),
+        synth_link_html_expr().alias("html"),
+    )
+    return anchor_index(extract_anchors(pages)).orderBy(
+        "target", "anchor_text"
+    )

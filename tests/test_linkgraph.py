@@ -270,3 +270,47 @@ def test_pipeline_emits_outlinks(spark):
     assert row.status == "ok"
     assert "http://h.io/" in row.outlinks
     assert "http://h.io/a/next.html" in row.outlinks
+
+
+def test_extract_anchors_alignment_and_cleaning(spark):
+    """href/text arrays index-align from one pattern; anchor text is
+    tag-stripped and whitespace-collapsed."""
+    from readability_ex_spark.operators.linkgraph import extract_anchors
+
+    html = (
+        '<a href="/a"><b>Bold</b>  link\n text</a>'
+        '<a class="x" href="/b">plain</a>'
+        '<a href="mailto:x@y">mail me</a>'
+    )
+    df = spark.createDataFrame([(BASE, html)], "url string, html string")
+    rows = extract_anchors(df).orderBy("href").collect()
+    assert [(r.href, r.anchor_text, r.outlink) for r in rows] == [
+        ("/a", "Bold link text", "https://www.example.com/a"),
+        ("/b", "plain", "https://www.example.com/b"),
+        ("mailto:x@y", "mail me", None),  # kept, unresolved
+    ]
+
+
+def test_anchor_index_counts(spark):
+    from readability_ex_spark.operators.linkgraph import (
+        anchor_index,
+        extract_anchors,
+    )
+
+    html1 = '<a href="http://t.io/p">Good Page</a>'
+    html2 = (
+        '<a href="http://t.io/p">Good Page</a>'
+        '<a href="http://t.io/p">other words</a>'
+        '<a href="http://t.io/q"></a>'  # empty text dropped
+    )
+    df = spark.createDataFrame(
+        [("http://a.io/1", html1), ("http://b.io/1", html2)],
+        "url string, html string",
+    )
+    rows = anchor_index(extract_anchors(df)).orderBy(
+        "target", "anchor_text"
+    ).collect()
+    assert [(r.target, r.anchor_text, r.n_anchors) for r in rows] == [
+        ("http://t.io/p", "Good Page", 2),
+        ("http://t.io/p", "other words", 1),
+    ]
