@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": LG.q_host_pagerank,
         "extract_anchors": LG.q_extract_anchors,
         "anchor_index": LG.q_anchor_index,
+        "host_components": LG.q_host_components,
         "robots_parse": RB.q_robots_parse,
         "robots_verdict": RB.q_robots_verdict,
         "robots_sitemaps": RB.q_robots_sitemaps,
@@ -971,6 +972,36 @@ def oracle_sql() -> dict[str, str]:
         # mirrors linkgraph.host_pagerank (K=3, d=0.85): unrolled CTE
         # chain with dangling-mass redistribution
         "host_pagerank": _pagerank_oracle_sql(k=3, damping=0.85),
+        # mirrors linkgraph.host_components over the four-component
+        # synthetic derivation: recursive transitive closure, component
+        # id = least reachable host (same genre as near_dup_clusters)
+        "host_components": """
+            WITH RECURSIVE
+            d AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+            e0 AS (
+              SELECT 'c' || CAST(d % 4 AS VARCHAR) || '-h'
+                     || CAST(d % 5 AS VARCHAR) || '.test' AS src,
+                     'c' || CAST(d % 4 AS VARCHAR) || '-h'
+                     || CAST((d + 1) % 5 AS VARCHAR) || '.test' AS dst
+              FROM d
+              UNION ALL
+              SELECT 'c' || CAST(d % 4 AS VARCHAR) || '-h'
+                     || CAST(d % 5 AS VARCHAR) || '.test',
+                     'c' || CAST(d % 4 AS VARCHAR) || '-h'
+                     || CAST((d * 3 + 2) % 5 AS VARCHAR) || '.test'
+              FROM d),
+            e AS (
+              SELECT src, dst FROM e0
+              UNION
+              SELECT dst, src FROM e0),
+            reach(src, dst) AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+            SELECT src AS host,
+                   least(src, min(dst)) AS component_id
+            FROM reach GROUP BY src ORDER BY host
+        """,
         "filter_project": """
             SELECT doc_id, md5(text) AS text_md5, n_chars,
                    CAST(strlen(text) AS BIGINT) AS n_bytes

@@ -314,3 +314,40 @@ def test_anchor_index_counts(spark):
         ("http://t.io/p", "Good Page", 2),
         ("http://t.io/p", "other words", 1),
     ]
+
+
+def test_host_components_multiple_components(spark):
+    from readability_ex_spark.operators.linkgraph import host_components
+
+    edges = spark.createDataFrame(
+        [
+            ("a.io", "b.io"),
+            ("b.io", "c.io"),
+            ("x.io", "y.io"),  # second component
+            ("z.io", "z.io"),  # self-loop: singleton component
+        ],
+        "src_host string, dst_host string",
+    )
+    got = {
+        r.host: r.component_id for r in host_components(edges).collect()
+    }
+    assert got == {
+        "a.io": "a.io",
+        "b.io": "a.io",
+        "c.io": "a.io",
+        "x.io": "x.io",
+        "y.io": "x.io",
+        "z.io": "z.io",
+    }
+
+
+def test_synth_component_edges_form_four_components(spark):
+    from readability_ex_spark.operators.linkgraph import (
+        host_components,
+        synth_component_edges,
+    )
+
+    docs = spark.range(100).select(F.col("id").alias("doc_id"))
+    comps = host_components(synth_component_edges(docs))
+    n = comps.select("component_id").distinct().count()
+    assert n == 4
