@@ -520,7 +520,11 @@ _ANCHOR_RE_SQL = (
 # synthetic link page html (mirrors linkgraph.synth_link_html_expr),
 # as a SELECT body over (urls u JOIN documents d)
 _LINK_HTML_SQL = """
-              '<html><body><p>doc</p><a href="HTTPS://Other'
+              '<html><body><p>doc</p>'
+              || CASE WHEN d.doc_id % 7 = 5
+                      THEN '<base href="https://based.example.org/dir/deep/">'
+                      ELSE '' END
+              || '<a href="HTTPS://Other'
               || CAST(d.doc_id % 9 AS VARCHAR)
               || '.Example.net/Lib/x">abs</a>'
               || CASE WHEN d.doc_id % 3 = 0
@@ -551,15 +555,25 @@ _LINK_HTML_SQL = """
 """
 
 # base-uri parts of the synthetic url (consumed by _resolve_case);
-# prefix with the urls CTE and an lp CTE providing (doc_id, url, ...)
+# prefix with the urls CTE and an lp CTE providing (doc_id, url, html).
+# An absolute http(s) <base href> overrides the page url as the
+# resolution base (mirrors linkgraph.effective_base)
 _LINK_BASE_CTES = """
+    lpb AS (
+      SELECT *, regexp_extract(html,
+        '(?i)<base\\s[^>]*?href\\s*=\\s*"([^"]*)"', 1) AS b0
+      FROM lp),
+    lp2 AS (
+      SELECT * REPLACE (CASE WHEN regexp_matches(lower(b0), '^https?://')
+                             THEN b0 ELSE url END AS url)
+      FROM lpb),
     bp AS (
       SELECT *,
              regexp_extract(url,
                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0) AS auth,
              lower(regexp_extract(url,
                '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme
-      FROM lp),
+      FROM lp2),
     bp2 AS (
       SELECT *, regexp_extract(substring(url, length(auth) + 1),
                                '^[^?#]*', 0) AS path

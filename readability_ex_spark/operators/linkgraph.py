@@ -57,6 +57,17 @@ _BIG = 2_000_000_000
 # dialect (lazy quantifier + one capture group, no replacements).
 _HREF_DQ_RE = r'(?i)<a\s[^>]*?href\s*=\s*"([^"]*)"'
 _HREF_SQ_RE = r"(?i)<a\s[^>]*?href\s*=\s*'([^']*)'"
+_BASE_DQ_RE = r'(?i)<base\s[^>]*?href\s*=\s*"([^"]*)"'
+
+
+def effective_base(html: Column, url: Column) -> Column:
+    """Resolution base for the page: the document's ``<base href>``
+    when it is an absolute http(s) url, else the page url — the safe
+    subset of the HTML base algorithm (a RELATIVE base href would need
+    nested resolution; the kernel path handles that case exactly via
+    ``api._effective_base_uri``, this bulk path skips it)."""
+    b = F.regexp_extract(html, _BASE_DQ_RE, 1)
+    return F.when(F.lower(b).rlike(r"^https?://"), b).otherwise(url)
 
 
 def href_candidates(html: Column | str) -> Column:
@@ -131,13 +142,14 @@ def extract_outlinks(
     return pages.select(
         *[F.col(c) for c in keep],
         F.col(url_col),
+        effective_base(h, F.col(url_col)).alias("_base"),
         href_candidates(h).alias("hrefs"),
     ).select(
         *keep,
         url_col,
         F.size("hrefs").alias("n_hrefs"),
         F.transform(
-            "hrefs", lambda x: resolve_href(x, F.col(url_col))
+            "hrefs", lambda x: resolve_href(x, F.col("_base"))
         ).alias("outlinks"),
     ).withColumn(
         "n_outlinks",
@@ -281,7 +293,12 @@ def synth_link_html_expr(id_col: str = "doc_id") -> Column:
         return x.cast("string")
 
     return F.concat(
-        F.lit('<html><body><p>doc</p><a href="HTTPS://Other'),
+        F.lit("<html><body><p>doc</p>"),
+        F.when(
+            d % 7 == 5,
+            F.lit('<base href="https://based.example.org/dir/deep/">'),
+        ).otherwise(F.lit("")),
+        F.lit('<a href="HTTPS://Other'),
         s(d % 9),
         F.lit('.Example.net/Lib/x">abs</a>'),
         F.when(
@@ -426,6 +443,7 @@ def extract_anchors(
     exploded = pages.select(
         *[F.col(c) for c in keep],
         F.col(url_col),
+        effective_base(h, F.col(url_col)).alias("_base"),
         F.posexplode(hrefs).alias("pos", "href"),
         texts.alias("_texts"),
     )
@@ -434,7 +452,7 @@ def extract_anchors(
         url_col,
         "href",
         F.element_at("_texts", F.col("pos") + 1).alias("anchor_text"),
-        resolve_href(F.col("href"), F.col(url_col)).alias("outlink"),
+        resolve_href(F.col("href"), F.col("_base")).alias("outlink"),
     )
 
 

@@ -135,8 +135,16 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         row["next_url"] = None
                     try:
                         # before parse(): the link graph wants the FULL
-                        # page's edges, not the cleaned article's
-                        row["outlinks"] = collect_outlinks(doc, url)
+                        # page's edges, not the cleaned article's;
+                        # resolve against the document's effective base
+                        # (<base href> merged with the url, exactly as
+                        # extraction itself resolves)
+                        from readability_ex_spark.kernel.api import (
+                            _effective_base_uri,
+                        )
+
+                        eff_base, _ = _effective_base_uri(doc, url)
+                        row["outlinks"] = collect_outlinks(doc, eff_base)
                     except Exception:  # noqa: BLE001 — edges are advisory
                         row["outlinks"] = None
                     r = parse(raw, doc=doc, base_uri=url, **guards)

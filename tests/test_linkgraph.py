@@ -351,3 +351,36 @@ def test_synth_component_edges_form_four_components(spark):
     comps = host_components(synth_component_edges(docs))
     n = comps.select("component_id").distinct().count()
     assert n == 4
+
+
+def test_base_href_overrides_resolution_base(spark):
+    """An absolute <base href> becomes the resolution base; a relative
+    one is ignored (safe subset — the kernel path handles it exactly)."""
+    html_abs = (
+        '<base href="https://cdn.base.org/a/b/">'
+        '<a href="x.html">x</a><a href="/root">r</a>'
+    )
+    html_rel = '<base href="/only/path/"><a href="x.html">x</a>'
+    df = spark.createDataFrame(
+        [("http://page.io/p/q", html_abs), ("http://page.io/p/q", html_rel)],
+        "url string, html string",
+    )
+    rows = extract_outlinks(df).collect()
+    assert list(rows[0].outlinks) == [
+        "https://cdn.base.org/a/b/x.html",
+        "https://cdn.base.org/root",
+    ]
+    assert list(rows[1].outlinks) == ["http://page.io/p/x.html"]
+
+
+def test_kernel_outlinks_honor_base_href():
+    from readability_ex_spark.kernel import dom
+    from readability_ex_spark.kernel.api import _effective_base_uri
+    from readability_ex_spark.kernel.links import collect_outlinks
+
+    doc = dom.parse_document(
+        '<html><head><base href="https://b.org/dir/"></head>'
+        '<body><a href="x.html">x</a></body></html>'
+    )
+    eff, _ = _effective_base_uri(doc, "http://page.io/p")
+    assert collect_outlinks(doc, eff) == ["https://b.org/dir/x.html"]
