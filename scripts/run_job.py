@@ -94,6 +94,14 @@ def main() -> int:
         "page-level edges are distinct-ed first so --retry-errors "
         "appends can't double-count a link",
     )
+    ap.add_argument(
+        "--anchors", action="store_true",
+        help="also write the per-target anchor-text index to "
+        "<output>/_anchors (how the web describes each target — a "
+        "training-data signal). Needs anchor TEXT, which the kernel "
+        "outlinks column drops, so this re-scans the raw pages with "
+        "the codegen harvest (no second kernel parse)",
+    )
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
 
@@ -116,6 +124,9 @@ def main() -> int:
                  "iceberg; run the chain pass with parquet output")
     if args.host_rank and args.table_format == "iceberg":
         ap.error("--host-rank writes a parquet artifact under --output; "
+                 "run it with parquet output")
+    if args.anchors and args.table_format == "iceberg":
+        ap.error("--anchors writes a parquet artifact under --output; "
                  "run it with parquet output")
 
     spark = SparkSession.builder.appName("readability_extract").getOrCreate()
@@ -194,6 +205,16 @@ def main() -> int:
             assemble_articles(
                 chains, extracted.filter(extracted.status == "ok")
             ).write.mode("append").parquet(f"{args.output}/_assembled")
+
+    if args.anchors:
+        from readability_ex_spark.operators.linkgraph import (
+            anchor_index,
+            extract_anchors,
+        )
+
+        anchor_index(extract_anchors(pages)).write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/_anchors")
 
     if args.host_rank:
         from pyspark.sql import functions as F

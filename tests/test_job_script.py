@@ -1033,6 +1033,7 @@ def test_run_job_host_rank(jobdir, spark):
             "--output", str(jobdir / "out"),
             "--partitions", "4",
             "--host-rank",
+            "--anchors",
             "--run-id", "rank0",
         ],
         capture_output=True, text=True, timeout=420, cwd=str(REPO),
@@ -1043,6 +1044,16 @@ def test_run_job_host_rank(jobdir, spark):
     assert [(r.host, round(r.rank, 9)) for r in ranks] == [
         ("synth.test", 1.0)
     ]
+    # --anchors: the nav anchors of the synthetic template aggregate
+    # per target with their visible text
+    anchors = {
+        (r.target, r.anchor_text): r.n_anchors
+        for r in spark.read.parquet(
+            str(jobdir / "out" / "_anchors")
+        ).collect()
+    }
+    assert anchors[("http://synth.test/", "Home")] > 0
+    assert anchors[("http://synth.test/about", "About")] > 0
 
 
 def test_prepare_corpus_host_rank_floor(spark, tmp_path):
