@@ -35,6 +35,14 @@ no external data — in three stages:
    both per-iteration steps are plain shuffle joins on the same key
    (co-partitioned by AQE) rather than a broadcast of the rank table.
 
+On top of the three stages: **anchor text** (:func:`extract_anchors` /
+:func:`anchor_index` — how the web describes each target, the
+MassiveWeb-style signal) and **host components**
+(:func:`host_components` — site-family/mirror clustering on the
+near_dup_clusters label-propagation machine).  Both resolution paths
+honor an absolute ``<base href>`` (:func:`effective_base`); the kernel
+path additionally resolves relative bases exactly.
+
 No reference counterpart (training-data layer; the reference's URL
 machinery is the per-document absolutizer, ported in
 ``kernel/cleaner.py:933``).  PageRank per Page et al. 1999; host-level

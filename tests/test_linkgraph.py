@@ -384,3 +384,74 @@ def test_kernel_outlinks_honor_base_href():
     )
     eff, _ = _effective_base_uri(doc, "http://page.io/p")
     assert collect_outlinks(doc, eff) == ["https://b.org/dir/x.html"]
+
+
+def _py_resolve(href: str, base: str):
+    """Independent Python reference of resolve_href's documented rules."""
+    import re as _re
+
+    auth_m = _re.match(r"[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", base)
+    auth = auth_m.group(0) if auth_m else ""
+    scheme_m = _re.match(r"([A-Za-z][A-Za-z0-9+.-]*)://", base)
+    scheme = scheme_m.group(1).lower() if scheme_m else ""
+    rest = base[len(auth):]
+    path_m = _re.match(r"[^?#]*", rest)
+    path = path_m.group(0)
+    bd_m = _re.match(r".*/", path)
+    basedir = bd_m.group(0) if bd_m else "/"
+
+    h = _re.match(r"[^#]*", href.strip()).group(0)
+    if h == "":
+        return None
+    if _re.match(r"(?i)https?://", h):
+        return h
+    if _re.match(r"[A-Za-z][A-Za-z0-9+.-]*:", h):
+        return None
+    if auth == "":
+        return None
+    if h.startswith("//"):
+        return scheme + ":" + h
+    if h.startswith("/"):
+        return auth + h
+    if h.startswith("?"):
+        return auth + path + h
+    return auth + basedir + h
+
+
+def test_resolve_href_fuzz_vs_python_reference(spark):
+    """300 random (href, base) pairs: the Spark expression and the
+    Python reference must agree exactly — the cross-engine discipline
+    that caught the REP $-escaping bug."""
+    import random
+
+    rng = random.Random(20260817)
+    schemes = ["http://", "https://", "HTTP://", "ftp://", ""]
+    hosts = ["a.io", "X.Example.COM:8080", "h.test", ""]
+    paths = ["", "/", "/a/b", "/a/b/", "/a/b/c.html", "/a?q=1", "/#f"]
+    href_shapes = [
+        "", "#f", "x.html", "./x", "../x", "/abs", "//pp.io/z",
+        "?q=2", "mailto:a@b", "javascript:void(0)", "https://o.net/p",
+        "HTTPS://O.NET/P#frag", "tel:+1", "a b", "  /sp  ", "x#y#z",
+        "data:text/plain,x", "weird:thing", ":", "a:b/c",
+    ]
+    cases = []
+    for _ in range(300):
+        base = rng.choice(schemes) + rng.choice(hosts) + rng.choice(paths)
+        if not base:
+            base = "urn:doc:1"
+        cases.append((rng.choice(href_shapes), base))
+
+    from readability_ex_spark.operators.linkgraph import resolve_href
+
+    df = spark.createDataFrame(
+        [(i, h, b) for i, (h, b) in enumerate(cases)],
+        "i long, href string, base string",
+    )
+    got = {
+        r.i: r.out
+        for r in df.select(
+            "i", resolve_href(F.col("href"), F.col("base")).alias("out")
+        ).collect()
+    }
+    for i, (h, b) in enumerate(cases):
+        assert got[i] == _py_resolve(h, b), (h, b, got[i], _py_resolve(h, b))
