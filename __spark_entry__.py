@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_clusters": C.q_emb_near_dup_clusters,
         "ann_ivf_cells": S.q_ann_ivf_cells,
         "ann_ivf_topk": S.q_ann_ivf_topk,
+        # new this round: quality-keeper manifest (never driver-checked)
+        "dedup_manifest_quality": C.q_dedup_manifest_quality,
         # -- r5-green, re-checked as window room allows --
         # relational pipeline operators (SURVEY.md §2.B)
         "filter_project": R.q_filter_project,
@@ -1886,6 +1888,63 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(lab.ndc, ex.ec) AS canonical_id,
                    ex.doc_id = coalesce(lab.ndc, ex.ec) AS keep
             FROM ex LEFT JOIN lab ON ex.ec = lab.ec
+            ORDER BY doc_id
+        """,
+        # mirrors clusters.q_dedup_manifest_quality: the SAME two-stage
+        # manifest CTEs as dedup_manifest, then the survivor re-picked
+        # per cluster by argmax quality_score (the q_quality_score
+        # formula, rounded to 6 in both engines), ties -> min doc_id
+        "dedup_manifest_quality": f"""
+            WITH RECURSIVE
+            fp AS (
+              SELECT doc_id,
+                     md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                       AS f
+              FROM documents),
+            grp AS (SELECT f, min(doc_id) AS ec FROM fp GROUP BY f),
+            ex AS (SELECT fp.doc_id, grp.ec FROM fp JOIN grp USING (f)),
+            surv AS (
+              SELECT d.* FROM documents d
+              JOIN ex ON d.doc_id = ex.doc_id AND ex.doc_id = ex.ec),
+            {_near_dup_ctes(sig, toks, src="surv")},
+            nd AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.8),
+            e AS (
+              SELECT doc_a AS src, doc_b AS dst FROM nd
+              UNION
+              SELECT doc_b, doc_a FROM nd),
+            reach(src, dst) AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+            lab AS (
+              SELECT src AS ec, least(src, min(dst)) AS ndc
+              FROM reach GROUP BY src),
+            man AS (
+              SELECT ex.doc_id,
+                     coalesce(lab.ndc, ex.ec) AS canonical_id
+              FROM ex LEFT JOIN lab ON ex.ec = lab.ec),
+            qs AS (
+              SELECT doc_id,
+                     round(least(n_tokens / 400.0, 1.0) * 0.5 +
+                           (CASE WHEN n_tokens > 0
+                                 THEN n_stopwords / CAST(n_tokens AS DOUBLE)
+                                 ELSE 0.0 END) * 0.5, 6) AS quality_score
+              FROM (SELECT doc_id, CAST({ntoks} AS BIGINT) AS n_tokens,
+                           CAST({nstop} AS BIGINT) AS n_stopwords
+                    FROM documents)),
+            j AS (
+              SELECT man.doc_id, man.canonical_id, qs.quality_score
+              FROM man JOIN qs USING (doc_id)),
+            k AS (
+              SELECT canonical_id, doc_id AS kept_id
+              FROM (SELECT canonical_id, doc_id,
+                           row_number() OVER (PARTITION BY canonical_id
+                             ORDER BY quality_score DESC, doc_id ASC) AS rn
+                    FROM j)
+              WHERE rn = 1)
+            SELECT j.doc_id, j.canonical_id, k.kept_id,
+                   j.doc_id = k.kept_id AS keep, j.quality_score
+            FROM j JOIN k USING (canonical_id)
             ORDER BY doc_id
         """,
         # mirrors bpe.q_bpe_tokenize: the TRAINED merge table (learned

@@ -134,6 +134,43 @@ def q_dedup_manifest(spark, sf_dir: str) -> DataFrame:
     return manifest.select("doc_id", "canonical_id", "keep").orderBy("doc_id")
 
 
+def q_dedup_manifest_quality(spark, sf_dir: str) -> DataFrame:
+    """The dedup manifest with the survivor re-picked by quality:
+    clusters come from the SAME two-stage manifest as ``dedup_manifest``
+    (exact md5 collapse, then capped-LSH near-dup components), but each
+    cluster keeps its argmax-quality member (ties -> min doc_id) instead
+    of blindly keeping the min doc_id — the FineWeb-style rule where the
+    cleanest extraction survives, not the lexically-smallest url.
+    (doc_id, canonical_id, kept_id, keep, quality_score)."""
+    from readability_ex_spark.operators.corpus import (
+        dedup_keep_manifest,
+        dedup_quality_keeper,
+    )
+    from readability_ex_spark.operators.textops import (
+        MAX_BAND_BUCKET,
+        _docs,
+        q_quality_score,
+    )
+
+    manifest = dedup_keep_manifest(
+        _docs(spark, sf_dir),
+        id_col="doc_id",
+        canonical_col="canonical_id",
+        max_bucket=MAX_BAND_BUCKET,
+    )
+    scores = q_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    out = dedup_quality_keeper(
+        manifest,
+        scores,
+        id_col="doc_id",
+        canonical_col="canonical_id",
+        score_col="quality_score",
+    )
+    return out.select(
+        "doc_id", "canonical_id", "kept_id", "keep", "quality_score"
+    ).orderBy("doc_id")
+
+
 def q_emb_near_dup_clusters(spark, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (Hamming-1 LSH candidates,
     cosine >= 0.4) resolved into connected components — the same

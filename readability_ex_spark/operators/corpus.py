@@ -468,6 +468,56 @@ def dedup_keep_manifest(
     )
 
 
+def dedup_quality_keeper(
+    manifest: DataFrame,
+    scores: DataFrame,
+    id_col: str = "url",
+    canonical_col: str = "canonical_url",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Re-pick each dedup cluster's survivor by QUALITY instead of min id.
+
+    ``dedup_keep_manifest`` keeps the min id per cluster — deterministic,
+    but at crawl scale the min url of a near-dup cluster is often the
+    worst member (a print/AMP mirror or paginated fragment), while the
+    canonical article carries the cleanest extraction.  FineWeb /
+    RefinedWeb-style builds keep the highest-quality member.  This takes
+    the manifest plus ANY per-id score table and re-selects
+    ``kept_id = argmax(score)`` per cluster, ties broken by min id (so
+    with constant scores it degrades exactly to the manifest's own rule).
+    The cluster KEY stays ``canonical_col`` (min id — stable under
+    incremental growth); only the survivor choice moves.
+
+    Scale: the argmax is ONE hash aggregation — ``min(struct(-score,
+    id))`` — so map-side partial aggregation reduces a 10^6-member
+    boilerplate cluster to one partial row per task; no per-cluster
+    window partition ever materializes.  The keeper table (one row per
+    cluster) joins back on the cluster key, AQE-eligible.  Output adds
+    ``kept_id`` and rewrites ``keep`` = (id == kept_id); all other
+    manifest columns pass through.
+    """
+    joined = manifest.join(
+        scores.select(F.col(id_col), F.col(score_col)), id_col
+    )
+    keepers = (
+        joined.groupBy(canonical_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col(score_col)).alias("neg_score"),
+                    F.col(id_col).alias("kid"),
+                )
+            ).alias("_m")
+        )
+        .select(canonical_col, F.col("_m.kid").alias("kept_id"))
+    )
+    return (
+        joined.drop("keep")
+        .join(keepers, canonical_col)
+        .withColumn("keep", F.col(id_col) == F.col("kept_id"))
+    )
+
+
 def embedding_dedup_drops(
     corpus: DataFrame,
     threshold: float,

@@ -76,6 +76,58 @@ def test_dedup_keep_manifest_chain_and_dropped_bucket(spark):
     assert all(c == "http://s/a" for c, _ in chain.values())
 
 
+def test_dedup_quality_keeper(spark):
+    """Survivor re-picked by argmax quality (ties -> min id); cluster
+    keys unchanged; the argmax is a hash agg, never a window."""
+    from readability_ex_spark.operators.corpus import dedup_quality_keeper
+
+    base = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        # near-dup cluster a-b-c (same construction as the chain test):
+        # the HIGHEST-quality member is c, not the min url a
+        ("http://s/a", base),
+        ("http://s/b", base + " e1 e2 e3 e4"),
+        ("http://s/c", base + " e1 e2 e3 e4 f1 f2 f3 f4"),
+        # singleton: trivially keeps itself
+        ("http://t/solo", "unrelated text entirely different words here"),
+        # exact-dup pair with TIED scores: falls back to min url
+        ("http://u/x", "same text"),
+        ("http://u/y", "same text"),
+    ]
+    extracted = spark.createDataFrame(rows, "url string, text string")
+    scores = spark.createDataFrame(
+        [
+            ("http://s/a", 0.2),
+            ("http://s/b", 0.5),
+            ("http://s/c", 0.9),
+            ("http://t/solo", 0.1),
+            ("http://u/x", 0.4),
+            ("http://u/y", 0.4),
+        ],
+        "url string, quality_score double",
+    )
+    manifest = dedup_keep_manifest(extracted, max_bucket=10)
+    out = dedup_quality_keeper(manifest, scores).cache()
+
+    got = {r.url: (r.canonical_url, r.kept_id, r.keep) for r in out.collect()}
+    assert len(got) == 6  # every input id still covered
+    # cluster key stays min-url; survivor moves to the argmax member
+    assert got["http://s/a"] == ("http://s/a", "http://s/c", False)
+    assert got["http://s/b"] == ("http://s/a", "http://s/c", False)
+    assert got["http://s/c"] == ("http://s/a", "http://s/c", True)
+    assert got["http://t/solo"] == ("http://t/solo", "http://t/solo", True)
+    # tied scores degrade to the manifest's own min-id rule
+    assert got["http://u/x"] == ("http://u/x", "http://u/x", True)
+    assert got["http://u/y"] == ("http://u/x", "http://u/x", False)
+    # exactly one survivor per cluster
+    assert out.filter(F.col("keep")).count() == 3
+
+    # skew-safety: the keeper argmax compiles to hash aggregation —
+    # no Window operator anywhere in the physical plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+
+
 def test_near_dup_pairs_on_extracted(spark):
     pages = synthesize_pages(spark, "/root/testdata/sf0.001").limit(80)
     from readability_ex_spark.pipeline import run_extraction
