@@ -568,6 +568,7 @@ def prepare_training_corpus(
     drop_boilerplate_chunks: bool = False,
     eval_df: DataFrame | None = None,
     near_dup_threshold: float | None = 0.8,
+    quality_keeper: bool = False,
     emb_near_dup_threshold: float | None = None,
     canonical_urls: bool = False,
     blocklist: tuple[str, ...] | None = None,
@@ -589,7 +590,9 @@ def prepare_training_corpus(
     Keeps one url per exact-duplicate group AND one per verified
     near-dup cluster (``dedup_keep_manifest``: A–B, B–C chains keep
     exactly one of {A, B, C}), annotates quality signals, and filters by
-    ``min_quality``. ``quality_rules=True`` additionally applies the
+    ``min_quality``. ``quality_keeper=True`` re-picks each cluster's
+    survivor as its argmax-quality member instead of the min url
+    (``dedup_quality_keeper``, FineWeb-style; ties -> min url). ``quality_rules=True`` additionally applies the
     Gopher/C4 rule set (``with_quality_rules``), keeping only documents
     that pass every rule. Pass ``near_dup_threshold=None`` to collapse
     exact duplicates only. ``emb_near_dup_threshold`` adds an OPTIONAL final
@@ -681,6 +684,18 @@ def prepare_training_corpus(
     else:
         manifest = dedup_keep_manifest(
             extracted, near_dup_threshold=near_dup_threshold
+        )
+    if quality_keeper:
+        # survivor = the cluster's argmax-quality member instead of the
+        # min url (``dedup_quality_keeper``; ties fall back to min url).
+        # Scores are one free codegen map over the cached extraction;
+        # the manifest keeps its 5-column audit schema — only the keep
+        # bit moves, the cluster key (canonical_url) is unchanged.
+        scores = with_quality_signals(extracted).select(
+            "url", "quality_score"
+        )
+        manifest = dedup_quality_keeper(manifest, scores).select(
+            "url", "fingerprint", "n_copies", "canonical_url", "keep"
         )
     keep = manifest.filter(F.col("keep")).select(
         "url", "fingerprint", "n_copies"

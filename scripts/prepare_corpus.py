@@ -222,6 +222,13 @@ def main() -> int:
         help="collapse exact duplicates only (skip the LSH cluster pass)",
     )
     ap.add_argument(
+        "--quality-keeper", action="store_true",
+        help="keep each dedup cluster's argmax-quality member instead "
+        "of the min url (ties fall back to min url; FineWeb-style "
+        "survivor rule). The _manifest audit keeps its schema — only "
+        "the keep bit moves, cluster keys are unchanged",
+    )
+    ap.add_argument(
         "--update", action="store_true",
         help="incremental mode: treat --output as an EXISTING corpus and "
         "append only the new batch's delta (existing urls and exact-text "
@@ -259,6 +266,7 @@ def main() -> int:
 
     from readability_ex_spark.operators.corpus import (
         dedup_keep_manifest,
+        dedup_quality_keeper,
         embedding_dedup_drops,
         exact_dup_manifest,
         with_quality_rules,
@@ -368,6 +376,15 @@ def main() -> int:
         manifest = dedup_keep_manifest(
             extracted, near_dup_threshold=args.near_dup_threshold
         )
+    if args.quality_keeper:
+        # survivor = argmax-quality member per cluster (ties -> min
+        # url); scores are one codegen map over the cached extraction.
+        # The select pins the _manifest sidecar's 5-column schema so
+        # update-mode appends and the heal pass stay compatible.
+        manifest = dedup_quality_keeper(
+            manifest,
+            with_quality_signals(extracted).select("url", "quality_score"),
+        ).select("url", "fingerprint", "n_copies", "canonical_url", "keep")
     manifest = manifest.cache()
 
     keep = manifest.filter(F.col("keep")).select("url", "fingerprint", "n_copies")

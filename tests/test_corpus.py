@@ -76,6 +76,45 @@ def test_dedup_keep_manifest_chain_and_dropped_bucket(spark):
     assert all(c == "http://s/a" for c, _ in chain.values())
 
 
+def test_prepare_training_corpus_quality_keeper(spark):
+    """quality_keeper=True ships the cluster's argmax-quality member;
+    the default composition ships the min url."""
+    import datetime
+
+    from readability_ex_spark.operators.corpus import (
+        prepare_training_corpus,
+    )
+
+    ts = datetime.datetime(2024, 6, 1)
+
+    def page(url, body):
+        html = (
+            f"<html><body><article><p>{body}</p></article></body></html>"
+        ).encode()
+        return (url, ts, html, "", "en")
+
+    # b = a + 8 extra tokens: Jaccard 60/68 = 0.88 >= 0.8 (near-dup
+    # cluster), and b's longer text scores higher on the length signal
+    base = " ".join(f"alpha{i} beta{i}" for i in range(30))
+    extra = " ".join(f"gamma{i}" for i in range(8))
+    pages = spark.createDataFrame(
+        [
+            page("http://q.test/a", base),
+            page("http://q.test/b", base + " " + extra),
+        ],
+        "url string, warc_ts timestamp, html binary, "
+        "text string, lang string",
+    )
+    default = prepare_training_corpus(pages)
+    assert [r.url for r in default.select("url").collect()] == [
+        "http://q.test/a"
+    ]
+    kept = prepare_training_corpus(pages, quality_keeper=True)
+    assert [r.url for r in kept.select("url").collect()] == [
+        "http://q.test/b"
+    ]
+
+
 def test_dedup_quality_keeper(spark):
     """Survivor re-picked by argmax quality (ties -> min id); cluster
     keys unchanged; the argmax is a hash agg, never a window."""

@@ -229,6 +229,64 @@ def test_prepare_corpus_script(jobdir, spark):
     assert card["stages"]["partitions"] == 4
 
 
+def test_prepare_corpus_script_quality_keeper(spark, tmp_path):
+    """--quality-keeper ships each cluster's argmax-quality member while
+    the _manifest audit keeps its 5-column schema and cluster key."""
+    import datetime
+
+    ts = datetime.datetime(2024, 6, 1)
+
+    def page(url, body):
+        html = (
+            f"<html><body><article><p>{body}</p></article></body></html>"
+        ).encode()
+        return (url, ts, html, "", "en")
+
+    base = " ".join(f"alpha{i} beta{i}" for i in range(30))
+    extra = " ".join(f"gamma{i}" for i in range(8))
+    spark.createDataFrame(
+        [
+            # near-dup cluster: b is longer -> higher quality score
+            page("http://qk.test/a", base),
+            page("http://qk.test/b", base + " " + extra),
+            page("http://qk.test/solo", "standalone words " * 20),
+        ],
+        "url string, warc_ts timestamp, html binary, "
+        "text string, lang string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "pages"))
+
+    out = tmp_path / "corpus"
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(tmp_path / "pages"),
+            "--output", str(out),
+            "--quality-keeper",
+            "--partitions", "2",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    urls = {
+        r.url for r in spark.read.parquet(str(out)).select("url").collect()
+    }
+    assert urls == {"http://qk.test/b", "http://qk.test/solo"}
+    manifest = spark.read.parquet(str(out / "_manifest"))
+    assert set(manifest.columns) == {
+        "url", "fingerprint", "n_copies", "canonical_url", "keep"
+    }
+    rows = {r.url: r for r in manifest.collect()}
+    # cluster key stays min-url even though the survivor moved
+    assert rows["http://qk.test/a"].canonical_url == "http://qk.test/a"
+    assert rows["http://qk.test/b"].canonical_url == "http://qk.test/a"
+    assert not rows["http://qk.test/a"].keep
+    assert rows["http://qk.test/b"].keep
+    import json as _json
+
+    card = _json.loads((out / "_datacard" / "datacard.json").read_text())
+    assert card["stages"]["quality_keeper"] is True
+
+
 def test_prepare_corpus_script_robots_txt(jobdir, spark):
     """--robots-txt drops pages an RFC 9309 rule disallows for
     --robots-agent; unlisted hosts / unmatched pages survive."""
