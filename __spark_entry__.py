@@ -101,8 +101,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_clusters": C.q_emb_near_dup_clusters,
         "ann_ivf_cells": S.q_ann_ivf_cells,
         "ann_ivf_topk": S.q_ann_ivf_topk,
-        # new this round: quality-keeper manifest (never driver-checked)
+        # new this round: quality-keeper manifest + per-lang quality
+        # rollup (never driver-checked)
         "dedup_manifest_quality": C.q_dedup_manifest_quality,
+        "lang_quality_quantiles": CO.q_lang_quality_quantiles,
         # -- r5-green, re-checked as window room allows --
         # relational pipeline operators (SURVEY.md §2.B)
         "filter_project": R.q_filter_project,
@@ -1946,6 +1948,27 @@ def oracle_sql() -> dict[str, str]:
                    j.doc_id = k.kept_id AS keep, j.quality_score
             FROM j JOIN k USING (canonical_id)
             ORDER BY doc_id
+        """,
+        # mirrors corpus.q_lang_quality_quantiles: per-language doc
+        # count, mean, and EXACT type-7 percentiles of the 6-rounded
+        # quality score (Spark percentile == DuckDB quantile_cont)
+        "lang_quality_quantiles": f"""
+            WITH qs AS (
+              SELECT doc_id,
+                     substr(lower(coalesce(lang, 'en')), 1, 2) AS lang2,
+                     round(least(n_tokens / 400.0, 1.0) * 0.5 +
+                           (CASE WHEN n_tokens > 0
+                                 THEN n_stopwords / CAST(n_tokens AS DOUBLE)
+                                 ELSE 0.0 END) * 0.5, 6) AS q
+              FROM (SELECT doc_id, lang,
+                           CAST({ntoks} AS BIGINT) AS n_tokens,
+                           CAST({nstop} AS BIGINT) AS n_stopwords
+                    FROM documents))
+            SELECT lang2, CAST(count(*) AS BIGINT) AS docs,
+                   round(avg(q), 6) AS mean_quality,
+                   round(quantile_cont(q, 0.5), 6) AS p50_quality,
+                   round(quantile_cont(q, 0.9), 6) AS p90_quality
+            FROM qs GROUP BY lang2 ORDER BY lang2
         """,
         # mirrors bpe.q_bpe_tokenize: the TRAINED merge table (learned
         # once on the pinned sf0.001 sample, like a persisted tokenizer

@@ -352,6 +352,34 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_lang_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality distribution: doc count, mean, exact p50 and
+    p90 of the composite quality score — the rollup a dataset card (or a
+    per-language quality floor) is cut against.  ``F.percentile`` is the
+    EXACT linear-interpolation percentile (same type-7 interpolation as
+    DuckDB's ``quantile_cont``), so the oracle twins it bit-for-bit on
+    the 6-rounded scores; at 100 TB the approximate sketch
+    (``approx_percentile``) replaces it with one config change — the
+    rollup shape (one hash agg over #langs groups) is identical."""
+    from readability_ex_spark.operators.textops import q_quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scores = q_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    per_doc = docs.select(
+        "doc_id", F.substring(F.lower(F.coalesce("lang", F.lit("en"))), 1, 2).alias("lang2")
+    ).join(scores, "doc_id")
+    return (
+        per_doc.groupBy("lang2")
+        .agg(
+            F.count("*").cast("long").alias("docs"),
+            F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+            F.round(F.percentile("quality_score", F.lit(0.5)), 6).alias("p50_quality"),
+            F.round(F.percentile("quality_score", F.lit(0.9)), 6).alias("p90_quality"),
+        )
+        .orderBy("lang2")
+    )
+
+
 def exact_dup_manifest(
     extracted: DataFrame,
     text_col: str = "text",

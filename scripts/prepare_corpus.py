@@ -931,6 +931,12 @@ def main() -> int:
             F.count("*").alias("docs"),
             F.sum("n_tokens").alias("tokens"),
             F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+            F.round(F.percentile("quality_score", F.lit(0.5)), 6).alias(
+                "p50_quality"
+            ),
+            F.round(F.percentile("quality_score", F.lit(0.9)), 6).alias(
+                "p90_quality"
+            ),
         )
         .orderBy("lang")
         .collect()
@@ -943,6 +949,8 @@ def main() -> int:
                 "docs": r.docs,
                 "tokens": int(r.tokens or 0),
                 "mean_quality": r.mean_quality,
+                "p50_quality": r.p50_quality,
+                "p90_quality": r.p90_quality,
             }
             for r in lang_rows
         },

@@ -226,6 +226,11 @@ def test_prepare_corpus_script(jobdir, spark):
     assert card["docs"] == n_keep
     assert sum(v["docs"] for v in card["languages"].values()) == n_keep
     assert all(v["tokens"] > 0 for v in card["languages"].values())
+    # per-language quality quantiles ride along with the mean
+    assert all(
+        0.0 <= v["p50_quality"] <= v["p90_quality"] <= 1.0
+        for v in card["languages"].values()
+    )
     assert card["stages"]["partitions"] == 4
 
 
