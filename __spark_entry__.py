@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rollup (never driver-checked)
         "dedup_manifest_quality": C.q_dedup_manifest_quality,
         "lang_quality_quantiles": CO.q_lang_quality_quantiles,
+        "page_inlinks": LG.q_page_inlinks,
         # -- r5-green, re-checked as window room allows --
         # relational pipeline operators (SURVEY.md §2.B)
         "filter_project": R.q_filter_project,
@@ -907,6 +908,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(outlinks, x -> x IS NOT NULL))
                         AS INTEGER) AS n_outlinks
             FROM res ORDER BY doc_id
+        """,
+        # mirrors linkgraph.q_page_inlinks: same href/base/resolve CTEs
+        # as extract_outlinks, with the ORIGINAL page url carried as
+        # page_url (the base CTEs REPLACE url with the effective base),
+        # then one in-degree rollup; opaque-id sources count pages but
+        # not hosts (nullif host -> NULL, skipped by count DISTINCT in
+        # both engines)
+        "page_inlinks": f"""
+            WITH {_URLS_CTE.strip()},
+            lp AS (
+              SELECT u.doc_id, u.url, u.url AS page_url,
+                     {_LINK_HTML_SQL.strip()} AS html
+              FROM urls u JOIN documents d USING (doc_id)),
+            {_LINK_BASE_CTES.strip()},
+            hr AS (
+              SELECT *,
+                     list_concat(
+                       regexp_extract_all(html,
+                         '(?i)<a\\s[^>]*?href\\s*=\\s*"([^"]*)"', 1),
+                       regexp_extract_all(html,
+                         '(?i)<a\\s[^>]*?href\\s*=\\s*''([^'']*)''', 1)
+                     ) AS hrefs
+              FROM bp3),
+            res AS (
+              SELECT page_url,
+                     list_transform(
+                       list_transform(hrefs,
+                         x -> regexp_extract(trim(x), '^[^#]*', 0)),
+                       h -> {_resolve_case('h')}) AS outlinks
+              FROM hr),
+            edges AS (
+              SELECT page_url AS src, unnest(outlinks) AS dst FROM res),
+            e2 AS (
+              SELECT src, dst,
+                     nullif(lower(regexp_extract(src, '{_HOST_RE}', 1)),
+                            '') AS src_host
+              FROM edges WHERE dst IS NOT NULL)
+            SELECT dst AS target_url,
+                   CAST(count(*) AS BIGINT) AS n_inlinks,
+                   CAST(count(DISTINCT src) AS BIGINT) AS n_src_pages,
+                   CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+            FROM e2 GROUP BY dst ORDER BY target_url
         """,
         # mirrors linkgraph.extract_anchors: one pattern, two group
         # extractions (index-aligned), tag-strip + ws-collapse with 'g'

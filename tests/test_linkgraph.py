@@ -105,6 +105,35 @@ def test_host_graph_folds_case_and_counts(spark):
     ]
 
 
+def test_page_inlinks_counts(spark):
+    """In-degree rollup: link instances, distinct pages, distinct
+    hosts; an opaque-id source counts as a page but not a host."""
+    from readability_ex_spark.operators.linkgraph import page_inlinks
+
+    t = "https://t.example.org/target"
+    pages = spark.createDataFrame(
+        [
+            # links the target TWICE -> 2 instances, 1 page, 1 host
+            (
+                "http://one.com/p",
+                f'<a href="{t}">x</a><a href="{t}">y</a>',
+            ),
+            ("http://two.com/p", f'<a href="{t}">z</a>'),
+            # opaque src: no authority -> page counted, host not
+            ("urn:doc:9", f'<a href="{t}">w</a>'),
+            # links something else entirely
+            ("http://one.com/q", '<a href="https://other.net/o">o</a>'),
+        ],
+        "url string, html string",
+    )
+    rows = {r.target_url: r for r in page_inlinks(pages).collect()}
+    assert rows[t].n_inlinks == 4
+    assert rows[t].n_src_pages == 3
+    assert rows[t].n_src_hosts == 2  # one.com, two.com (urn excluded)
+    assert rows["https://other.net/o"].n_inlinks == 1
+    assert len(rows) == 2
+
+
 def _numpy_pagerank(edges, k=3, d=0.85):
     """Independent dense reference: damped update with dangling mass."""
     nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
