@@ -167,6 +167,38 @@ def test_dedup_quality_keeper(spark):
     assert "Window" not in plan, plan
 
 
+def test_dedup_quality_keeper_matches_naive(spark):
+    """Seeded multi-family batch: the struct-min argmax agrees with a
+    naive per-cluster (-score, url) min for every member."""
+    import random
+
+    from readability_ex_spark.operators.corpus import dedup_quality_keeper
+
+    rnd = random.Random(7)
+    rows, scores = [], []
+    for fam in range(8):
+        base = " ".join(f"f{fam}tok{i}" for i in range(25))
+        for m in range(rnd.randint(1, 5)):
+            url = f"http://f{fam}.test/{m}"
+            rows.append((url, base))  # exact-dup family
+            scores.append((url, round(rnd.random(), 3)))
+    extracted = spark.createDataFrame(rows, "url string, text string")
+    sdf = spark.createDataFrame(scores, "url string, quality_score double")
+    out = dedup_quality_keeper(
+        dedup_keep_manifest(extracted, max_bucket=10), sdf
+    ).collect()
+    assert len(out) == len(rows)
+    sc = dict(scores)
+    clusters: dict[str, list] = {}
+    for r in out:
+        clusters.setdefault(r.canonical_url, []).append(r)
+    for members in clusters.values():
+        expect = min(members, key=lambda r: (-sc[r.url], r.url)).url
+        for r in members:
+            assert r.kept_id == expect
+            assert r.keep == (r.url == expect)
+
+
 def test_near_dup_pairs_on_extracted(spark):
     pages = synthesize_pages(spark, "/root/testdata/sf0.001").limit(80)
     from readability_ex_spark.pipeline import run_extraction

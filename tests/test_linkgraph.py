@@ -233,6 +233,29 @@ def test_host_graph_plan_single_exchange(spark):
     assert plan.count("Exchange") == 1
 
 
+def test_page_inlinks_plan_shape(spark):
+    """In-degree rollup: Expand + two exchanges (the multi-distinct
+    rewrite's honest price — partial agg on (target, distinct-key),
+    then the final agg on target); no Python eval, no Window."""
+    from readability_ex_spark.operators.linkgraph import page_inlinks
+
+    pages = spark.range(50).select(
+        F.concat(F.lit("http://h"), F.col("id") % 5, F.lit(".com/p/x")).alias(
+            "url"
+        ),
+        F.lit('<a href="/a">a</a>').alias("html"),
+    )
+    plan = page_inlinks(pages)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2
+    for marker in (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "mapInPandas",
+        "Window",
+    ):
+        assert marker not in plan
+
+
 def test_kernel_collect_outlinks():
     """DOM-accurate harvest: WHATWG resolution (dot segments removed,
     unlike the bulk regex path), scheme skip, order-preserving dedup,
