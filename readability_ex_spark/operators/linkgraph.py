@@ -224,17 +224,26 @@ def page_inlinks(
     count pages but not hosts (host -> NULL, excluded by the distinct
     count in both engines).
     """
-    edges = outlink_edges(pages, url_col, html_col)
+    return inlink_rollup(outlink_edges(pages, url_col, html_col))
+
+
+def inlink_rollup(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """The in-degree aggregation over an existing (src, dst) edge list —
+    shared by :func:`page_inlinks` (bulk harvest) and the run_job
+    ``--inlinks`` artifact (kernel-emitted outlinks, read back from the
+    output table so resumed runs roll up the whole corpus)."""
     return (
         edges.select(
-            F.col("dst").alias("target_url"),
-            "src",
-            F.nullif(host_of("src"), F.lit("")).alias("_src_host"),
+            F.col(dst_col).alias("target_url"),
+            F.col(src_col).alias("_src"),
+            F.nullif(host_of(src_col), F.lit("")).alias("_src_host"),
         )
         .groupBy("target_url")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_inlinks"),
-            F.countDistinct("src").cast("long").alias("n_src_pages"),
+            F.countDistinct("_src").cast("long").alias("n_src_pages"),
             F.countDistinct("_src_host").cast("long").alias("n_src_hosts"),
         )
     )

@@ -102,6 +102,16 @@ def main() -> int:
         "outlinks column drops, so this re-scans the raw pages with "
         "the codegen harvest (no second kernel parse)",
     )
+    ap.add_argument(
+        "--inlinks", action="store_true",
+        help="also write the per-target in-degree rollup to "
+        "<output>/_inlinks (link instances, distinct source pages and "
+        "hosts per target url), computed over the kernel-emitted "
+        "outlinks of the FULL output table like --host-rank; edges are "
+        "distinct-ed so --retry-errors appends can't double-count "
+        "(kernel outlinks are per-page deduped already, so n_inlinks "
+        "equals n_src_pages on this artifact)",
+    )
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
 
@@ -127,6 +137,9 @@ def main() -> int:
                  "run it with parquet output")
     if args.anchors and args.table_format == "iceberg":
         ap.error("--anchors writes a parquet artifact under --output; "
+                 "run it with parquet output")
+    if args.inlinks and args.table_format == "iceberg":
+        ap.error("--inlinks writes a parquet artifact under --output; "
                  "run it with parquet output")
 
     spark = SparkSession.builder.appName("readability_extract").getOrCreate()
@@ -238,6 +251,23 @@ def main() -> int:
             host_graph(edges, src_col="url", dst_col="dst"), iterations=5
         )
         ranks.write.mode("overwrite").parquet(f"{args.output}/_hostrank")
+
+    if args.inlinks:
+        from pyspark.sql import functions as F
+
+        from readability_ex_spark.operators.linkgraph import inlink_rollup
+
+        # same read-back discipline as --host-rank: the artifact covers
+        # every committed row, resumed runs included
+        committed = spark.read.parquet(args.output)
+        edges = (
+            committed.filter(F.col("outlinks").isNotNull())
+            .select(F.col("url").alias("src"), F.explode("outlinks").alias("dst"))
+            .distinct()
+        )
+        inlink_rollup(edges).write.mode("overwrite").parquet(
+            f"{args.output}/_inlinks"
+        )
 
     by_status = {
         r["status"]: r["count"]

@@ -1097,6 +1097,7 @@ def test_run_job_host_rank(jobdir, spark):
             "--partitions", "4",
             "--host-rank",
             "--anchors",
+            "--inlinks",
             "--run-id", "rank0",
         ],
         capture_output=True, text=True, timeout=420, cwd=str(REPO),
@@ -1117,6 +1118,20 @@ def test_run_job_host_rank(jobdir, spark):
     }
     assert anchors[("http://synth.test/", "Home")] > 0
     assert anchors[("http://synth.test/about", "About")] > 0
+    # --inlinks: every page carries the nav template, so the nav
+    # targets collect one distinct-source edge per page; the kernel
+    # outlinks column is per-page deduped, so instances == pages here
+    inl = {
+        r.target_url: r
+        for r in spark.read.parquet(
+            str(jobdir / "out" / "_inlinks")
+        ).collect()
+    }
+    n_pages = spark.read.parquet(str(jobdir / "out")).count()
+    home = inl["http://synth.test/"]
+    assert home.n_inlinks == home.n_src_pages > 0
+    assert home.n_src_pages <= n_pages
+    assert home.n_src_hosts == 1  # all sources live on synth.test
 
 
 def test_prepare_corpus_host_rank_floor(spark, tmp_path):
