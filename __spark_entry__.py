@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_manifest_quality": C.q_dedup_manifest_quality,
         "lang_quality_quantiles": CO.q_lang_quality_quantiles,
         "page_inlinks": LG.q_page_inlinks,
+        "crawl_frontier": U.q_crawl_frontier,
         # -- r5-green, re-checked as window room allows --
         # relational pipeline operators (SURVEY.md §2.B)
         "filter_project": R.q_filter_project,
@@ -950,6 +951,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT src) AS BIGINT) AS n_src_pages,
                    CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
             FROM e2 GROUP BY dst ORDER BY target_url
+        """,
+        # mirrors urlops.q_crawl_frontier: resolved outlinks -> distinct
+        # http(s) candidates -> anti-join the known set (synth urls +
+        # an md5-bucket subset of the candidates, identical bytes in
+        # both engines) -> politeness cap 2/host (row_number twin of
+        # the salted two-stage top-k, which is result-identical)
+        "crawl_frontier": f"""
+            WITH {_URLS_CTE.strip()},
+            lp AS (
+              SELECT u.doc_id, u.url, u.url AS page_url,
+                     {_LINK_HTML_SQL.strip()} AS html
+              FROM urls u JOIN documents d USING (doc_id)),
+            {_LINK_BASE_CTES.strip()},
+            hr AS (
+              SELECT *,
+                     list_concat(
+                       regexp_extract_all(html,
+                         '(?i)<a\\s[^>]*?href\\s*=\\s*"([^"]*)"', 1),
+                       regexp_extract_all(html,
+                         '(?i)<a\\s[^>]*?href\\s*=\\s*''([^'']*)''', 1)
+                     ) AS hrefs
+              FROM bp3),
+            res AS (
+              SELECT page_url,
+                     list_transform(
+                       list_transform(hrefs,
+                         x -> regexp_extract(trim(x), '^[^#]*', 0)),
+                       h -> {_resolve_case('h')}) AS outlinks
+              FROM hr),
+            cand AS (
+              SELECT DISTINCT u2 AS url
+              FROM (SELECT unnest(outlinks) AS u2 FROM res)
+              WHERE u2 IS NOT NULL
+                AND regexp_matches(lower(u2), '^https?://')),
+            known AS (
+              SELECT url FROM urls
+              UNION
+              SELECT url FROM cand
+              WHERE substr(md5(url), 1, 1) IN ('0','1','2','3','4')),
+            fr AS (
+              SELECT c.url,
+                     lower(regexp_extract(c.url, '{_HOST_RE}', 1)) AS host
+              FROM cand c
+              WHERE NOT EXISTS (SELECT 1 FROM known k
+                                WHERE k.url = c.url)),
+            ranked AS (
+              SELECT url, host,
+                     CAST(row_number() OVER (PARTITION BY host
+                       ORDER BY url) AS INTEGER) AS rk
+              FROM fr)
+            SELECT url, host, rk FROM ranked
+            WHERE rk <= 2 ORDER BY host, rk
         """,
         # mirrors linkgraph.extract_anchors: one pattern, two group
         # extractions (index-aligned), tag-strip + ws-collapse with 'g'

@@ -126,6 +126,60 @@ def canonical_dedup(
     )
 
 
+def crawl_frontier(
+    discovered: DataFrame,
+    known: DataFrame,
+    url_col: str = "url",
+    max_per_host: int | None = None,
+    canonicalize: bool = True,
+    n_salts: int = 16,
+) -> DataFrame:
+    """The next crawl batch from link discovery: http(s) candidates
+    minus everything already crawled, politeness-capped per host.
+
+    1. optional canonicalization (``canonicalize_url`` — url-spelling
+       variants of an already-crawled page must not re-enter the
+       frontier), http(s) only, then DISTINCT: the same target
+       discovered from 10^6 pages collapses map-side before the one
+       candidate exchange;
+    2. LEFT ANTI against the known-url set — a key-only scan of the
+       crawled table, the same resume shape as ``anti_join_resume``;
+    3. optional ``max_per_host`` politeness budget via the skew-safe
+       two-stage top-k (``relational.top_k_per_key``; url-ascending =
+       deterministic pick), so a newly-discovered 10^7-page host cannot
+       put its whole frontier in one window task.
+
+    Output: (url, host[, rk]).  At 100 TB this is the frontier job a
+    crawler runs per cycle: both inputs scan url columns only, and
+    every stage is exchange-bounded by distinct urls, never raw edges.
+    """
+    u = F.col(url_col)
+    cand_url = canonicalize_url(u) if canonicalize else u
+    cand = (
+        discovered.select(cand_url.alias("url"))
+        .filter(F.lower("url").rlike(r"^https?://"))
+        .distinct()
+    )
+    known_url = (
+        canonicalize_url(F.col(url_col)) if canonicalize else F.col(url_col)
+    )
+    frontier = cand.join(
+        known.select(known_url.alias("url")), "url", "left_anti"
+    ).withColumn("host", host_expr(F.col("url")))
+    if max_per_host is not None:
+        from readability_ex_spark.operators.relational import top_k_per_key
+
+        frontier = top_k_per_key(
+            frontier,
+            ["host"],
+            [F.col("url").asc()],
+            k=max_per_host,
+            salt_expr=F.pmod(F.xxhash64("url"), F.lit(n_salts)),
+            n_salts=n_salts,
+        )
+    return frontier
+
+
 def host_expr(url: Column | str) -> Column:
     """Lowercased hostname of ``url`` (no scheme, port, or path); empty
     string for values without a ``scheme://authority`` prefix.  The
@@ -197,3 +251,33 @@ def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pages = docs.select("doc_id", synth_url_expr().alias("url"))
     return canonical_dedup(pages).orderBy("canonical_url")
+
+
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier over the synthetic link pages: resolved outlinks minus
+    a known set (the synth urls plus a deterministic md5 subset of the
+    candidates, so the anti-join has real work), politeness-capped at
+    2 per host.  canonicalize=False — the canonicalizer has its own
+    checked query; this one verifies the distinct/anti-join/cap
+    composition."""
+    from readability_ex_spark.operators.linkgraph import (
+        outlink_edges,
+        synth_link_html_expr,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        "doc_id",
+        synth_url_expr().alias("url"),
+        synth_link_html_expr().alias("html"),
+    )
+    discovered = outlink_edges(pages).select(F.col("dst").alias("url"))
+    cand_sub = (
+        discovered.filter(F.lower("url").rlike(r"^https?://"))
+        .filter(F.substring(F.md5("url"), 1, 1).isin("0", "1", "2", "3", "4"))
+        .distinct()
+    )
+    known = pages.select("url").unionByName(cand_sub)
+    return crawl_frontier(
+        discovered, known, max_per_host=2, canonicalize=False
+    ).orderBy("host", "rk")

@@ -176,3 +176,36 @@ def test_host_expr(spark):
     got = {r.i: r.h for r in df.select("i", host_expr("url").alias("h")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want
+
+
+def test_crawl_frontier(spark):
+    """Discovered minus known, canonicalized, http(s)-only, capped and
+    deterministically ranked per host."""
+    from readability_ex_spark.operators.urlops import crawl_frontier
+
+    discovered = spark.createDataFrame(
+        [
+            # spelling variant of a KNOWN url -> must not re-enter
+            ("HTTP://Known.com:80/page?utm_source=x",),
+            ("http://fresh.net/a",),
+            ("http://fresh.net/b",),
+            ("http://fresh.net/c",),  # capped out at k=2 (url asc)
+            ("http://fresh.net/a#frag",),  # canonical dup of /a
+            ("https://other.org/x",),
+            ("mailto:a@b.c",),  # non-http dropped
+            (None,),
+        ],
+        "url string",
+    )
+    known = spark.createDataFrame(
+        [("http://known.com/page",)], "url string"
+    )
+    rows = {
+        (r.url, r.host, r.rk)
+        for r in crawl_frontier(discovered, known, max_per_host=2).collect()
+    }
+    assert rows == {
+        ("http://fresh.net/a", "fresh.net", 1),
+        ("http://fresh.net/b", "fresh.net", 2),
+        ("https://other.org/x", "other.org", 1),
+    }
