@@ -112,6 +112,14 @@ def main() -> int:
         "(kernel outlinks are per-page deduped already, so n_inlinks "
         "equals n_src_pages on this artifact)",
     )
+    ap.add_argument(
+        "--frontier", type=int, default=None, metavar="PER_HOST",
+        help="also write the next crawl batch to <output>/_frontier: "
+        "the kernel-emitted outlinks of the FULL output table, "
+        "canonicalized, minus every url the table already covers, "
+        "politeness-capped at PER_HOST urls per host (skew-safe "
+        "two-stage top-k; urlops.crawl_frontier)",
+    )
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
 
@@ -141,6 +149,11 @@ def main() -> int:
     if args.inlinks and args.table_format == "iceberg":
         ap.error("--inlinks writes a parquet artifact under --output; "
                  "run it with parquet output")
+    if args.frontier is not None and args.table_format == "iceberg":
+        ap.error("--frontier writes a parquet artifact under --output; "
+                 "run it with parquet output")
+    if args.frontier is not None and args.frontier < 1:
+        ap.error("--frontier PER_HOST must be >= 1")
 
     spark = SparkSession.builder.appName("readability_extract").getOrCreate()
     run_id = args.run_id or f"run-{int(time.time())}"
@@ -268,6 +281,23 @@ def main() -> int:
         inlink_rollup(edges).write.mode("overwrite").parquet(
             f"{args.output}/_inlinks"
         )
+
+    if args.frontier is not None:
+        from pyspark.sql import functions as F
+
+        from readability_ex_spark.operators.urlops import crawl_frontier
+
+        committed = spark.read.parquet(args.output)
+        discovered = (
+            committed.filter(F.col("outlinks").isNotNull())
+            .select(F.explode("outlinks").alias("url"))
+            .filter(F.col("url").isNotNull())
+        )
+        crawl_frontier(
+            discovered,
+            committed.select("url"),
+            max_per_host=args.frontier,
+        ).write.mode("overwrite").parquet(f"{args.output}/_frontier")
 
     by_status = {
         r["status"]: r["count"]

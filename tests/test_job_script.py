@@ -1098,6 +1098,7 @@ def test_run_job_host_rank(jobdir, spark):
             "--host-rank",
             "--anchors",
             "--inlinks",
+            "--frontier", "5",
             "--run-id", "rank0",
         ],
         capture_output=True, text=True, timeout=420, cwd=str(REPO),
@@ -1132,6 +1133,20 @@ def test_run_job_host_rank(jobdir, spark):
     assert home.n_inlinks == home.n_src_pages > 0
     assert home.n_src_pages <= n_pages
     assert home.n_src_hosts == 1  # all sources live on synth.test
+    # --frontier: linked-but-never-crawled urls only, capped per host
+    from readability_ex_spark.operators.urlops import canonicalize_url
+
+    crawled = {
+        r.c
+        for r in spark.read.parquet(str(jobdir / "out"))
+        .select(canonicalize_url("url").alias("c"))
+        .collect()
+    }
+    frontier = spark.read.parquet(str(jobdir / "out" / "_frontier")).collect()
+    assert frontier  # the nav template links pages beyond the crawl
+    assert all(r.url not in crawled for r in frontier)
+    assert all(1 <= r.rk <= 5 for r in frontier)
+    assert all(r.host == "synth.test" for r in frontier)
 
 
 def test_prepare_corpus_host_rank_floor(spark, tmp_path):
