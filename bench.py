@@ -245,6 +245,13 @@ def main() -> int:
     # pays edge derivation + host agg + 3 PageRank iterations (each one
     # join + one agg + an eager localCheckpoint) + 3 dangling scalars
     run("host_pagerank", lambda: q_host_pagerank(spark, sf_dir).count())
+    from readability_ex_spark.operators.linkgraph import q_page_inlinks
+    from readability_ex_spark.operators.urlops import q_crawl_frontier
+
+    # Expand + two exchanges (the exact multi-distinct price)
+    run("page_inlinks", lambda: q_page_inlinks(spark, sf_dir).count())
+    # distinct + anti-join + salted two-stage per-host cap
+    run("crawl_frontier", lambda: q_crawl_frontier(spark, sf_dir).count())
     run("mixture_sample", lambda: q_mixture_sample(spark, sf_dir).count())
     from readability_ex_spark.operators.corpus import q_repetition_stats
     from readability_ex_spark.operators.decontam import q_decontaminate
@@ -277,6 +284,11 @@ def main() -> int:
 
     run("near_dup_clusters", lambda: C.q_near_dup_clusters(spark, sf_dir).count())
     run("dedup_manifest", lambda: C.q_dedup_manifest(spark, sf_dir).count())
+    # same manifest + one codegen score map + one cluster-keyed hash agg
+    run(
+        "dedup_manifest_quality",
+        lambda: C.q_dedup_manifest_quality(spark, sf_dir).count(),
+    )
 
     # incremental update: a small batch (some paraphrases of existing
     # docs, some fresh) checked against the whole existing corpus for
