@@ -1211,3 +1211,51 @@ def test_prepare_corpus_host_rank_floor(spark, tmp_path):
 
     sc = _json.loads((tmp_path / "corpus" / "_sidecars.json").read_text())
     assert "_hostrank" in sc["artifacts"]
+
+
+def test_corpus_diff_script(spark, tmp_path):
+    """scripts/corpus_diff.py reports added/removed docs, per-language
+    deltas, and the sidecar-manifest diff between two corpus dirs."""
+    rows_v1 = [
+        ("http://a.test/1", "en", 100, 0.5),
+        ("http://a.test/2", "en", 50, 0.4),
+        ("http://b.test/1", "fr", 80, 0.6),
+    ]
+    rows_v2 = rows_v1[:2] + [  # b/1 removed; two added (one new lang)
+        ("http://c.test/1", "en", 70, 0.9),
+        ("http://d.test/1", "de", 30, 0.2),
+    ]
+    schema = "url string, lang string, n_tokens long, quality_score double"
+    old_dir, new_dir = tmp_path / "v1", tmp_path / "v2"
+    spark.createDataFrame(rows_v1, schema).coalesce(1).write.parquet(
+        str(old_dir)
+    )
+    spark.createDataFrame(rows_v2, schema).coalesce(1).write.parquet(
+        str(new_dir)
+    )
+    (old_dir / "_sidecars.json").write_text(
+        '{"version": 1, "artifacts": ["_manifest", "_bands"]}'
+    )
+    (new_dir / "_sidecars.json").write_text(
+        '{"version": 1, "artifacts": ["_manifest", "_datacard"]}'
+    )
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "corpus_diff.py"),
+            "--old", str(old_dir), "--new", str(new_dir),
+        ],
+        capture_output=True, text=True, timeout=300, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    import json
+
+    rep = json.loads(proc.stdout.splitlines()[-1])
+    assert rep["old"]["docs"] == 3 and rep["new"]["docs"] == 4
+    assert rep["added_docs"] == 2 and rep["removed_docs"] == 1
+    assert rep["added_examples"] == ["http://c.test/1", "http://d.test/1"]
+    assert rep["removed_examples"] == ["http://b.test/1"]
+    assert rep["languages"]["fr"]["delta_docs"] == -1
+    assert rep["languages"]["de"]["old"]["docs"] == 0
+    assert rep["languages"]["en"]["delta_tokens"] == 70
+    assert rep["artifacts_added"] == ["_datacard"]
+    assert rep["artifacts_removed"] == ["_bands"]
