@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality_quantiles": CO.q_lang_quality_quantiles,
         "page_inlinks": LG.q_page_inlinks,
         "crawl_frontier": U.q_crawl_frontier,
+        "robots_crawl_delay": RB.q_robots_crawl_delay,
         # -- r5-green, re-checked as window room allows --
         # relational pipeline operators (SURVEY.md §2.B)
         "filter_project": R.q_filter_project,
@@ -776,7 +777,13 @@ def _robots_rx_sql(expr: str) -> str:
 # robots.txt parse pipeline (mirrors operators/robotstxt.parse_robots:
 # line explode with ordinality, comment strip, key/value split, RFC 9309
 # group formation via lag + running sum, agents x rules join)
-_ROBOTS_CTES = f"""
+def _robots_ctes(keys: tuple = ("user-agent", "allow", "disallow")) -> str:
+    """The robots.txt group-formation CTEs over the synthetic bodies,
+    parametrized by the recognized key set: the default mirrors
+    parse_robots (RFC 9309 rules only); ('user-agent', 'crawl-delay')
+    mirrors parse_crawl_delay (the de-facto politeness extension)."""
+    key_list = ", ".join(f"'{k}'" for k in keys)
+    return f"""
     WITH {_URLS_CTE.strip()},
     rhosts AS (
       SELECT DISTINCT (doc_id % 40) AS h FROM documents),
@@ -804,7 +811,7 @@ _ROBOTS_CTES = f"""
       FROM rlines),
     rkvf AS (
       SELECT * FROM rkv
-      WHERE key IN ('user-agent', 'allow', 'disallow')),
+      WHERE key IN ({key_list})),
     rg0 AS (
       SELECT *, (key = 'user-agent') AS is_ua,
              lag(key = 'user-agent') OVER
@@ -828,12 +835,15 @@ _ROBOTS_CTES = f"""
       SELECT a.host, a.group_id, a.agent, r.rule, r.path
       FROM ragents a JOIN rrules r USING (host, group_id))
 """.replace(
-    "{body1}", RB.ROBOTS_BODY_BY_MOD[1]
-).replace(
-    "{body2}", RB.ROBOTS_BODY_BY_MOD[2]
-).replace(
-    "{body3}", RB.ROBOTS_BODY_BY_MOD[3]
-)
+        "{body1}", RB.ROBOTS_BODY_BY_MOD[1]
+    ).replace(
+        "{body2}", RB.ROBOTS_BODY_BY_MOD[2]
+    ).replace(
+        "{body3}", RB.ROBOTS_BODY_BY_MOD[3]
+    )
+
+
+_ROBOTS_CTES = _robots_ctes()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2094,6 +2104,19 @@ def oracle_sql() -> dict[str, str]:
             FROM rkv
             WHERE key = 'sitemap' AND value <> ''
             ORDER BY host, sitemap_url
+        """,
+        # mirrors robotstxt.parse_crawl_delay: group formation with
+        # crawl-delay as the recognized directive, numeric values only,
+        # MIN per (host, agent)
+        "robots_crawl_delay": f"""
+            {_robots_ctes(("user-agent", "crawl-delay"))}
+            SELECT host, agent,
+                   CAST(min(CAST(path AS DOUBLE)) AS DOUBLE) AS crawl_delay
+            FROM parsed
+            WHERE rule = 'crawl-delay'
+              AND regexp_matches(path, '^[0-9]+(\\.[0-9]+)?$')
+            GROUP BY host, agent
+            ORDER BY host, agent
         """,
         # mirrors robotstxt.robots_verdict for ROBOTS_CHECK_AGENT: group
         # selection (exact token else *), REP wildcard escaping (the

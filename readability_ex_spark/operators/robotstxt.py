@@ -135,6 +135,62 @@ def parse_sitemaps(
     )
 
 
+def parse_crawl_delay(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """``(host, agent, crawl_delay)`` from ``Crawl-delay`` lines — the
+    de-facto politeness extension (honored by Bing/Yandex, ignored by
+    Google; not part of RFC 9309, which is why :func:`parse_robots`
+    skips it).  Group formation is the same user-agent-run rule as
+    :func:`parse_robots`, with ``crawl-delay`` as the recognized
+    directive; non-numeric values are dropped, and multiple delays for
+    one (host, agent) keep the MIN (conservative politeness).  Edge
+    case: a Crawl-delay line BETWEEN two User-agent lines splits their
+    run here (it is a recognized directive to this parser) while
+    parse_robots — to which it is an ignorable unknown line per RFC
+    9309 §2.2.2 — keeps them one run; the two parsers only ever
+    disagree on files that interleave the keys that way.
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(body_col), F.lit("")), "\n")
+        ).alias("line_no", "raw"),
+    )
+    stripped = F.trim(F.regexp_extract(F.col("raw"), r"^[^#]*", 0))
+    key = F.lower(F.regexp_extract(stripped, r"^([A-Za-z][A-Za-z-]*)\s*:", 1))
+    value = F.trim(
+        F.regexp_extract(stripped, r"^[A-Za-z][A-Za-z-]*\s*:(.*)$", 1)
+    )
+    kv = lines.select(
+        "host", "line_no", key.alias("key"), value.alias("value")
+    ).filter(F.col("key").isin("user-agent", "crawl-delay"))
+
+    w = Window.partitionBy("host").orderBy("line_no")
+    is_ua = F.col("key") == "user-agent"
+    group_start = is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))
+    grouped = kv.withColumn(
+        "group_id",
+        F.sum(group_start.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).filter(F.col("group_id") > 0)
+
+    agents = grouped.filter(is_ua).select(
+        "host", "group_id", F.lower(F.col("value")).alias("agent")
+    )
+    delays = grouped.filter(
+        ~is_ua & F.col("value").rlike(r"^[0-9]+(\.[0-9]+)?$")
+    ).select("host", "group_id", F.col("value").cast("double").alias("d"))
+    return (
+        agents.join(delays, ["host", "group_id"])
+        .groupBy("host", "agent")
+        .agg(F.min("d").alias("crawl_delay"))
+    )
+
+
 def rules_for_agent(rules: DataFrame, agent: str = "*") -> DataFrame:
     """The rule rows that govern ``agent`` on each host: the host's
     exact-token group(s) when any exist, else its ``*`` group(s).
@@ -453,6 +509,14 @@ def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     commented lines ignored, duplicates collapsed)."""
     return parse_sitemaps(synth_robots_bodies(spark, sf_dir)).orderBy(
         "host", "sitemap_url"
+    )
+
+
+def q_robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(host, agent) Crawl-delay over the synthetic bodies (only
+    the body-2 group declares one: goodbot/friendbot at 10 s)."""
+    return parse_crawl_delay(synth_robots_bodies(spark, sf_dir)).orderBy(
+        "host", "agent"
     )
 
 

@@ -377,3 +377,41 @@ def test_checked_query_tie_break(spark):
     ties = v.filter(F.col("robots_path") == "/Articles/item").collect()
     assert ties
     assert all(r.robots_allowed and r.robots_rule == "allow" for r in ties)
+
+
+def test_parse_crawl_delay(spark):
+    """Numeric-only values, MIN per (host, agent), group scoping; a
+    Crawl-delay BETWEEN two User-agent lines splits their run for this
+    parser (it is a recognized directive here)."""
+    from readability_ex_spark.operators.robotstxt import parse_crawl_delay
+
+    body_a = (
+        "User-agent: BotA\n"
+        "User-agent: BotB\n"
+        "Crawl-delay: 10\n"
+        "Crawl-delay: 2.5\n"   # MIN wins
+        "Crawl-delay: soon\n"  # non-numeric dropped
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"        # no delay in this group
+    )
+    body_b = (
+        "User-agent: BotC\n"
+        "Crawl-delay: 7\n"     # splits the run: BotD starts a new group
+        "User-agent: BotD\n"
+        "Crawl-delay: 3\n"
+    )
+    robots = spark.createDataFrame(
+        [("a.com", body_a), ("b.com", body_b)],
+        "host string, robots_txt string",
+    )
+    rows = {
+        (r.host, r.agent): r.crawl_delay
+        for r in parse_crawl_delay(robots).collect()
+    }
+    assert rows == {
+        ("a.com", "bota"): 2.5,
+        ("a.com", "botb"): 2.5,
+        ("b.com", "botc"): 7.0,
+        ("b.com", "botd"): 3.0,
+    }
