@@ -191,6 +191,20 @@ def parse_crawl_delay(
     )
 
 
+def crawl_delay_for_agent(delays: DataFrame, agent: str = "*") -> DataFrame:
+    """``(host, crawl_delay)`` governing ``agent``: the exact agent
+    token's delay where one is declared, else the host's ``*`` delay —
+    the same group-selection precedence as :func:`rules_for_agent`.
+    ``delays`` is :func:`parse_crawl_delay` output (already MIN-reduced
+    per (host, agent), so each branch is at most one row per host)."""
+    a = agent.lower()
+    exact = delays.filter(F.col("agent") == a)
+    fallback = delays.filter(F.col("agent") == "*").join(
+        exact.select("host"), "host", "left_anti"
+    )
+    return exact.unionByName(fallback).select("host", "crawl_delay")
+
+
 def rules_for_agent(rules: DataFrame, agent: str = "*") -> DataFrame:
     """The rule rows that govern ``agent`` on each host: the host's
     exact-token group(s) when any exist, else its ``*`` group(s).

@@ -120,6 +120,14 @@ def main() -> int:
         "politeness-capped at PER_HOST urls per host (skew-safe "
         "two-stage top-k; urlops.crawl_frontier)",
     )
+    ap.add_argument(
+        "--frontier-agent", default=None, metavar="AGENT",
+        help="with --frontier: annotate each frontier row with the "
+        "host's Crawl-delay governing AGENT (exact agent group else "
+        "*), lifted from the INPUT crawl's own /robots.txt rows "
+        "(robotstxt.robots_from_pages); hosts that declare none get "
+        "NULL",
+    )
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
 
@@ -154,6 +162,8 @@ def main() -> int:
                  "run it with parquet output")
     if args.frontier is not None and args.frontier < 1:
         ap.error("--frontier PER_HOST must be >= 1")
+    if args.frontier_agent is not None and args.frontier is None:
+        ap.error("--frontier-agent requires --frontier")
 
     spark = SparkSession.builder.appName("readability_extract").getOrCreate()
     run_id = args.run_id or f"run-{int(time.time())}"
@@ -293,11 +303,25 @@ def main() -> int:
             .select(F.explode("outlinks").alias("url"))
             .filter(F.col("url").isNotNull())
         )
-        crawl_frontier(
+        frontier = crawl_frontier(
             discovered,
             committed.select("url"),
             max_per_host=args.frontier,
-        ).write.mode("overwrite").parquet(f"{args.output}/_frontier")
+        )
+        if args.frontier_agent:
+            from readability_ex_spark.operators.robotstxt import (
+                crawl_delay_for_agent,
+                parse_crawl_delay,
+                robots_from_pages,
+            )
+
+            delays = crawl_delay_for_agent(
+                parse_crawl_delay(robots_from_pages(pages)),
+                agent=args.frontier_agent,
+            )
+            # tiny per-host table; hosts with no declared delay -> NULL
+            frontier = frontier.join(F.broadcast(delays), "host", "left")
+        frontier.write.mode("overwrite").parquet(f"{args.output}/_frontier")
 
     by_status = {
         r["status"]: r["count"]

@@ -1259,3 +1259,60 @@ def test_corpus_diff_script(spark, tmp_path):
     assert rep["languages"]["en"]["delta_tokens"] == 70
     assert rep["artifacts_added"] == ["_datacard"]
     assert rep["artifacts_removed"] == ["_bands"]
+
+
+def test_run_job_frontier_delays(spark, tmp_path):
+    """--frontier-agent annotates frontier hosts with the Crawl-delay
+    lifted from the crawl's own /robots.txt rows."""
+    import datetime
+
+    ts = datetime.datetime(2024, 6, 1)
+    body = (
+        "<html><body><article>"
+        + "".join(
+            f"<p>steady prose sentence number {i}, with commas, here.</p>"
+            for i in range(12)
+        )
+        + '<a href="/fresh/a">a</a><a href="/fresh/b">b</a>'
+        "</article></body></html>"
+    )
+    rows = [
+        (
+            "http://h.test/robots.txt",
+            ts,
+            b"User-agent: *\nCrawl-delay: 4\n",
+            "",
+            "en",
+        ),
+        ("http://h.test/p1", ts, body.encode(), "", "en"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, "
+        "text string, lang string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "pages"))
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "run_job.py"),
+            "--input", str(tmp_path / "pages"),
+            "--output", str(tmp_path / "out"),
+            "--partitions", "2",
+            "--frontier", "5",
+            "--frontier-agent", "mybot",
+            "--run-id", "fd0",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    frontier = {
+        r.url: r
+        for r in spark.read.parquet(
+            str(tmp_path / "out" / "_frontier")
+        ).collect()
+    }
+    assert set(frontier) == {
+        "http://h.test/fresh/a",
+        "http://h.test/fresh/b",
+    }
+    # mybot has no exact group -> the * group's delay governs
+    assert all(r.crawl_delay == 4.0 for r in frontier.values())
