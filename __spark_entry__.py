@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_inlinks": LG.q_page_inlinks,
         "crawl_frontier": U.q_crawl_frontier,
         "robots_crawl_delay": RB.q_robots_crawl_delay,
+        "sitemap_urls": RB.q_sitemap_urls,
         # -- r5-green, re-checked as window room allows --
         # relational pipeline operators (SURVEY.md §2.B)
         "filter_project": R.q_filter_project,
@@ -2105,6 +2106,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE key = 'sitemap' AND value <> ''
             ORDER BY host, sitemap_url
         """,
+        # mirrors robotstxt.parse_sitemap_urls over the synthetic
+        # per-host sitemap bodies: one regexp_extract_all for <loc>
+        # ([^<]* needs no lazy quantifier), doc-level urlset-vs-index
+        # flag, trim + literal entity replaces (&amp; last), dedup,
+        # empty-loc drop
+        "sitemap_urls": """
+            WITH rhosts AS (
+              SELECT DISTINCT (doc_id % 40) AS h FROM documents),
+            smaps AS (
+              SELECT 'www.site' || CAST(h AS VARCHAR) || '.example.com'
+                       AS host,
+                     CASE WHEN h % 4 = 1 THEN '{s1}'
+                          WHEN h % 4 = 2 THEN '{s2}'
+                          ELSE '{s3}' END AS body
+              FROM rhosts WHERE h % 4 <> 0),
+            ex AS (
+              SELECT host,
+                     lower(body) LIKE '%<sitemapindex%' AS from_index,
+                     unnest(regexp_extract_all(body,
+                       '(?i)<loc[^>]*>([^<]*)</loc>', 1)) AS raw
+              FROM smaps),
+            dec AS (
+              SELECT DISTINCT host,
+                     replace(replace(replace(replace(replace(trim(raw),
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&apos;', ''''), '&amp;', '&') AS loc,
+                     from_index
+              FROM ex)
+            SELECT host, loc, from_index FROM dec
+            WHERE loc <> '' ORDER BY host, loc
+        """.replace(
+            "{s1}", RB.SITEMAP_BODY_BY_MOD[1]
+        ).replace(
+            "{s2}", RB.SITEMAP_BODY_BY_MOD[2]
+        ).replace(
+            "{s3}", RB.SITEMAP_BODY_BY_MOD[3]
+        ),
         # mirrors robotstxt.parse_crawl_delay: group formation with
         # crawl-delay as the recognized directive, numeric values only,
         # MIN per (host, agent)

@@ -191,6 +191,84 @@ def parse_crawl_delay(
     )
 
 
+def sitemaps_from_pages(
+    pages: DataFrame,
+    url_col: str = "url",
+    body_col: str = "html",
+    ts_col: str | None = None,
+) -> DataFrame:
+    """``(host, url, sitemap_xml)`` side table lifted from a crawl's own
+    archived sitemap fetches (conventional paths ``/sitemap*.xml``),
+    latest-per-url like :func:`robots_from_pages`."""
+    body = F.col(body_col).cast("string")
+    order = (
+        F.struct(F.col(ts_col), F.md5(body))
+        if ts_col
+        else F.struct(F.md5(body))
+    )
+    return (
+        pages.filter(url_path_expr(url_col).rlike(r"^/sitemap[^/]*\.xml$"))
+        .select(
+            host_expr(url_col).alias("host"),
+            F.col(url_col).alias("url"),
+            body.alias("_body"),
+            order.alias("_ord"),
+        )
+        .filter(F.col("host") != "")
+        .groupBy("host", "url")
+        .agg(F.max_by("_body", "_ord").alias("sitemap_xml"))
+    )
+
+
+def _xml_unescape(col):
+    """The five predefined XML entities, as literal replaces (portable:
+    no capture-group replacements, identical in Spark and DuckDB).
+    ``&amp;`` goes LAST so ``&amp;lt;`` decodes to the literal ``&lt;``
+    text rather than double-decoding."""
+    out = col
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
+def parse_sitemap_urls(
+    sitemaps: DataFrame,
+    host_col: str = "host",
+    body_col: str = "sitemap_xml",
+) -> DataFrame:
+    """``(host, loc, from_index)`` from sitemap XML bodies —
+    sitemaps.org ``<urlset>`` documents list page urls, ``<sitemapindex>``
+    documents list MORE sitemaps (``from_index`` = true; the caller
+    feeds those back through the fetch loop).  ``<loc>`` values are
+    whitespace-trimmed and XML-entity-decoded; extraction is one
+    ``regexp_extract_all`` (locs cannot contain ``<``, so the pattern
+    needs no lazy quantifier), pure codegen, duplicates collapsed.
+    """
+    body = F.col(body_col)
+    locs = F.regexp_extract_all(body, F.lit(r"(?i)<loc[^>]*>([^<]*)</loc>"), 1)
+    is_index = F.lower(body).contains("<sitemapindex")
+    return (
+        sitemaps.select(
+            F.col(host_col).alias("host"),
+            is_index.alias("from_index"),
+            F.explode(locs).alias("_raw"),
+        )
+        .select(
+            "host",
+            _xml_unescape(F.trim(F.col("_raw"))).alias("loc"),
+            "from_index",
+        )
+        .filter(F.col("loc") != "")
+        .distinct()
+    )
+
+
 def crawl_delay_for_agent(delays: DataFrame, agent: str = "*") -> DataFrame:
     """``(host, crawl_delay)`` governing ``agent``: the exact agent
     token's delay where one is declared, else the host's ``*`` delay —
@@ -489,6 +567,59 @@ ROBOTS_BODY_BY_MOD: dict[int, str] = {
 }
 
 
+# synthetic sitemap bodies: urlset with entity + whitespace + case
+# edges, a sitemapindex (locs are MORE sitemaps), and a dup/empty-loc
+# body; hosts with h % 4 == 0 publish none (same no-publish arm as the
+# robots bodies)
+SITEMAP_BODY_BY_MOD: dict[int, str] = {
+    1: (
+        '<?xml version="1.0"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "<url><loc>https://www.example.com/page-a</loc></url>\n"
+        "<url><loc>https://www.example.com/q?a=1&amp;b=2</loc></url>\n"
+        "<url><loc>\n  https://www.example.com/padded \n</loc></url>\n"
+        "</urlset>\n"
+    ),
+    2: (
+        "<sitemapindex>\n"
+        "<sitemap><loc>https://cdn.example.com/maps/part1.xml</loc>"
+        "</sitemap>\n"
+        "<sitemap><loc>https://cdn.example.com/maps/part2.xml</loc>"
+        "</sitemap>\n"
+        "</sitemapindex>\n"
+    ),
+    3: (
+        "<urlset>\n"
+        "<url><LOC>https://www.example.com/upper</LOC></url>\n"
+        "<url><loc>https://www.example.com/dup</loc></url>\n"
+        "<url><loc>https://www.example.com/dup</loc></url>\n"
+        "<url><loc></loc></url>\n"
+        "</urlset>\n"
+    ),
+}
+
+
+def synth_sitemap_bodies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic sitemap body per synthetic host (hosts with
+    ``h % 4 == 0`` publish none)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hosts = docs.select(
+        (F.col("doc_id") % 40).cast("long").alias("h")
+    ).distinct()
+    h = F.col("h")
+    body = (
+        F.when(h % 4 == 1, F.lit(SITEMAP_BODY_BY_MOD[1]))
+        .when(h % 4 == 2, F.lit(SITEMAP_BODY_BY_MOD[2]))
+        .otherwise(F.lit(SITEMAP_BODY_BY_MOD[3]))
+    )
+    return hosts.filter(h % 4 != 0).select(
+        F.concat(
+            F.lit("www.site"), h.cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        body.alias("sitemap_xml"),
+    )
+
+
 def synth_robots_bodies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One deterministic robots.txt body per synthetic host (hosts with
     ``h % 4 == 0`` publish none — the no-robots default path)."""
@@ -523,6 +654,15 @@ def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     commented lines ignored, duplicates collapsed)."""
     return parse_sitemaps(synth_robots_bodies(spark, sf_dir)).orderBy(
         "host", "sitemap_url"
+    )
+
+
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<loc> extraction over the synthetic sitemap bodies (urlset vs
+    sitemapindex flag, entity decode, trim, case, dup collapse,
+    empty-loc drop)."""
+    return parse_sitemap_urls(synth_sitemap_bodies(spark, sf_dir)).orderBy(
+        "host", "loc"
     )
 
 

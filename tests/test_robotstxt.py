@@ -415,3 +415,45 @@ def test_parse_crawl_delay(spark):
         ("b.com", "botc"): 7.0,
         ("b.com", "botd"): 3.0,
     }
+
+
+def test_sitemaps_from_pages_and_parse(spark):
+    """Lift archived sitemap fetches off crawl rows (latest per url)
+    and extract locs: entity decode, trim, index flag, dup collapse."""
+    import datetime
+
+    from readability_ex_spark.operators.robotstxt import (
+        parse_sitemap_urls,
+        sitemaps_from_pages,
+    )
+
+    t1 = datetime.datetime(2024, 1, 1)
+    t2 = datetime.datetime(2024, 6, 1)
+    old = b"<urlset><url><loc>https://h.test/old</loc></url></urlset>"
+    new = (
+        b"<urlset><url><loc> https://h.test/new?a=1&amp;b=2 </loc></url>"
+        b"<url><loc>https://h.test/new?a=1&amp;b=2</loc></url></urlset>"
+    )
+    idx = (
+        b"<sitemapindex><sitemap><loc>https://h.test/sitemap-sub.xml"
+        b"</loc></sitemap></sitemapindex>"
+    )
+    pages = spark.createDataFrame(
+        [
+            ("https://h.test/sitemap.xml", t1, old, "", "en"),
+            ("https://h.test/sitemap.xml", t2, new, "", "en"),  # wins
+            ("https://h.test/sitemap_index.xml", t2, idx, "", "en"),
+            ("https://h.test/article", t2, b"<html>x</html>", "", "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, "
+        "text string, lang string",
+    )
+    maps = sitemaps_from_pages(pages, ts_col="warc_ts")
+    assert maps.count() == 2  # the article row is not a sitemap
+    rows = {
+        (r.loc, r.from_index) for r in parse_sitemap_urls(maps).collect()
+    }
+    assert rows == {
+        ("https://h.test/new?a=1&b=2", False),  # decoded, trimmed, deduped
+        ("https://h.test/sitemap-sub.xml", True),
+    }
