@@ -115,10 +115,11 @@ def main() -> int:
     ap.add_argument(
         "--frontier", type=int, default=None, metavar="PER_HOST",
         help="also write the next crawl batch to <output>/_frontier: "
-        "the kernel-emitted outlinks of the FULL output table, "
-        "canonicalized, minus every url the table already covers, "
-        "politeness-capped at PER_HOST urls per host (skew-safe "
-        "two-stage top-k; urlops.crawl_frontier)",
+        "the kernel-emitted outlinks of the FULL output table plus "
+        "content <loc>s from the input crawl's own archived sitemap "
+        "fetches, canonicalized, minus every url the table already "
+        "covers, politeness-capped at PER_HOST urls per host "
+        "(skew-safe two-stage top-k; urlops.crawl_frontier)",
     )
     ap.add_argument(
         "--frontier-agent", default=None, metavar="AGENT",
@@ -297,12 +298,26 @@ def main() -> int:
 
         from readability_ex_spark.operators.urlops import crawl_frontier
 
+        from readability_ex_spark.operators.robotstxt import (
+            parse_sitemap_urls,
+            sitemaps_from_pages,
+        )
+
         committed = spark.read.parquet(args.output)
         discovered = (
             committed.filter(F.col("outlinks").isNotNull())
             .select(F.explode("outlinks").alias("url"))
             .filter(F.col("url").isNotNull())
         )
+        # sitemap discovery: content locs join the candidate pool
+        # (index locs are MORE sitemaps, not content — they go back
+        # through the fetch loop, not the frontier)
+        sitemap_locs = (
+            parse_sitemap_urls(sitemaps_from_pages(pages))
+            .filter(~F.col("from_index"))
+            .select(F.col("loc").alias("url"))
+        )
+        discovered = discovered.unionByName(sitemap_locs)
         frontier = crawl_frontier(
             discovered,
             committed.select("url"),

@@ -1276,6 +1276,10 @@ def test_run_job_frontier_delays(spark, tmp_path):
         + '<a href="/fresh/a">a</a><a href="/fresh/b">b</a>'
         "</article></body></html>"
     )
+    sitemap = (
+        b"<urlset><url><loc>http://h.test/from-sitemap</loc></url>"
+        b"<url><loc>http://h.test/p1</loc></url></urlset>"  # p1 crawled
+    )
     rows = [
         (
             "http://h.test/robots.txt",
@@ -1284,6 +1288,7 @@ def test_run_job_frontier_delays(spark, tmp_path):
             "",
             "en",
         ),
+        ("http://h.test/sitemap.xml", ts, sitemap, "", "en"),
         ("http://h.test/p1", ts, body.encode(), "", "en"),
     ]
     spark.createDataFrame(
@@ -1310,9 +1315,12 @@ def test_run_job_frontier_delays(spark, tmp_path):
             str(tmp_path / "out" / "_frontier")
         ).collect()
     }
+    # outlink discovery + sitemap discovery; the sitemap's already-
+    # crawled loc (p1) must not re-enter
     assert set(frontier) == {
         "http://h.test/fresh/a",
         "http://h.test/fresh/b",
+        "http://h.test/from-sitemap",
     }
     # mybot has no exact group -> the * group's delay governs
     assert all(r.crawl_delay == 4.0 for r in frontier.values())
