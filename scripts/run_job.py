@@ -123,11 +123,13 @@ def main() -> int:
     )
     ap.add_argument(
         "--frontier-agent", default=None, metavar="AGENT",
-        help="with --frontier: annotate each frontier row with the "
-        "host's Crawl-delay governing AGENT (exact agent group else "
-        "*), lifted from the INPUT crawl's own /robots.txt rows "
-        "(robotstxt.robots_from_pages); hosts that declare none get "
-        "NULL",
+        help="with --frontier: apply the RFC 9309 rules governing "
+        "AGENT (exact agent group else *) to the frontier — "
+        "disallowed urls never enter the schedule — and annotate each "
+        "surviving row with the host's Crawl-delay; both lifted from "
+        "the INPUT crawl's own /robots.txt rows "
+        "(robotstxt.robots_from_pages); hosts that declare no delay "
+        "get NULL",
     )
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
@@ -327,11 +329,24 @@ def main() -> int:
             from readability_ex_spark.operators.robotstxt import (
                 crawl_delay_for_agent,
                 parse_crawl_delay,
+                parse_robots,
+                robots_filter,
                 robots_from_pages,
             )
 
+            # one robots lift feeds both halves of the policy: RFC 9309
+            # rules drop disallowed urls from the schedule entirely, and
+            # Crawl-delay annotates what survives
+            robots_bodies = robots_from_pages(pages).localCheckpoint(
+                eager=True
+            )
+            frontier = robots_filter(
+                frontier,
+                parse_robots(robots_bodies),
+                agent=args.frontier_agent,
+            )
             delays = crawl_delay_for_agent(
-                parse_crawl_delay(robots_from_pages(pages)),
+                parse_crawl_delay(robots_bodies),
                 agent=args.frontier_agent,
             )
             # tiny per-host table; hosts with no declared delay -> NULL

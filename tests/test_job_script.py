@@ -1284,7 +1284,7 @@ def test_run_job_frontier_delays(spark, tmp_path):
         (
             "http://h.test/robots.txt",
             ts,
-            b"User-agent: *\nCrawl-delay: 4\n",
+            b"User-agent: *\nCrawl-delay: 4\nDisallow: /fresh/b\n",
             "",
             "en",
         ),
@@ -1316,10 +1316,10 @@ def test_run_job_frontier_delays(spark, tmp_path):
         ).collect()
     }
     # outlink discovery + sitemap discovery; the sitemap's already-
-    # crawled loc (p1) must not re-enter
+    # crawled loc (p1) must not re-enter, and the robots-disallowed
+    # /fresh/b never enters the schedule
     assert set(frontier) == {
         "http://h.test/fresh/a",
-        "http://h.test/fresh/b",
         "http://h.test/from-sitemap",
     }
     # mybot has no exact group -> the * group's delay governs
