@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": U.q_crawl_frontier,
         "robots_crawl_delay": RB.q_robots_crawl_delay,
         "sitemap_urls": RB.q_sitemap_urls,
+        "corpus_checksums": T.q_corpus_checksums,
         # -- r5-green, re-checked as window room allows --
         # relational pipeline operators (SURVEY.md §2.B)
         "filter_project": R.q_filter_project,
@@ -2105,6 +2106,19 @@ def oracle_sql() -> dict[str, str]:
             FROM rkv
             WHERE key = 'sitemap' AND value <> ''
             ORDER BY host, sitemap_url
+        """,
+        # mirrors textops.corpus_checksums: 60-bit md5-prefix content
+        # hash (Spark conv == DuckDB CAST('0x…')), BIT_XOR per bucket —
+        # order-independent, so both engines agree regardless of
+        # scheduling
+        "corpus_checksums": """
+            SELECT CAST(doc_id % 16 AS INTEGER) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   bit_xor(CAST(concat('0x',
+                     substr(md5(concat(CAST(doc_id AS VARCHAR), '|',
+                                       text)), 1, 15)) AS BIGINT))
+                     AS content_xor
+            FROM documents GROUP BY 1 ORDER BY bucket
         """,
         # mirrors robotstxt.parse_sitemap_urls over the synthetic
         # per-host sitemap bodies: one regexp_extract_all for <loc>

@@ -769,6 +769,64 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_top_ngrams(docs, n=2, k=50)
 
 
+def content_hash60(id_col, text_col) -> "F.Column":
+    """Order-independent-aggregatable 60-bit content hash: the first 15
+    hex chars of md5(id|text) parsed as a long.  md5 + hex-parse are
+    byte-identical in Spark (``conv``) and DuckDB (``CAST('0x…')``),
+    unlike xxhash64 — the engine-portable ingredient a checksum oracle
+    needs.  60 bits so the parse never overflows a signed 64-bit int."""
+    payload = F.concat(
+        F.col(id_col).cast("string"), F.lit("|"), F.col(text_col)
+    )
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+
+
+def corpus_checksums(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    bucket_expr=None,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Per-bucket integrity rollup: ``(bucket, n_docs, content_xor)``
+    where ``content_xor`` is the BIT_XOR of each row's 60-bit content
+    hash — order-independent (XOR commutes), so the checksum of a
+    shard is stable across task scheduling, and any single changed /
+    dropped / duplicated row flips it.  The verification a corpus
+    consumer runs before training: one map + one hash agg, no text
+    ever leaves the executor.  ``bucket_expr`` defaults to a pmod of
+    the id hash; pass the corpus's own storage-partition column to
+    checksum physical shards."""
+    bucket = (
+        bucket_expr
+        if bucket_expr is not None
+        else F.pmod(F.xxhash64(id_col), F.lit(n_buckets)).cast("int")
+    )
+    return (
+        df.select(
+            bucket.alias("bucket"),
+            content_hash60(id_col, text_col).alias("_h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.bit_xor("_h").alias("content_xor"),
+        )
+    )
+
+
+def q_corpus_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-integrity checksums over the documents table, bucketed by
+    the portable ``doc_id % 16`` so the oracle shares the arithmetic."""
+    docs = _docs(spark, sf_dir)
+    return corpus_checksums(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        bucket_expr=F.pmod(F.col("doc_id"), F.lit(16)).cast("int"),
+    ).orderBy("bucket")
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus rollup: docs, distinct sources, char totals —
     the monitoring-table shape of the extraction job's counters."""

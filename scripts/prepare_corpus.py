@@ -222,6 +222,13 @@ def main() -> int:
         help="collapse exact duplicates only (skip the LSH cluster pass)",
     )
     ap.add_argument(
+        "--checksums", action="store_true",
+        help="also write a _checksums sidecar: per-url_bucket doc count "
+        "+ order-independent 60-bit content XOR over the corpus as "
+        "written (textops.corpus_checksums) — the integrity check a "
+        "consumer verifies before training; rewritten whole every run",
+    )
+    ap.add_argument(
         "--quality-keeper", action="store_true",
         help="keep each dedup cluster's argmax-quality member instead "
         "of the min url (ties fall back to min url; FineWeb-style "
@@ -965,6 +972,25 @@ def main() -> int:
     (card_dir / "datacard.json").write_text(
         json.dumps(card, indent=1, sort_keys=True)
     )
+    if args.checksums:
+        # shard-integrity rollup over the corpus AS WRITTEN (the final
+        # read-back), keyed by the storage partition column so each
+        # row checksums one physical shard; rewritten whole every run
+        # like the datacard — it describes the output as it now stands
+        from readability_ex_spark.operators.textops import (
+            corpus_checksums,
+        )
+
+        write_sidecar(
+            corpus_checksums(
+                final,
+                id_col="url",
+                text_col="text",
+                bucket_expr=F.col("url_bucket"),
+            ).withColumnRenamed("bucket", "url_bucket"),
+            args.output,
+            "_checksums",
+        )
     # versioned sidecar manifest: what this corpus carries, written by
     # which lifecycle version — the check a future layout change needs
     record_sidecars(
@@ -981,6 +1007,7 @@ def main() -> int:
                 "_contamination",
                 "_hostrank",
                 "_datacard",
+                "_checksums",
             )
             if sidecar_exists(args.output, n)
         ],

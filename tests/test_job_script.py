@@ -200,6 +200,7 @@ def test_prepare_corpus_script(jobdir, spark):
             sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
             "--input", str(jobdir / "pages"),
             "--output", str(jobdir / "corpus"),
+            "--checksums",
             "--partitions", "4",
         ],
         capture_output=True, text=True, timeout=420, cwd=str(REPO),
@@ -232,6 +233,28 @@ def test_prepare_corpus_script(jobdir, spark):
         for v in card["languages"].values()
     )
     assert card["stages"]["partitions"] == 4
+    # --checksums: the sidecar matches an independent python
+    # recomputation (60-bit md5-prefix XOR per storage bucket) over
+    # the corpus as written
+    import hashlib
+    from functools import reduce
+
+    side = {
+        r.url_bucket: (r.n_docs, r.content_xor)
+        for r in spark.read.parquet(
+            str(jobdir / "corpus" / "_checksums")
+        ).collect()
+    }
+    expect: dict[int, list[int]] = {}
+    for r in corpus.select("url_bucket", "url", "text").collect():
+        h = int(
+            hashlib.md5(f"{r.url}|{r.text}".encode()).hexdigest()[:15], 16
+        )
+        expect.setdefault(r.url_bucket, []).append(h)
+    assert side == {
+        b: (len(hs), reduce(lambda a, x: a ^ x, hs, 0))
+        for b, hs in expect.items()
+    }
 
 
 def test_prepare_corpus_script_quality_keeper(spark, tmp_path):
