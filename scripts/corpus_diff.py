@@ -90,6 +90,27 @@ def main() -> int:
         }
 
     old_arts, new_arts = _artifacts(args.old), _artifacts(args.new)
+
+    # when BOTH sides carry the _checksums sidecar, name the storage
+    # buckets whose content XOR moved — the "which shards changed"
+    # signal that narrows a promotion review from the whole corpus to
+    # a handful of partitions
+    changed_buckets = None
+    old_ck = Path(args.old) / "_checksums"
+    new_ck = Path(args.new) / "_checksums"
+    if old_ck.exists() and new_ck.exists():
+        o = {
+            r.url_bucket: (r.n_docs, r.content_xor)
+            for r in spark.read.parquet(str(old_ck)).collect()
+        }
+        n = {
+            r.url_bucket: (r.n_docs, r.content_xor)
+            for r in spark.read.parquet(str(new_ck)).collect()
+        }
+        changed_buckets = sorted(
+            b for b in set(o) | set(n) if o.get(b) != n.get(b)
+        )
+
     report = {
         "old": {"path": args.old, "docs": old.count()},
         "new": {"path": args.new, "docs": new.count()},
@@ -104,6 +125,7 @@ def main() -> int:
         "languages": langs,
         "artifacts_added": sorted(set(new_arts) - set(old_arts)),
         "artifacts_removed": sorted(set(old_arts) - set(new_arts)),
+        "changed_buckets": changed_buckets,
     }
     print(json.dumps(report, sort_keys=True))
     return 0

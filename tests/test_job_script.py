@@ -1262,6 +1262,13 @@ def test_corpus_diff_script(spark, tmp_path):
     (new_dir / "_sidecars.json").write_text(
         '{"version": 1, "artifacts": ["_manifest", "_datacard"]}'
     )
+    ck_schema = "url_bucket int, n_docs long, content_xor long"
+    spark.createDataFrame(
+        [(0, 2, 111), (1, 1, 222)], ck_schema
+    ).coalesce(1).write.parquet(str(old_dir / "_checksums"))
+    spark.createDataFrame(
+        [(0, 2, 111), (1, 2, 999), (2, 1, 5)], ck_schema
+    ).coalesce(1).write.parquet(str(new_dir / "_checksums"))
     proc = subprocess.run(
         [
             sys.executable, str(REPO / "scripts" / "corpus_diff.py"),
@@ -1282,6 +1289,8 @@ def test_corpus_diff_script(spark, tmp_path):
     assert rep["languages"]["en"]["delta_tokens"] == 70
     assert rep["artifacts_added"] == ["_datacard"]
     assert rep["artifacts_removed"] == ["_bands"]
+    # bucket 0 identical, bucket 1 moved, bucket 2 new on one side
+    assert rep["changed_buckets"] == [1, 2]
 
 
 def test_run_job_frontier_delays(spark, tmp_path):
