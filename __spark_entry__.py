@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": S.q_ann_ivf_topk,
         # new this round: quality-keeper manifest + per-lang quality
         # rollup (never driver-checked)
+        "semantic_dedup": S.q_semantic_dedup,
         "dedup_manifest_quality": C.q_dedup_manifest_quality,
         "lang_quality_quantiles": CO.q_lang_quality_quantiles,
         "page_inlinks": LG.q_page_inlinks,
@@ -2829,4 +2830,59 @@ def oracle_sql() -> dict[str, str]:
     # Spark paths is additionally asserted in tests/test_similarity.py)
     sqls["ann_ivf_materialized"] = sqls["ann_ivf_topk"]
     sqls["cross_near_dup"] = _cross_near_dup_sql(sig, toks)
+    # SemDeDup: within-cell pairwise cosine over the seeded IVF cells,
+    # transitive closure, keeper = farthest-from-centroid (d from the
+    # same dists CTE the assignment argmin uses, rounded 6 like the
+    # Spark side)
+    sqls["semantic_dedup"] = f"""
+        WITH RECURSIVE {_ivf_ctes()},
+        bnd AS (
+          SELECT vec_id, ed, cell FROM (
+            SELECT *, count(*) OVER (PARTITION BY cell) AS _n
+            FROM assigned)
+          WHERE _n <= {S.SEM_MAX_CELL}),
+        p AS (
+          SELECT ce.vec_id AS vec_a, cq.vec_id AS vec_b,
+                 round(
+                   list_sum(list_transform(list_zip(ce.ed, cq.ed),
+                                           z -> z[1] * z[2])) /
+                   (sqrt(list_sum(list_transform(ce.ed, x -> x * x))) *
+                    sqrt(list_sum(list_transform(cq.ed, x -> x * x)))),
+                   6) AS cosine
+          FROM bnd ce JOIN bnd cq
+            ON ce.cell = cq.cell AND ce.vec_id < cq.vec_id),
+        nd AS (SELECT vec_a, vec_b FROM p
+               WHERE cosine >= {S.SEM_DEDUP_THRESHOLD}),
+        e AS (
+          SELECT vec_a AS src, vec_b AS dst FROM nd
+          UNION
+          SELECT vec_b, vec_a FROM nd),
+        reach(src, dst) AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        comp AS (
+          SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+          FROM reach GROUP BY src),
+        dc AS (
+          SELECT d.vec_id, round(d.d, 6) AS d
+          FROM dists d JOIN assigned a
+            ON d.vec_id = a.vec_id AND d.cid = a.cell),
+        mem AS (
+          SELECT a.vec_id,
+                 COALESCE(c.cluster_id, a.vec_id) AS cluster_id,
+                 dc.d
+          FROM assigned a
+          LEFT JOIN comp c USING (vec_id)
+          JOIN dc USING (vec_id)),
+        keepr AS (
+          SELECT cluster_id, vec_id AS keeper FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY cluster_id ORDER BY d DESC, vec_id) AS rn
+            FROM mem)
+          WHERE rn = 1)
+        SELECT m.vec_id, m.cluster_id, m.vec_id = k.keeper AS keep
+        FROM mem m JOIN keepr k USING (cluster_id)
+        ORDER BY vec_id
+    """
     return sqls

@@ -925,3 +925,132 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, queries, cents, k=3, nprobe=IVF_NPROBE).orderBy(
         "query_id", F.col("cosine").desc(), "vec_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication inside k-means cells
+# ---------------------------------------------------------------------------
+
+SEM_DEDUP_THRESHOLD = 0.4  # binds on the weakly-clustered sf embeddings
+# At 100 TB the cell population is controlled by n_cells (SemDeDup uses
+# n_cells ~ N / target_cell_size, e.g. 110k cells for 100M docs), so the
+# within-cell O(c^2) verify stays bounded by construction; the cap below
+# is the backstop for a degenerate cell (10^6 near-identical embeddings
+# behind one centroid), whose members fall back to the linear exact-dup
+# manifest exactly like over-cap LSH buckets.
+SEM_MAX_CELL = 2000
+
+
+def _centroid_dist(emb_col, cell_col, centroids) -> "F.Column":
+    """Squared L2 distance from each L2-normalized vector to its own
+    cell centroid, accumulated one component at a time in index order —
+    the exact left-to-right sum DuckDB's ``list_sum(list_transform(...))``
+    performs — so a 6-digit rounding of the result agrees across
+    engines (same rationale as _cosine_pairs)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.asarray(centroids, dtype="float64")
+
+    @pandas_udf("double")
+    def _dist(v: pd.Series, cell: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="float64")
+        x = np.stack(v.values).astype("float64", copy=False)
+        n = np.zeros(len(x))
+        for j in range(x.shape[1]):
+            n = n + x[:, j] * x[:, j]
+        u = x / np.sqrt(n)[:, None]
+        c = cents[cell.to_numpy()]
+        d = np.zeros(len(x))
+        for j in range(x.shape[1]):
+            d = d + (u[:, j] - c[:, j]) * (u[:, j] - c[:, j])
+        return pd.Series(d)
+
+    return _dist(F.col(emb_col), F.col(cell_col))
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids,
+    threshold: float = SEM_DEDUP_THRESHOLD,
+    max_cell: int = SEM_MAX_CELL,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + within-cell pairwise cosine.
+
+    1. assign every vector to its nearest centroid cell (``ivf_assign``
+       — one Arrow matmul pass, no shuffle);
+    2. within each cell, exact pairwise cosine >= ``threshold`` marks
+       duplicate pairs — the self-join is an equality join on ``cell``,
+       never a cross join, and cells larger than ``max_cell`` are
+       dropped (their members resolve via the exact-dup path);
+    3. duplicate pairs resolve to connected components (the bounded
+       label-propagation operator dedup shares);
+    4. per component, the member FARTHEST from its cell centroid is
+       kept (the paper keeps the example with lowest similarity to the
+       centroid — the most "informative" of the semantic family), ties
+       to the lowest id. The argmax is one hash aggregation
+       (``min(struct(-d, id))``, map-side partial agg) — never a
+       window, so a 10^6-member cluster cannot land in one task.
+
+    Returns (vec_id, cluster_id, keep) for EVERY input vector;
+    singletons keep themselves. The per-row distance is rounded to 6
+    digits before the argmax so both engines rank identically.
+
+    Scale: one cell-keyed exchange for the pair join + the tiny
+    component/keeper aggregations; candidate volume is sum_c c^2 over
+    cell sizes, which n_cells controls (see SEM_MAX_CELL note).
+    """
+    from readability_ex_spark.operators.clusters import near_dup_clusters
+
+    assigned = ivf_assign(
+        emb.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")),
+        centroids,
+    ).localCheckpoint(eager=False)  # read by counts, both join sides, dist
+    counts = assigned.groupBy("cell").agg(F.count("*").alias("_n"))
+    b = assigned.join(counts, "cell").filter(F.col("_n") <= max_cell).drop("_n")
+    a_side = b.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "cell"
+    )
+    b_side = b.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "cell"
+    )
+    cos = _cosine_pairs(F.col("emb_a"), F.col("emb_b"))
+    pairs = (
+        a_side.join(b_side, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    comp = near_dup_clusters(pairs, "vec_a", "vec_b").select(
+        F.col("id").alias("vec_id"), F.col("cluster_id").alias("_cid")
+    )
+    dist = assigned.withColumn(
+        "d", F.round(_centroid_dist("embedding", "cell", centroids), 6)
+    )
+    members = (
+        dist.join(comp, "vec_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("_cid"), F.col("vec_id")))
+        .select("vec_id", "cluster_id", "d")
+    )
+    keeper = members.groupBy("cluster_id").agg(
+        F.min(F.struct((-F.col("d")).alias("nd"), F.col("vec_id").alias("kid")))
+        .alias("_k")
+    ).select("cluster_id", F.col("_k.kid").alias("_keeper"))
+    return (
+        members.join(keeper, "cluster_id")
+        .select(
+            "vec_id",
+            "cluster_id",
+            (F.col("vec_id") == F.col("_keeper")).alias("keep"),
+        )
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-manifest over the embeddings table (seeded cells)."""
+    emb = _emb(spark, sf_dir)
+    cents = _seed_centroids(emb)
+    return semantic_dedup(emb, cents).orderBy("vec_id")

@@ -303,3 +303,104 @@ def test_embedding_near_dup_bucket_cap(spark):
         embedding_near_dup(emb, threshold=0.9, max_bucket=100).count()
         == 30 * 29 // 2
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (semantic_dedup)
+# ---------------------------------------------------------------------------
+
+
+def _sem_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_semantic_dedup_keeps_farthest_from_centroid(spark):
+    """Two near-identical members of a cell: the one FARTHER from the
+    centroid is kept (the paper's rule); an orthogonal vector in the
+    same cell stays a singleton."""
+    import numpy as np
+
+    from readability_ex_spark.operators.similarity import semantic_dedup
+
+    e0 = np.zeros(64); e0[0] = 1.0
+    e1 = np.zeros(64); e1[1] = 1.0
+    b = 0.95 * e0 + 0.05 * e1  # same cell as a=e0, cosine(a,b) ~ 0.999
+    rows = [(0, e0), (1, b), (2, e1)]
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            _sem_df(spark, rows), [list(e0), list(e1)], threshold=0.9
+        ).collect()
+    }
+    assert out[0].cluster_id == 0 and out[1].cluster_id == 0
+    # vec 0 IS the centroid (d=0); vec 1 is farther -> keeper
+    assert not out[0].keep and out[1].keep
+    assert out[2].cluster_id == 2 and out[2].keep
+
+
+def test_semantic_dedup_cell_cap_drops_pairs(spark):
+    """Members of an over-cap cell produce no pairs (they fall back to
+    the exact-dup path) — every vector keeps itself."""
+    import numpy as np
+
+    from readability_ex_spark.operators.similarity import semantic_dedup
+
+    e0 = np.zeros(64); e0[0] = 1.0
+    rows = [(i, e0 * (1.0 + 0.001 * i)) for i in range(5)]
+    out = semantic_dedup(
+        _sem_df(spark, rows), [list(e0)], threshold=0.5, max_cell=1
+    ).collect()
+    assert len(out) == 5 and all(r.keep for r in out)
+
+
+def test_semantic_dedup_matches_naive(spark):
+    """Fuzz vs a direct numpy re-derivation: cell assign, within-cell
+    pairwise cosine, union-find closure, argmax-distance keeper."""
+    import numpy as np
+
+    from readability_ex_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    n, dim, n_cells, th = 80, 16, 4, 0.8
+    base = rng.normal(size=(n, dim))
+    # plant near-dups: vectors 3i+1 are tiny perturbations of 3i
+    for i in range(0, n - 1, 3):
+        base[i + 1] = base[i] + 0.05 * rng.normal(size=dim)
+    cents = rng.normal(size=(n_cells, dim))
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    u = base / np.linalg.norm(base, axis=1, keepdims=True)
+    cell = (((u[:, None, :] - cents[None]) ** 2).sum(-1)).argmin(1)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if cell[i] == cell[j] and round(float(u[i] @ u[j]), 6) >= th:
+                parent[find(j)] = find(i)
+    comp = {}
+    for i in range(n):
+        comp.setdefault(find(i), []).append(i)
+    d = ((u - cents[cell]) ** 2).sum(1).round(6)
+    expect = {}
+    for members in comp.values():
+        cid = min(members)
+        keeper = min(members, key=lambda i: (-d[i], i))
+        for i in members:
+            expect[i] = (cid, i == keeper)
+
+    out = semantic_dedup(
+        _sem_df(spark, list(enumerate(base))), [list(c) for c in cents],
+        threshold=th,
+    ).collect()
+    assert len(out) == n
+    for r in out:
+        assert (r.cluster_id, r.keep) == expect[r.vec_id], r
