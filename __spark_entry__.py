@@ -27,6 +27,7 @@ from readability_ex_spark.operators import corpus as CO  # noqa: E402
 from readability_ex_spark.operators import decontam as DC  # noqa: E402
 from readability_ex_spark.operators import pii as PII  # noqa: E402
 from readability_ex_spark.operators import relational as R  # noqa: E402
+from readability_ex_spark.operators import retrieval as RT  # noqa: E402
 from readability_ex_spark.operators import sampling as SA  # noqa: E402
 from readability_ex_spark.operators import similarity as S  # noqa: E402
 from readability_ex_spark.operators import spanops as SP  # noqa: E402
@@ -104,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round: quality-keeper manifest + per-lang quality
         # rollup (never driver-checked)
         "semantic_dedup": S.q_semantic_dedup,
+        "bm25_topk": RT.q_bm25_topk,
         "dedup_manifest_quality": C.q_dedup_manifest_quality,
         "lang_quality_quantiles": CO.q_lang_quality_quantiles,
         "page_inlinks": LG.q_page_inlinks,
@@ -2830,6 +2832,39 @@ def oracle_sql() -> dict[str, str]:
     # Spark paths is additionally asserted in tests/test_similarity.py)
     sqls["ann_ivf_materialized"] = sqls["ann_ivf_topk"]
     sqls["cross_near_dup"] = _cross_near_dup_sql(sig, toks)
+    # BM25 (operators/retrieval.py): Lucene idf, corpus-standard
+    # whitespace tokens, score expression written with the same
+    # association order as the Spark side, 6-rounded before the top-k
+    _terms = ", ".join(f"'{t}'" for t in RT.BM25_QUERY)
+    _k1, _b = RT.BM25_K1, RT.BM25_B
+    sqls["bm25_topk"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\\s+') END
+                   AS toks
+          FROM documents),
+        base AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+        stats AS (
+          SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM base),
+        tf AS (
+          SELECT doc_id, dl, term, count(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+          WHERE term IN ({_terms})
+          GROUP BY 1, 2, 3),
+        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        s AS (
+          SELECT tf.doc_id,
+                 ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                 * (tf.tf * {_k1 + 1.0})
+                 / (tf.tf + {_k1} * ({1.0 - _b} + {_b} * tf.dl /
+                      (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))
+                   AS sc
+          FROM tf JOIN dft USING (term) CROSS JOIN stats)
+        SELECT doc_id, count(*) AS n_terms, round(sum(sc), 6) AS score
+        FROM s GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT {RT.BM25_TOPK}
+    """
     # SemDeDup: within-cell pairwise cosine over the seeded IVF cells,
     # transitive closure, keeper = farthest-from-centroid (d from the
     # same dists CTE the assignment argmin uses, rounded 6 like the

@@ -1,0 +1,79 @@
+"""BM25 retrieval: hand-computed scores, corpus-constant semantics,
+and the codegen/broadcast plan shape."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from readability_ex_spark.operators.retrieval import BM25_B, BM25_K1, bm25_topk
+
+
+def _mk(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+
+def _bm25(tf, df, n_docs, dl, avgdl, k1=BM25_K1, b=BM25_B):
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+def test_bm25_matches_hand_computation(spark):
+    docs = _mk(
+        spark,
+        [
+            "spark spark window",  # tf(spark)=2, dl=3
+            "spark join join join",  # tf(spark)=1, dl=4
+            "window window window",  # no match
+            "",  # empty: dl=0, still counts in N and avgdl
+        ],
+    )
+    rows = {r.doc_id: r for r in bm25_topk(docs, ["spark"], k=10).collect()}
+    n_docs, avgdl, df = 4, (3 + 4 + 3 + 0) / 4, 2
+    assert set(rows) == {0, 1}
+    assert rows[0].n_terms == 1
+    assert rows[0].score == pytest.approx(
+        round(_bm25(2, df, n_docs, 3, avgdl), 6), abs=1e-9
+    )
+    assert rows[1].score == pytest.approx(
+        round(_bm25(1, df, n_docs, 4, avgdl), 6), abs=1e-9
+    )
+    # higher tf in a shorter doc must outrank
+    assert rows[0].score > rows[1].score
+
+
+def test_bm25_multi_term_sums_and_ranks(spark):
+    docs = _mk(
+        spark,
+        [
+            "a b c",
+            "a a a b",
+            "c c c c",
+        ],
+    )
+    out = bm25_topk(docs, ["a", "b"], k=2).collect()
+    # doc 1 matches both terms with higher tf -> rank 1
+    assert [r.doc_id for r in out] == [1, 0]
+    assert out[0].n_terms == 2 and out[1].n_terms == 2
+
+
+def test_bm25_rejects_empty_query(spark):
+    with pytest.raises(ValueError):
+        bm25_topk(_mk(spark, ["x"]), [])
+
+
+def test_bm25_plan_is_codegen_with_broadcasts(spark):
+    """No Python evaluation anywhere; the df and stats sides broadcast."""
+    docs = _mk(spark, ["spark window merge"] * 8)
+    plan = (
+        bm25_topk(docs, ["spark", "merge"], k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
