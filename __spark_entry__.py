@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rollup (never driver-checked)
         "semantic_dedup": S.q_semantic_dedup,
         "bm25_topk": RT.q_bm25_topk,
+        "corpus_split": SA.q_corpus_split,
         "dedup_manifest_quality": C.q_dedup_manifest_quality,
         "lang_quality_quantiles": CO.q_lang_quality_quantiles,
         "page_inlinks": LG.q_page_inlinks,
@@ -2832,6 +2833,21 @@ def oracle_sql() -> dict[str, str]:
     # Spark paths is additionally asserted in tests/test_similarity.py)
     sqls["ann_ivf_materialized"] = sqls["ann_ivf_topk"]
     sqls["cross_near_dup"] = _cross_near_dup_sql(sig, toks)
+    # deterministic split bands over the md5('split:' || id) draw —
+    # same hex-prefix machinery as deterministic_sample
+    _tt = SA.sample_hex_threshold(SA.SPLIT_TEST_FRAC)
+    _tv = SA.sample_hex_threshold(SA.SPLIT_TEST_FRAC + SA.SPLIT_VAL_FRAC)
+    sqls["corpus_split"] = f"""
+        SELECT doc_id,
+               CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                1, {SA.SAMPLE_HEX_DIGITS}) < '{_tt}'
+                    THEN 'test'
+                    WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                1, {SA.SAMPLE_HEX_DIGITS}) < '{_tv}'
+                    THEN 'val'
+                    ELSE 'train' END AS split
+        FROM documents ORDER BY doc_id
+    """
     # BM25 (operators/retrieval.py): Lucene idf, corpus-standard
     # whitespace tokens, score expression written with the same
     # association order as the Spark side, 6-rounded before the top-k

@@ -403,3 +403,57 @@ def q_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_pack(
         _docs_with_signals(spark, sf_dir), PACK_BUDGET
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+SPLIT_SALT = "split"
+SPLIT_VAL_FRAC = 0.05
+SPLIT_TEST_FRAC = 0.05
+
+
+def corpus_split(
+    df: DataFrame,
+    val_frac: float = SPLIT_VAL_FRAC,
+    test_frac: float = SPLIT_TEST_FRAC,
+    id_col: str = "doc_id",
+    salt: str = SPLIT_SALT,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic train/val/test split.
+
+    The draw is the md5-hex prefix of ``salt || ':' || id`` — a pure
+    function of the id, so (a) a document's split NEVER changes as the
+    corpus grows or is rebuilt (no eval-set contamination from docs
+    migrating between splits across versions), (b) reruns and other
+    engines reproduce it exactly, and (c) the draw is independent of
+    ``deterministic_sample``'s (different salt domain), so sampling a
+    corpus never biases its split. Bands: ``[0, test)`` test,
+    ``[test, test+val)`` val, rest train.
+
+    At 100 TB this is a codegen'd projection — no shuffle, no RNG
+    state, fused into whatever scan precedes it.
+    """
+    if val_frac < 0 or test_frac < 0 or val_frac + test_frac > 1:
+        raise ValueError("need val_frac, test_frac >= 0 summing to <= 1")
+    draw = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+        1,
+        SAMPLE_HEX_DIGITS,
+    )
+    t_test = sample_hex_threshold(test_frac)
+    t_val = sample_hex_threshold(test_frac + val_frac)
+    return df.withColumn(
+        out_col,
+        F.when(draw < F.lit(t_test), F.lit("test"))
+        .when(draw < F.lit(t_val), F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document split assignment (5% val / 5% test bands)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_split(docs).select("doc_id", "split").orderBy("doc_id")

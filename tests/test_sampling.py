@@ -200,3 +200,45 @@ def test_pack_sequences_plan_single_window_exchange(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_corpus_split_stable_under_growth(spark):
+    """A document's split is a pure function of its id: the assignment
+    over a subset equals the assignment over the grown corpus."""
+    from readability_ex_spark.operators.sampling import corpus_split
+
+    small = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in corpus_split(small).collect()}
+    b = {r.doc_id: r.split for r in corpus_split(big).collect()}
+    assert all(b[k] == v for k, v in a.items())
+    # bands roughly hold on 2000 ids (5% each, generous tolerance)
+    from collections import Counter
+
+    c = Counter(b.values())
+    assert 40 <= c["test"] <= 160 and 40 <= c["val"] <= 160
+    assert c["train"] == 2000 - c["test"] - c["val"]
+
+
+def test_corpus_split_rejects_bad_fracs(spark):
+    import pytest
+
+    from readability_ex_spark.operators.sampling import corpus_split
+
+    df = spark.range(1).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        corpus_split(df, val_frac=0.6, test_frac=0.5)
+    with pytest.raises(ValueError):
+        corpus_split(df, val_frac=-0.1)
+
+
+def test_corpus_split_plan_exchange_free(spark):
+    """The split is a codegen projection — no shuffle, no Python."""
+    from readability_ex_spark.operators.sampling import corpus_split
+
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    plan = (
+        corpus_split(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
