@@ -54,14 +54,53 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship_extract(spark, "/root/testdata/sf0.001")
 
 
+def _rotate_by_driver_history(
+    registry: dict[str, Callable[[SparkSession, str], DataFrame]],
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Order the registry least-recently-driver-checked FIRST.
+
+    The per-round driver check covers only the first 50 entries, so the
+    window must rotate to keep the whole surface under its eye (VERDICT
+    r5 #1). Instead of hand-reordering each round, read the repo's own
+    ``CORRECTNESS_r*.json`` artifacts: an entry's key is (last round it
+    had a driver row, registry position) — never-checked entries lead
+    in registry order, then the stalest, so no query can go unchecked
+    for two rounds while any other was checked twice. Deterministic
+    (pure function of the committed artifacts) and self-maintaining.
+    """
+    import json
+    import re
+
+    last: dict[str, int] = {}
+    try:
+        for p in _REPO.glob("CORRECTNESS_r*.json"):
+            m = re.search(r"r(\d+)", p.name)
+            if not m:
+                continue
+            rnd = int(m.group(1))
+            try:
+                data = json.loads(p.read_text())
+            except (OSError, ValueError):
+                continue
+            if not isinstance(data, dict):
+                continue
+            for name in data:
+                if name in registry:
+                    last[name] = max(last.get(name, -1), rnd)
+    except OSError:
+        return registry
+    pos = {name: i for i, name in enumerate(registry)}
+    ordered = sorted(registry, key=lambda n: (last.get(n, -1), pos[n]))
+    return {name: registry[name] for name in ordered}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered least-recently-driver-checked FIRST: the per-round
-    correctness check covers the first 50 entries, so entries the last
-    round's window missed (and brand-new ones) lead, and the ones the
-    last CORRECTNESS file has green rows for trail.  Rotate on every
-    round that adds entries or leaves >50 total, so no query goes two
-    rounds without a driver row (VERDICT r5 #1)."""
-    return {
+    """Ordered least-recently-driver-checked FIRST (see
+    _rotate_by_driver_history): the per-round correctness check covers
+    the first 50 entries, so entries without a recent driver row lead
+    and last-round-green ones trail. The literal below is the registry
+    (grouping is thematic); the returned dict is the rotated view."""
+    registry = {
         # -- never / least-recently driver-checked (r5 window missed
         #    these; r4-green at best) --
         "extract_outlinks": LG.q_extract_outlinks,
@@ -168,6 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_jaccard": T.q_shingle_jaccard,
         "corpus_stats": T.q_corpus_stats,
     }
+    return _rotate_by_driver_history(registry)
 
 
 def _lsh_ctes(sig, src: str = "documents") -> str:

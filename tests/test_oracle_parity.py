@@ -43,3 +43,26 @@ def test_entry_smoke(spark):
     df = E.entry(spark)
     assert {"url", "status", "text"}.issubset({f.name for f in df.schema.fields})
     assert df.count() > 0
+
+
+def test_window_rotation_orders_stalest_first():
+    """queries() must order never/least-recently-driver-checked entries
+    before recently-checked ones (the 50-entry driver window rotates by
+    construction), deterministically."""
+    import json
+    import re
+
+    names = list(E.queries())
+    assert names == list(E.queries())  # deterministic
+    last = {}
+    repo = Path(E.__file__).resolve().parent
+    for p in repo.glob("CORRECTNESS_r*.json"):
+        rnd = int(re.search(r"r(\d+)", p.name).group(1))
+        for n in json.loads(p.read_text()):
+            last[n] = max(last.get(n, -1), rnd)
+    ranks = [last.get(n, -1) for n in names]
+    assert ranks == sorted(ranks)  # non-decreasing staleness rank
+    # every entry the driver has never checked sits inside the window
+    never = [n for n in names if last.get(n, -1) == -1]
+    if len(never) <= 50:
+        assert all(names.index(n) < 50 for n in never)
