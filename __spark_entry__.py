@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": S.q_semantic_dedup,
         "bm25_topk": RT.q_bm25_topk,
         "corpus_split": SA.q_corpus_split,
+        "recrawl_schedule": U.q_recrawl_schedule,
         "dedup_manifest_quality": C.q_dedup_manifest_quality,
         "lang_quality_quantiles": CO.q_lang_quality_quantiles,
         "page_inlinks": LG.q_page_inlinks,
@@ -2873,6 +2874,38 @@ def oracle_sql() -> dict[str, str]:
     # Spark paths is additionally asserted in tests/test_similarity.py)
     sqls["ann_ivf_materialized"] = sqls["ann_ivf_topk"]
     sqls["cross_near_dup"] = _cross_near_dup_sql(sig, toks)
+    # recrawl scheduler: latest fetch per url, integer day staleness vs
+    # the in-plan max date, ln(1 + host size) weight rounded BEFORE the
+    # per-host rank (both engines rank the identical 6-digit value);
+    # naive-window semantics = the two-stage top_k_per_key result
+    sqls["recrawl_schedule"] = f"""
+        WITH {_URLS_CTE},
+        pages AS (
+          SELECT url,
+                 DATE '2024-01-01'
+                   + CAST(doc_id * 7 % 365 AS INTEGER) AS fetch_date
+          FROM urls),
+        latest AS (
+          SELECT url, max(fetch_date) AS fetch_date FROM pages GROUP BY url),
+        h AS (
+          SELECT url, fetch_date,
+                 lower(regexp_extract(url, '{_HOST_RE}', 1)) AS host
+          FROM latest),
+        b AS (SELECT max(fetch_date) AS as_of FROM h),
+        sz AS (SELECT host, count(*) AS n FROM h GROUP BY host),
+        sc AS (
+          SELECT h.url, h.host,
+                 (b.as_of - h.fetch_date) AS age_days,
+                 round((b.as_of - h.fetch_date) * ln(1.0 + sz.n), 6)
+                   AS priority
+          FROM h CROSS JOIN b JOIN sz USING (host)),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY host ORDER BY priority DESC, url) AS rk
+          FROM sc)
+        SELECT url, host, age_days, priority, rk FROM r
+        WHERE rk <= {U.RECRAWL_PER_HOST} ORDER BY host, rk
+    """
     # deterministic split bands over the md5('split:' || id) draw —
     # same hex-prefix machinery as deterministic_sample
     _tt = SA.sample_hex_threshold(SA.SPLIT_TEST_FRAC)

@@ -180,6 +180,74 @@ def crawl_frontier(
     return frontier
 
 
+RECRAWL_PER_HOST = 2
+
+
+def recrawl_schedule(
+    pages: DataFrame,
+    per_host: int = RECRAWL_PER_HOST,
+    url_col: str = "url",
+    date_col: str = "fetch_date",
+    as_of=None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """The refetch half of the crawl cycle: rank KNOWN pages by
+    staleness and pick a politeness-capped batch per host (the
+    ``crawl_frontier`` twin — frontier schedules urls never fetched,
+    this schedules the ones due for a refresh).
+
+    1. collapse the fetch history to the latest fetch per url (hash
+       agg — map-side combined, never a window);
+    2. ``age_days`` = days between that fetch and ``as_of`` (a date
+       column/literal; default = the corpus's max fetch date, computed
+       as a 1-row agg broadcast into the plan — deterministic, no
+       wall-clock);
+    3. ``priority`` = round(age_days * ln(1 + host_pages), 6) — stale
+       pages on large hosts first, a pluggable stand-in for the
+       change-rate models production schedulers fit (host size is the
+       classic crawl-ordering prior: big hosts churn more); rounded
+       BEFORE ranking so every engine ranks identically;
+    4. top ``per_host`` per host through the skew-safe two-stage
+       ``top_k_per_key`` (priority desc, url asc).
+
+    Output: (url, host, age_days, priority, rk). Scale shape: one
+    url-keyed exchange (latest-fetch agg), two host-keyed exchanges
+    (host sizes + the bounded cap) — all partial-agg'd; no url-side
+    window ever sees a whole host.
+    """
+    from readability_ex_spark.operators.relational import top_k_per_key
+
+    latest = (
+        pages.select(F.col(url_col).alias("url"), F.col(date_col).alias("_d"))
+        .groupBy("url")
+        .agg(F.max("_d").alias("fetch_date"))
+        .withColumn("host", host_expr(F.col("url")))
+    )
+    if as_of is None:
+        bounds = latest.agg(F.max("fetch_date").alias("_as_of"))
+        latest = latest.crossJoin(F.broadcast(bounds))
+    else:
+        latest = latest.withColumn("_as_of", F.lit(as_of).cast("date"))
+    sizes = latest.groupBy("host").agg(F.count("*").alias("_n"))
+    scored = (
+        latest.join(sizes, "host")
+        .withColumn("age_days", F.datediff(F.col("_as_of"), F.col("fetch_date")))
+        .withColumn(
+            "priority",
+            F.round(F.col("age_days") * F.log(F.lit(1.0) + F.col("_n")), 6),
+        )
+        .select("url", "host", "age_days", "priority")
+    )
+    return top_k_per_key(
+        scored,
+        ["host"],
+        [F.col("priority").desc(), F.col("url").asc()],
+        k=per_host,
+        salt_expr=F.pmod(F.xxhash64("url"), F.lit(n_salts)),
+        n_salts=n_salts,
+    )
+
+
 def host_expr(url: Column | str) -> Column:
     """Lowercased hostname of ``url`` (no scheme, port, or path); empty
     string for values without a ``scheme://authority`` prefix.  The
@@ -251,6 +319,21 @@ def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pages = docs.select("doc_id", synth_url_expr().alias("url"))
     return canonical_dedup(pages).orderBy("canonical_url")
+
+
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl batch over the synthetic urls with a deterministic fetch
+    date per doc (day = doc_id * 7 mod 365 past 2024-01-01; as_of =
+    the max of those, derived in-plan)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        synth_url_expr().alias("url"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"),
+            (F.col("doc_id") * 7 % 365).cast("int"),
+        ).alias("fetch_date"),
+    )
+    return recrawl_schedule(pages).orderBy("host", "rk")
 
 
 def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -209,3 +209,91 @@ def test_crawl_frontier(spark):
         ("http://fresh.net/b", "fresh.net", 2),
         ("https://other.org/x", "other.org", 1),
     }
+
+
+def test_recrawl_schedule_latest_fetch_and_cap(spark):
+    """Refetched urls age from their LATEST fetch; per-host cap keeps
+    the stalest pages; priority favors larger hosts at equal age."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from readability_ex_spark.operators.urlops import recrawl_schedule
+
+    d = dt.date
+    rows = [
+        # big.com: 3 pages, one refetched recently
+        ("http://big.com/a", d(2024, 1, 1)),
+        ("http://big.com/a", d(2024, 3, 1)),  # latest fetch wins
+        ("http://big.com/b", d(2024, 1, 10)),
+        ("http://big.com/c", d(2024, 2, 1)),
+        # small.org: 1 page, same age as big.com/b
+        ("http://small.org/x", d(2024, 1, 10)),
+    ]
+    df = spark.createDataFrame(rows, "url string, fetch_date date")
+    out = {r.url: r for r in recrawl_schedule(df, per_host=2).collect()}
+    # big.com/a aged from 2024-03-01 (the max date == as_of -> age 0),
+    # so the cap keeps b and c
+    assert "http://big.com/a" not in out
+    assert out["http://big.com/b"].rk == 1 and out["http://big.com/c"].rk == 2
+    # same age, but big.com has 3 pages vs small.org's 1 -> higher priority
+    assert (
+        out["http://big.com/b"].priority > out["http://small.org/x"].priority
+    )
+    assert out["http://small.org/x"].age_days == 51
+
+
+def test_recrawl_schedule_explicit_as_of(spark):
+    import datetime as dt
+
+    from readability_ex_spark.operators.urlops import recrawl_schedule
+
+    df = spark.createDataFrame(
+        [("http://h.com/p", dt.date(2024, 1, 1))], "url string, fetch_date date"
+    )
+    r = recrawl_schedule(df, as_of="2024-01-31").head()
+    assert r.age_days == 30
+
+
+def test_recrawl_schedule_matches_naive_window(spark):
+    """The two-stage cap returns exactly the naive single-window top-k
+    on skewed synthetic data (one dominant host)."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from readability_ex_spark.operators.urlops import recrawl_schedule
+
+    base = dt.date(2024, 1, 1)
+    rows = [
+        (f"http://dom.com/{i:03d}", base + dt.timedelta(days=i % 50))
+        for i in range(200)
+    ] + [(f"http://h{i}.net/x", base + dt.timedelta(days=i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "url string, fetch_date date")
+    got = {
+        (r.host, r.rk): r.url
+        for r in recrawl_schedule(df, per_host=3).collect()
+    }
+    # naive re-derivation for comparison
+    from readability_ex_spark.operators.urlops import host_expr
+
+    latest = df.groupBy("url").agg(F.max("fetch_date").alias("fd"))
+    latest = latest.withColumn("host", host_expr(F.col("url")))
+    asof = latest.agg(F.max("fd")).head()[0]
+    sizes = latest.groupBy("host").count()
+    scored = (
+        latest.join(sizes, "host")
+        .withColumn("age", F.datediff(F.lit(asof), F.col("fd")))
+        .withColumn(
+            "pri", F.round(F.col("age") * F.log(F.lit(1.0) + F.col("count")), 6)
+        )
+    )
+    w = Window.partitionBy("host").orderBy(F.col("pri").desc(), F.col("url"))
+    naive = {
+        (r.host, r.rk): r.url
+        for r in scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    }
+    assert got == naive
