@@ -131,6 +131,15 @@ def main() -> int:
         "(robotstxt.robots_from_pages); hosts that declare no delay "
         "get NULL",
     )
+    ap.add_argument(
+        "--recrawl", type=int, default=None, metavar="PER_HOST",
+        help="also write the refetch schedule to <output>/_recrawl: "
+        "KNOWN urls from the input crawl ranked by staleness of their "
+        "latest fetch (day granularity of warc_ts) weighted by host "
+        "size, politeness-capped at PER_HOST urls per host — the "
+        "frontier's twin for pages already crawled "
+        "(urlops.recrawl_schedule)",
+    )
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
 
@@ -165,6 +174,11 @@ def main() -> int:
                  "run it with parquet output")
     if args.frontier is not None and args.frontier < 1:
         ap.error("--frontier PER_HOST must be >= 1")
+    if args.recrawl is not None and args.table_format == "iceberg":
+        ap.error("--recrawl writes a parquet artifact under --output; "
+                 "unsupported with --table-format iceberg")
+    if args.recrawl is not None and args.recrawl < 1:
+        ap.error("--recrawl PER_HOST must be >= 1")
     if args.frontier_agent is not None and args.frontier is None:
         ap.error("--frontier-agent requires --frontier")
 
@@ -352,6 +366,20 @@ def main() -> int:
             # tiny per-host table; hosts with no declared delay -> NULL
             frontier = frontier.join(F.broadcast(delays), "host", "left")
         frontier.write.mode("overwrite").parquet(f"{args.output}/_frontier")
+
+    if args.recrawl is not None:
+        from pyspark.sql import functions as F
+
+        from readability_ex_spark.operators.urlops import recrawl_schedule
+
+        # the INPUT crawl holds the fetch history (the output table
+        # drops warc_ts); latest fetch per url at day granularity
+        history = pages.select(
+            "url", F.to_date("warc_ts").alias("fetch_date")
+        )
+        recrawl_schedule(history, per_host=args.recrawl).write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/_recrawl")
 
     by_status = {
         r["status"]: r["count"]

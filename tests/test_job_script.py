@@ -1122,6 +1122,7 @@ def test_run_job_host_rank(jobdir, spark):
             "--anchors",
             "--inlinks",
             "--frontier", "5",
+            "--recrawl", "3",
             "--run-id", "rank0",
         ],
         capture_output=True, text=True, timeout=420, cwd=str(REPO),
@@ -1170,6 +1171,27 @@ def test_run_job_host_rank(jobdir, spark):
     assert all(r.url not in crawled for r in frontier)
     assert all(1 <= r.rk <= 5 for r in frontier)
     assert all(r.host == "synth.test" for r in frontier)
+    # --recrawl: KNOWN urls only (frontier's complement), capped per
+    # host, aged from the LATEST fetch of each url in the input crawl
+    from pyspark.sql import functions as F
+
+    inp = spark.read.parquet(str(jobdir / "pages"))
+    known = {r.url for r in inp.select("url").distinct().collect()}
+    latest = {
+        r.url: r.d
+        for r in inp.groupBy("url")
+        .agg(F.max(F.to_date("warc_ts")).alias("d"))
+        .collect()
+    }
+    as_of = max(latest.values())
+    recrawl = spark.read.parquet(str(jobdir / "out" / "_recrawl")).collect()
+    assert recrawl
+    assert all(r.url in known for r in recrawl)
+    assert all(1 <= r.rk <= 3 for r in recrawl)
+    assert all(
+        r.age_days == (as_of - latest[r.url]).days and r.age_days >= 0
+        for r in recrawl
+    )
 
 
 def test_prepare_corpus_host_rank_floor(spark, tmp_path):
