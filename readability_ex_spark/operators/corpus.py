@@ -584,6 +584,68 @@ def embedding_dedup_drops(
     )
 
 
+def semantic_dedup_drops(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "url",
+    text_col: str = "text",
+    n_cells: int = 16,
+    sample_size: int = 2048,
+) -> DataFrame:
+    """ids to DROP via SemDeDup (Abbas et al. 2023) over the corpus
+    text: text_embedding -> k-means centroids trained driver-side on a
+    bounded md5-ordered sample (deterministic; index training is the
+    one legitimate driver-side step of an ANN build) -> within-cell
+    pairwise cosine -> keep each semantic family's farthest-from-
+    centroid member, drop the rest (``similarity.semantic_dedup``).
+
+    Complements ``embedding_dedup_drops`` (LSH candidates, global
+    recall dial) with the cluster-partitioned shape: candidate volume
+    is bounded by cell sizes, which ``n_cells`` controls — at corpus
+    scale n_cells grows with N so the within-cell quadratic never
+    does."""
+    import numpy as np
+
+    from readability_ex_spark.operators.embedding import text_embedding
+    from readability_ex_spark.operators.similarity import (
+        semantic_dedup,
+        train_ivf,
+    )
+
+    emb = text_embedding(corpus, id_col=id_col, text_col=text_col).filter(
+        F.aggregate(
+            F.transform("embedding", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        > 0
+    ).localCheckpoint(eager=False)  # sample collect + dedup both read it
+    sample = [
+        [float(x) for x in r.embedding]
+        for r in emb.select(F.col(id_col).alias("_id"), "embedding")
+        .orderBy(F.md5(F.col("_id").cast("string")), "_id")
+        .limit(sample_size)
+        .collect()
+    ]
+    if len(sample) < 2:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} string"
+        )
+    cents = train_ivf(
+        np.asarray(sample, dtype="float64"),
+        n_cells=max(1, min(n_cells, len(sample) // 4)),
+        seed=42,
+    )
+    manifest = semantic_dedup(
+        emb.select(F.col(id_col).alias("vec_id"), "embedding"),
+        [list(c) for c in cents],
+        threshold=threshold,
+    )
+    return manifest.filter(~F.col("keep")).select(
+        F.col("vec_id").alias(id_col)
+    )
+
+
 def prepare_training_corpus(
     pages: DataFrame,
     *,
@@ -598,6 +660,7 @@ def prepare_training_corpus(
     near_dup_threshold: float | None = 0.8,
     quality_keeper: bool = False,
     emb_near_dup_threshold: float | None = None,
+    semantic_dedup_threshold: float | None = None,
     canonical_urls: bool = False,
     blocklist: tuple[str, ...] | None = None,
     drop_substring_dups: bool = False,
@@ -627,7 +690,10 @@ def prepare_training_corpus(
     embedding-space dedup stage (``embedding_dedup_drops``) over the
     token-level survivors — ordered last because it is the loosest
     matcher: exact and token-Jaccard dedup shrink the corpus first, so
-    the embedding LSH buckets stay small.
+    the embedding LSH buckets stay small. ``semantic_dedup_threshold``
+    runs the SemDeDup variant instead/additionally
+    (``semantic_dedup_drops``: sample-trained k-means cells, within-cell
+    pairwise cosine, farthest-from-centroid keeper).
 
     ``eval_df`` (a frame with a ``text`` column) drops documents sharing
     any 13-token gram with it (``decontam.decontaminate``) — run on the
@@ -817,6 +883,9 @@ def prepare_training_corpus(
     if emb_near_dup_threshold is not None:
         drops = embedding_dedup_drops(corpus, emb_near_dup_threshold)
         corpus = corpus.join(drops, "url", "left_anti")
+    if semantic_dedup_threshold is not None:
+        sem_drops = semantic_dedup_drops(corpus, semantic_dedup_threshold)
+        corpus = corpus.join(sem_drops, "url", "left_anti")
     if min_quality > 0:
         corpus = corpus.filter(F.col("quality_score") >= min_quality)
     if quality_rules:

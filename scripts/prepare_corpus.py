@@ -216,6 +216,13 @@ def main() -> int:
         "--emb-near-dup", type=float, default=None, metavar="COSINE",
         help="additionally drop embedding-space near-dups at this cosine",
     )
+    ap.add_argument(
+        "--semantic-dedup", type=float, default=None, metavar="COSINE",
+        help="SemDeDup stage: k-means cells over text embeddings "
+        "(centroids trained on a bounded deterministic sample), "
+        "within-cell pairwise cosine at this threshold, keep each "
+        "semantic family's farthest-from-centroid member",
+    )
     ap.add_argument("--near-dup-threshold", type=float, default=0.8)
     ap.add_argument(
         "--no-near-dup", action="store_true",
@@ -558,6 +565,11 @@ def main() -> int:
     if args.emb_near_dup is not None:
         drops = embedding_dedup_drops(corpus, args.emb_near_dup)
         corpus = corpus.join(drops, "url", "left_anti")
+    if args.semantic_dedup is not None:
+        from readability_ex_spark.operators.corpus import semantic_dedup_drops
+
+        sem_drops = semantic_dedup_drops(corpus, args.semantic_dedup)
+        corpus = corpus.join(sem_drops, "url", "left_anti")
     if args.min_quality > 0:
         corpus = corpus.filter(F.col("quality_score") >= args.min_quality)
     lm_vocab_df = None

@@ -108,3 +108,55 @@ def test_prepare_corpus_embedding_stage(spark):
     # may go — but never the bulk of the corpus)
     assert dd_urls < base_urls
     assert len(base_urls) - len(dd_urls) <= 5
+
+
+def test_prepare_corpus_semantic_dedup_stage(spark):
+    """The SemDeDup stage drops one member of a paraphrase pair (same
+    planted setup as the LSH stage test) and keeps the corpus bulk."""
+    from readability_ex_spark.operators.corpus import prepare_training_corpus
+    from readability_ex_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001").limit(40)
+    victim = pages.filter(F.col("url") == "http://synth.test/doc/1")
+    near = victim.withColumn(
+        "url", F.lit("http://synth.test/doc/1-para")
+    ).withColumn(
+        "html",
+        F.regexp_replace(
+            F.col("html").cast("string"),
+            "</article>",
+            "<p>tiny appended paragraph of filler words</p></article>",
+        ).cast("binary"),
+    )
+    both = pages.unionByName(near)
+    base = prepare_training_corpus(both, near_dup_threshold=None)
+    base_urls = {r.url for r in base.select("url").collect()}
+    deduped = prepare_training_corpus(
+        both, near_dup_threshold=None, semantic_dedup_threshold=0.9
+    )
+    dd_urls = {r.url for r in deduped.select("url").collect()}
+    # exactly one of the planted pair survives (the kept one is the
+    # farthest-from-centroid member, whichever that is)
+    assert ("http://synth.test/doc/1" in dd_urls) != (
+        "http://synth.test/doc/1-para" in dd_urls
+    )
+    assert dd_urls < base_urls
+    assert len(base_urls) - len(dd_urls) <= 5
+
+
+def test_semantic_dedup_drops_deterministic(spark):
+    """Two invocations return the same drop set (sample ordering and
+    k-means training are deterministic)."""
+    from readability_ex_spark.operators.corpus import semantic_dedup_drops
+    from readability_ex_spark.sources.pages import synthesize_pages
+    from readability_ex_spark.pipeline import flagship_extract
+
+    corpus = (
+        flagship_extract(spark, "/root/testdata/sf0.001")
+        .filter(F.col("status") == "ok")
+        .select("url", "text")
+        .limit(60)
+    ).localCheckpoint()
+    a = {r.url for r in semantic_dedup_drops(corpus, 0.85).collect()}
+    b = {r.url for r in semantic_dedup_drops(corpus, 0.85).collect()}
+    assert a == b
