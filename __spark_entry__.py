@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": RT.q_bm25_topk,
         "corpus_split": SA.q_corpus_split,
         "recrawl_schedule": U.q_recrawl_schedule,
+        "bigram_logprob": LM.q_bigram_logprob,
         "dedup_manifest_quality": C.q_dedup_manifest_quality,
         "lang_quality_quantiles": CO.q_lang_quality_quantiles,
         "page_inlinks": LG.q_page_inlinks,
@@ -2874,6 +2875,78 @@ def oracle_sql() -> dict[str, str]:
     # Spark paths is additionally asserted in tests/test_similarity.py)
     sqls["ann_ivf_materialized"] = sqls["ann_ivf_topk"]
     sqls["cross_near_dup"] = _cross_near_dup_sql(sig, toks)
+    # interpolated bigram LM (lmquality.bigram_logprob): top-V unigram +
+    # top-B pair tables from integer counts, Jelinek-Mercer mixture with
+    # float-exact lambda, position 1 pure unigram, OOV context ->
+    # (1-lam) * p_uni; same literal association order as the Spark side
+    _lam, _one_m = LM.BIGRAM_LAMBDA, 1.0 - LM.BIGRAM_LAMBDA
+    sqls["bigram_logprob"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN text IS NULL OR trim(text) = ''
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\\s+') END
+                   AS toks
+          FROM documents),
+        tf AS (
+          SELECT token, count(*) AS c
+          FROM (SELECT unnest(toks) AS token FROM t) GROUP BY token),
+        top AS (
+          SELECT token, c FROM tf
+          ORDER BY c DESC, token ASC LIMIT {LM.DEFAULT_VOCAB_SIZE}),
+        tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM tf),
+        bf AS (
+          SELECT pair, count(*) AS c FROM (
+            SELECT unnest(list_transform(
+                     generate_series(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i + 1])) AS pair
+            FROM t WHERE len(toks) >= 2)
+          GROUP BY pair),
+        btop AS (
+          SELECT pair, c FROM bf
+          ORDER BY c DESC, pair ASC LIMIT {LM.DEFAULT_BIGRAM_SIZE}),
+        pos AS (
+          SELECT doc_id, toks[i] AS w,
+                 CASE WHEN i > 1 THEN toks[i - 1] END AS prev
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks))) AS i
+                FROM t)),
+        sc AS (
+          SELECT p.doc_id, p.prev,
+                 u.c AS c_w, pu.c AS c_prev, b.c AS c_pw, tot.total
+          FROM pos p
+          LEFT JOIN top u ON u.token = p.w
+          LEFT JOIN top pu ON pu.token = p.prev
+          LEFT JOIN btop b
+            ON p.prev IS NOT NULL AND b.pair = p.prev || ' ' || p.w
+          CROSS JOIN tot),
+        terms AS (
+          SELECT doc_id,
+                 CASE WHEN prev IS NULL
+                      THEN coalesce(c_w, 1) / total
+                      WHEN c_prev IS NULL
+                      THEN {_one_m} * (coalesce(c_w, 1) / total)
+                      ELSE {_lam} * (coalesce(c_pw, 0) /
+                                     CAST(c_prev AS DOUBLE))
+                           + {_one_m} * (coalesce(c_w, 1) / total) END
+                   AS p,
+                 CASE WHEN c_pw IS NOT NULL THEN 1 ELSE 0 END AS hit
+          FROM sc),
+        per AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 CAST(sum(hit) AS BIGINT) AS n_bigram_hits,
+                 sum(ln(p)) AS s
+          FROM terms GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(p.n_bigram_hits, 0) AS BIGINT)
+                 AS n_bigram_hits,
+               CASE WHEN coalesce(p.n_tokens, 0) > 0
+                    THEN round(p.s / p.n_tokens, {LM.LOGPROB_DECIMALS})
+                    END AS lm2_logprob
+        FROM documents d LEFT JOIN per p USING (doc_id)
+        ORDER BY d.doc_id
+    """
     # recrawl scheduler: latest fetch per url, integer day staleness vs
     # the in-plan max date, ln(1 + host size) weight rounded BEFORE the
     # per-host rank (both engines rank the identical 6-digit value);

@@ -197,6 +197,10 @@ def main() -> int:
     from readability_ex_spark.operators.wordlist import q_wordlist_filter
 
     run("unigram_logprob", lambda: q_unigram_logprob(spark, sf_dir).count())
+    from readability_ex_spark.operators.lmquality import q_bigram_logprob
+
+    # two model aggs + one position explode with 3 broadcast joins
+    run("bigram_logprob", lambda: q_bigram_logprob(spark, sf_dir).count())
     from readability_ex_spark.operators.lmquality import q_lm_buckets
 
     run("lm_buckets", lambda: q_lm_buckets(spark, sf_dir).count())
@@ -253,6 +257,18 @@ def main() -> int:
     # distinct + anti-join + salted two-stage per-host cap
     run("crawl_frontier", lambda: q_crawl_frontier(spark, sf_dir).count())
     run("mixture_sample", lambda: q_mixture_sample(spark, sf_dir).count())
+    from readability_ex_spark.operators.retrieval import q_bm25_topk
+    from readability_ex_spark.operators.urlops import q_recrawl_schedule
+
+    # two pruned scans (stats + filtered postings), broadcast scoring
+    run("bm25_topk", lambda: q_bm25_topk(spark, sf_dir).count())
+    # latest-fetch agg + host sizes + salted two-stage staleness cap
+    run("recrawl_schedule", lambda: q_recrawl_schedule(spark, sf_dir).count())
+    # cell assign (Arrow matmul) + within-cell pair join + components
+    run(
+        "semantic_dedup",
+        lambda: S.q_semantic_dedup(spark, sf_dir).count(),
+    )
     from readability_ex_spark.operators.corpus import q_repetition_stats
     from readability_ex_spark.operators.decontam import q_decontaminate
     from readability_ex_spark.operators.pii import q_pii_scrub

@@ -336,3 +336,164 @@ def q_dsir_weights(spark, sf_dir: str) -> DataFrame:
         target.select("doc_id"), "doc_id", "left_anti"
     ).localCheckpoint(eager=False)
     return dsir_weights(train, target).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM (one order past the unigram model)
+# ---------------------------------------------------------------------------
+
+DEFAULT_BIGRAM_SIZE = 64  # top pairs kept; testdata has ~900 possible
+BIGRAM_LAMBDA = 0.75  # bigram weight; 1-lambda = 0.25 is float-exact
+
+
+def _pair_strings(text_col: str):
+    """Adjacent-token pair strings 'prev w' (tokens are whitespace-free
+    by construction, so the join key is unambiguous)."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bigram_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    bigram_size: int = DEFAULT_BIGRAM_SIZE,
+) -> DataFrame:
+    """Top-``bigram_size`` adjacent-token pairs with corpus counts,
+    keyed by the 'prev w' pair string (ties bytewise) — the persistable
+    second-order half of the LM model, built by the same one
+    token-scale hash aggregation as :func:`unigram_vocab`."""
+    pf = (
+        docs.select(F.explode(_pair_strings(text_col)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("c"))
+    )
+    return pf.orderBy(F.col("c").desc(), F.col("pair").asc()).limit(
+        bigram_size
+    )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = DEFAULT_VOCAB_SIZE,
+    bigram_size: int = DEFAULT_BIGRAM_SIZE,
+    lam: float = BIGRAM_LAMBDA,
+    vocab: DataFrame | None = None,
+    bigrams: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean log-probability under a Jelinek-Mercer
+    interpolated bigram model — one order closer to CCNet's KenLM than
+    the unigram score, from the same corpus-statistics machinery.
+
+    Per position i: ``p = lam * c(prev,w)/c(prev) + (1-lam) * p_uni(w)``
+    with ``p_uni(w) = c(w)/total`` (count-1 OOV floor); position 1
+    scores pure unigram; an OOV ``prev`` has no usable context, so its
+    successor scores ``(1-lam) * p_uni`` (the bigram term is zero by
+    construction, never a lookup miss treated as mass).
+
+    Returns ``(id, n_tokens, n_bigram_hits, lm2_logprob)`` with the
+    score rounded to :data:`LOGPROB_DECIMALS`, NULL for empty docs.
+    Pass persisted :func:`unigram_vocab` / :func:`bigram_vocab` frames
+    to skip the model builds (the incremental path).
+
+    Scale shape: model build = two token-scale hash aggs (amortizable
+    artifacts); scoring = ONE corpus pass exploding positions, three
+    broadcast joins against bounded tables (vocab twice — word and
+    context — plus pairs), one doc-keyed agg. The corpus is never
+    shuffled on token or pair.
+    """
+    if vocab is None:
+        vocab = unigram_vocab(docs, text_col, vocab_size)
+    vocab = vocab.localCheckpoint(eager=False)
+    if bigrams is None:
+        bigrams = bigram_vocab(docs, text_col, bigram_size)
+    total_df = vocab.filter(F.col("token").isNull()).select(
+        F.col("c").cast("double").alias("_total")
+    )
+    uni_w = vocab.filter(F.col("token").isNotNull()).select(
+        F.col("token").alias("w"), F.col("c").alias("_c_w")
+    )
+    uni_prev = vocab.filter(F.col("token").isNotNull()).select(
+        F.col("token").alias("prev"), F.col("c").alias("_c_prev")
+    )
+    pair_c = bigrams.select("pair", F.col("c").alias("_c_pw"))
+
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    positions = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w"),
+                F.when(i > 1, F.element_at(toks, i - 1)).alias("prev"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w:string,prev:string>>"))
+    # explode_outer keeps empty docs in the single pass (tree-plan rule:
+    # a restore-join would re-derive the whole upstream)
+    rows = docs.select(
+        F.col(id_col), F.explode_outer(positions).alias("_p")
+    ).select(
+        id_col,
+        F.col("_p.w").alias("w"),
+        F.col("_p.prev").alias("prev"),
+        F.concat_ws(" ", F.col("_p.prev"), F.col("_p.w")).alias("_pair_key"),
+    )
+    # NB concat_ws skips NULLs — guard the pair join on prev IS NOT NULL
+    scored = (
+        rows.join(F.broadcast(uni_w), "w", "left")
+        .join(F.broadcast(uni_prev), "prev", "left")
+        .join(
+            F.broadcast(pair_c),
+            (F.col("_pair_key") == F.col("pair"))
+            & F.col("prev").isNotNull(),
+            "left",
+        )
+        .crossJoin(F.broadcast(total_df))
+    )
+    p_uni = F.coalesce(F.col("_c_w"), F.lit(1)) / F.col("_total")
+    p = (
+        F.when(F.col("prev").isNull(), p_uni)
+        .when(F.col("_c_prev").isNull(), F.lit(1.0 - lam) * p_uni)
+        .otherwise(
+            F.lit(lam)
+            * (
+                F.coalesce(F.col("_c_pw"), F.lit(0))
+                / F.col("_c_prev").cast("double")
+            )
+            + F.lit(1.0 - lam) * p_uni
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("w").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("_c_pw").isNotNull(), 1).otherwise(0)
+        ).alias("n_bigram_hits"),
+        F.sum(F.when(F.col("w").isNotNull(), F.log(p))).alias("_s"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        F.col("n_bigram_hits").cast("long").alias("n_bigram_hits"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("_s") / F.col("n_tokens"), LOGPROB_DECIMALS),
+        ).alias("lm2_logprob"),
+    )
+
+
+def q_bigram_logprob(spark, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM score per document (self-trained model)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_logprob(docs).orderBy("doc_id")

@@ -229,3 +229,103 @@ def test_lm_bucket_thresholds_scale_path(spark):
     if nulls.count():
         assert {r.lm_bucket for r in nulls.collect()} == {3}
     out.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# bigram_logprob
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_hand_computed(corpus):
+    """Tiny corpus, tiny model: verify the interpolated mixture per
+    position against a direct Python recompute."""
+    from readability_ex_spark.operators.lmquality import bigram_logprob
+
+    # unigram counts: a=4 b=3 c=2 d=1, total=10; vocab_size=3 -> {a,b,c}
+    # bigram counts: 'a a'=1 'a b'=3 'b c'=2 'b d'=1; bigram_size=2 ->
+    # {'a b':3, 'b c':2}
+    out = {
+        r.doc_id: r
+        for r in bigram_logprob(corpus, vocab_size=3, bigram_size=2).collect()
+    }
+    lam, om = 0.75, 0.25
+    pu = {"a": 4 / 10, "b": 3 / 10, "c": 2 / 10, "d": 1 / 10}  # d = OOV floor
+    # doc 1 = "a a b c": pos1 pure uni(a); 'a a' unseen pair, a in vocab
+    # -> lam*0/4 + om*pu(a); 'a b' hit -> lam*3/4 + om*pu(b);
+    # 'b c' hit -> lam*2/3 + om*pu(c)
+    expect1 = (
+        math.log(pu["a"])
+        + math.log(lam * 0 / 4 + om * pu["a"])
+        + math.log(lam * 3 / 4 + om * pu["b"])
+        + math.log(lam * 2 / 3 + om * pu["c"])
+    ) / 4
+    assert out[1].lm2_logprob == pytest.approx(round(expect1, 4), abs=1e-9)
+    assert out[1].n_bigram_hits == 2
+    # doc 2 = "a b d": uni(a); 'a b' hit; 'b d' unseen, b in vocab ->
+    # lam*0/3 + om*pu(d) (d OOV as a WORD uses the count-1 floor)
+    expect2 = (
+        math.log(pu["a"])
+        + math.log(lam * 3 / 4 + om * pu["b"])
+        + math.log(lam * 0 / 3 + om * pu["d"])
+    ) / 3
+    assert out[2].lm2_logprob == pytest.approx(round(expect2, 4), abs=1e-9)
+    # empty docs: NULL score, zero counts
+    assert out[4].lm2_logprob is None and out[4].n_tokens == 0
+    assert out[5].lm2_logprob is None
+
+
+def test_bigram_oov_context_scores_discounted_unigram(spark):
+    """A word after an OOV context scores (1-lam) * p_uni, not a
+    zero-mass crash and not full unigram mass."""
+    from readability_ex_spark.operators.lmquality import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "x x x x"), (2, "rare x")], "doc_id long, text string"
+    )
+    # vocab_size=1 keeps only 'x' (5 occurrences); 'rare' is OOV
+    out = {
+        r.doc_id: r
+        for r in bigram_logprob(df, vocab_size=1, bigram_size=1).collect()
+    }
+    lam, om = 0.75, 0.25
+    # doc 2: pos1 = OOV floor 1/6 (total = 6 tokens); pos2 prev OOV ->
+    # om * pu(x) with pu(x) = 5/6
+    expect = (math.log(1 / 6) + math.log(om * (5 / 6))) / 2
+    assert out[2].lm2_logprob == pytest.approx(round(expect, 4), abs=1e-9)
+
+
+def test_bigram_persisted_models_reuse(spark, corpus):
+    """Persisted unigram + bigram artifacts reproduce the self-trained
+    scores (the incremental-update path)."""
+    from readability_ex_spark.operators.lmquality import (
+        bigram_logprob,
+        bigram_vocab,
+        unigram_vocab,
+    )
+
+    v = unigram_vocab(corpus, vocab_size=3).localCheckpoint(eager=True)
+    b = bigram_vocab(corpus, bigram_size=2).localCheckpoint(eager=True)
+    inline = {
+        (r.doc_id, r.lm2_logprob)
+        for r in bigram_logprob(corpus, vocab_size=3, bigram_size=2).collect()
+    }
+    reused = {
+        (r.doc_id, r.lm2_logprob)
+        for r in bigram_logprob(corpus, vocab=v, bigrams=b).collect()
+    }
+    assert inline == reused
+
+
+def test_bigram_scoring_joins_broadcast(corpus):
+    """All three model joins broadcast; the corpus is never shuffled on
+    token or pair (the only exchange below the doc agg is doc-keyed)."""
+    from readability_ex_spark.operators.lmquality import bigram_logprob
+
+    plan = (
+        bigram_logprob(corpus)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
