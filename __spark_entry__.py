@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": SA.q_corpus_split,
         "recrawl_schedule": U.q_recrawl_schedule,
         "bigram_logprob": LM.q_bigram_logprob,
+        "chunk_documents": RT.q_chunk_documents,
         "dedup_manifest_quality": C.q_dedup_manifest_quality,
         "lang_quality_quantiles": CO.q_lang_quality_quantiles,
         "page_inlinks": LG.q_page_inlinks,
@@ -2875,6 +2876,39 @@ def oracle_sql() -> dict[str, str]:
     # Spark paths is additionally asserted in tests/test_similarity.py)
     sqls["ann_ivf_materialized"] = sqls["ann_ivf_topk"]
     sqls["cross_near_dup"] = _cross_near_dup_sql(sig, toks)
+    # overlapping token chunks (retrieval.chunk_documents): exact
+    # integer chunk-count/offset arithmetic, inclusive-end list_slice
+    # mirrors Spark's (start, length) slice
+    _cs, _cstr = RT.CHUNK_SIZE, RT.CHUNK_STRIDE
+    sqls["chunk_documents"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN text IS NULL OR trim(text) = ''
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\\s+') END
+                   AS toks
+          FROM documents),
+        m AS (
+          SELECT doc_id, toks, len(toks) AS n,
+                 CASE WHEN len(toks) = 0 THEN 0
+                      WHEN len(toks) <= {_cs} THEN 1
+                      ELSE 1 + (len(toks) - {_cs} + {_cstr} - 1)
+                               // {_cstr} END AS n_chunks
+          FROM t),
+        e AS (
+          SELECT doc_id, toks, n,
+                 unnest(generate_series(0, n_chunks - 1)) AS k
+          FROM m)
+        SELECT doc_id,
+               k AS chunk_id,
+               k * {_cstr} AS tok_start,
+               least(k * {_cstr} + {_cs}, n) AS tok_end,
+               array_to_string(
+                 list_slice(toks, k * {_cstr} + 1,
+                            least(k * {_cstr} + {_cs}, n)), ' ')
+                 AS chunk_text
+        FROM e ORDER BY doc_id, chunk_id
+    """
     # interpolated bigram LM (lmquality.bigram_logprob): top-V unigram +
     # top-B pair tables from integer counts, Jelinek-Mercer mixture with
     # float-exact lambda, position 1 pure unigram, OOV context ->

@@ -105,3 +105,91 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 for the fixed 3-term query over documents."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return bm25_topk(docs, BM25_QUERY)
+
+
+# ---------------------------------------------------------------------------
+# Overlapping document chunking (retrieval / RAG ingestion)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 32  # tokens per chunk
+CHUNK_STRIDE = 24  # start-to-start distance (overlap = size - stride)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-token chunks — the
+    retrieval-ingestion twin of ``sampling.pack_sequences`` (packing
+    concatenates docs into training sequences; chunking windows ONE doc
+    into index units with overlap so no phrase is split across every
+    chunk boundary).
+
+    Chunk ``k`` covers tokens ``[k*stride, min(k*stride + size, n))``;
+    chunk count = 1 for ``n <= size`` else ``1 + ceil((n-size)/stride)``
+    (the last chunk always reaches the end of the doc; token-less docs
+    produce no chunks). Returns ``(id, chunk_id, tok_start, tok_end,
+    chunk_text)`` — the token spans let a retriever map hits back into
+    the document, the same offset discipline as the kernel's text
+    spans.
+
+    Scale: document-local — a codegen projection + explode, ZERO
+    shuffles; all arithmetic is exact integer ``div`` so every engine
+    (and rerun) chunks identically.
+    """
+    if size < 1 or stride < 1 or stride > size:
+        raise ValueError("need 1 <= stride <= size")
+    c = F.col(text_col)
+    toks = F.when(
+        c.isNull() | (F.trim(c) == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(c), r"\s+"))
+    base = docs.select(F.col(id_col), toks.alias("_toks")).withColumn(
+        "_n", F.size("_toks")
+    )
+    n = F.col("_n")
+    n_chunks = (
+        F.when(n == 0, F.lit(0).cast("long"))
+        .when(n <= size, F.lit(1).cast("long"))
+        .otherwise(F.expr(f"1 + ((_n - {size} + {stride} - 1) div {stride})"))
+    )
+    # guard: Spark's sequence(0, -1) would generate a DESCENDING ramp
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+            lambda k: F.struct(
+                k.alias("chunk_id"),
+                (k * stride).alias("tok_start"),
+                F.least(k * stride + size, n.cast("long")).alias("tok_end"),
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("_toks"),
+                        (k * stride + 1).cast("int"),
+                        (
+                            F.least(k * stride + size, n.cast("long"))
+                            - k * stride
+                        ).cast("int"),
+                    ),
+                ).alias("chunk_text"),
+            ),
+        ),
+    )
+    return base.select(
+        F.col(id_col), F.explode(chunks).alias("_c")
+    ).select(
+        id_col,
+        F.col("_c.chunk_id").alias("chunk_id"),
+        F.col("_c.tok_start").alias("tok_start"),
+        F.col("_c.tok_end").alias("tok_end"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+    )
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32/24 token chunks over documents."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs).orderBy("doc_id", "chunk_id")

@@ -77,3 +77,88 @@ def test_bm25_plan_is_codegen_with_broadcasts(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("BroadcastHashJoin") >= 1
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+# ---------------------------------------------------------------------------
+
+
+def _chunk_naive(tokens, size, stride):
+    n = len(tokens)
+    if n == 0:
+        return []
+    n_chunks = 1 if n <= size else 1 + -(-(n - size) // stride)
+    out = []
+    for k in range(n_chunks):
+        s, e = k * stride, min(k * stride + size, n)
+        out.append((k, s, e, " ".join(tokens[s:e])))
+    return out
+
+
+def test_chunk_documents_matches_naive(spark):
+    from readability_ex_spark.operators.retrieval import chunk_documents
+
+    texts = [
+        "",  # no chunks
+        "one",
+        " ".join(f"t{i}" for i in range(8)),  # == size -> 1 chunk
+        " ".join(f"t{i}" for i in range(9)),  # size+1 -> 2 chunks
+        " ".join(f"t{i}" for i in range(25)),
+        " ".join(f"t{i}" for i in range(30)),  # exact multiple edge
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {}
+    for r in chunk_documents(docs, size=8, stride=6).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_id, r.tok_start, r.tok_end, r.chunk_text)
+        )
+    for i, text in enumerate(texts):
+        toks = text.split() if text.strip() else []
+        assert sorted(got.get(i, [])) == _chunk_naive(toks, 8, 6), i
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Every token index lands in >= 1 chunk; consecutive chunks
+    overlap by exactly size - stride (except possibly at the tail);
+    the final chunk reaches the end."""
+    from readability_ex_spark.operators.retrieval import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(101)))],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        chunk_documents(docs, size=32, stride=24).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    covered = set()
+    for r in rows:
+        covered |= set(range(r.tok_start, r.tok_end))
+    assert covered == set(range(101))
+    assert rows[-1].tok_end == 101
+    for a, b in zip(rows, rows[1:]):
+        assert b.tok_start == a.tok_start + 24
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    from readability_ex_spark.operators.retrieval import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, size=4, stride=5)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, size=0, stride=0)
+
+
+def test_chunk_documents_plan_exchange_free(spark):
+    from readability_ex_spark.operators.retrieval import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
