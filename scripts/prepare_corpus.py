@@ -269,11 +269,28 @@ def main() -> int:
         "JSON-lines (url/text/lang + shard_id when --shard-tokens is "
         "set) under DIR",
     )
+    ap.add_argument(
+        "--split", default=None, metavar="VAL,TEST",
+        help="annotate every row with a deterministic train/val/test "
+        "split (md5 url bands, sampling.corpus_split; VAL and TEST are "
+        "fractions, e.g. 0.05,0.05). Growth-stable: a url's split "
+        "never changes, so --update batches land consistently — but "
+        "the flag must match the existing corpus (both or neither)",
+    )
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument(
         "--table-format", choices=("parquet", "iceberg"), default="parquet",
     )
     args = ap.parse_args()
+    split_fracs = None
+    if args.split is not None:
+        try:
+            _v, _t = (float(x) for x in args.split.split(","))
+        except ValueError:
+            ap.error("--split takes VAL,TEST fractions, e.g. 0.05,0.05")
+        if _v < 0 or _t < 0 or _v + _t > 1:
+            ap.error("--split fractions must be >= 0 and sum to <= 1")
+        split_fracs = (_v, _t)
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -748,6 +765,15 @@ def main() -> int:
         # column-pruned key scans need no distinct — the existing
         # corpus's text column is never read on this path.
         existing = spark.read.parquet(args.output)
+        # split-column symmetry: appending split-less rows to a split
+        # corpus (or vice versa) would leave NULL bands parquet schema
+        # merge silently fills in — refuse instead
+        if (split_fracs is not None) != ("split" in existing.columns):
+            raise SystemExit(
+                "--split must match the existing corpus: it was built "
+                + ("without" if "split" not in existing.columns else "with")
+                + " a split column"
+            )
         # Self-heal before extending: the artifact appends of an update
         # (corpus, then each sidecar) are not atomic — a crash between
         # them leaves corpus rows the sidecars never learned about, and
@@ -846,6 +872,17 @@ def main() -> int:
         # silently duplicate every row; deterministic kernel + overwrite
         # make reruns idempotent
         write_mode = "overwrite"
+    if split_fracs is not None:
+        from readability_ex_spark.operators.sampling import corpus_split
+
+        # pure function of the url — codegen, growth-stable under
+        # --update (the band thresholds ride in the datacard stages)
+        corpus = corpus_split(
+            corpus,
+            val_frac=split_fracs[0],
+            test_frac=split_fracs[1],
+            id_col="url",
+        )
     corpus = corpus.withColumn(
         "url_bucket", F.pmod(F.xxhash64("url"), F.lit(64)).cast("int")
     )
@@ -979,6 +1016,15 @@ def main() -> int:
             if v not in (None, False) and k not in ("input", "output")
         },
     }
+    if split_fracs is not None:
+        # per-split doc counts (one 3-row agg) — the sanity number a
+        # trainer checks against the requested fractions
+        card["splits"] = {
+            r.split: r.c
+            for r in final.groupBy("split")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
     card_dir = Path(args.output) / "_datacard"
     card_dir.mkdir(parents=True, exist_ok=True)
     (card_dir / "datacard.json").write_text(

@@ -1378,3 +1378,66 @@ def test_run_job_frontier_delays(spark, tmp_path):
     }
     # mybot has no exact group -> the * group's delay governs
     assert all(r.crawl_delay == 4.0 for r in frontier.values())
+
+
+def test_prepare_corpus_script_split(spark, tmp_path):
+    """--split ships a deterministic train/val/test column (md5 url
+    bands), records per-split counts in the datacard, and an --update
+    without the flag is refused (band symmetry guard)."""
+    import datetime
+    import hashlib
+    import json as _json
+
+    ts = datetime.datetime(2024, 6, 1)
+
+    def page(i):
+        body = " ".join(f"w{i}x{j}" for j in range(40))
+        html = (
+            f"<html><body><article><p>{body}</p></article></body></html>"
+        ).encode()
+        return (f"http://sp.test/{i}", ts, html, "", "en")
+
+    spark.createDataFrame(
+        [page(i) for i in range(40)],
+        "url string, warc_ts timestamp, html binary, "
+        "text string, lang string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "pages"))
+
+    out = tmp_path / "corpus"
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(tmp_path / "pages"),
+            "--output", str(out),
+            "--split", "0.25,0.25",
+            "--partitions", "2",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    rows = spark.read.parquet(str(out)).select("url", "split").collect()
+    assert rows and set(r.split for r in rows) <= {"train", "val", "test"}
+
+    # the band is the documented pure function of the url
+    def expect(url):
+        d = hashlib.md5(f"split:{url}".encode()).hexdigest()[:6]
+        t_test = format(int(round(0.25 * 16**6)), "06x")
+        t_val = format(int(round(0.5 * 16**6)), "06x")
+        return "test" if d < t_test else ("val" if d < t_val else "train")
+
+    assert all(r.split == expect(r.url) for r in rows)
+    card = _json.loads((out / "_datacard" / "datacard.json").read_text())
+    assert sum(card["splits"].values()) == len(rows)
+    # band-symmetry guard: update WITHOUT --split must refuse
+    proc2 = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(tmp_path / "pages"),
+            "--output", str(out),
+            "--update",
+            "--partitions", "2",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc2.returncode != 0
+    assert "split" in (proc2.stderr + proc2.stdout)
