@@ -182,6 +182,13 @@ def main() -> int:
         "WITHIN shards so the windows stay bounded under language skew",
     )
     ap.add_argument(
+        "--chunk-index", default=None, metavar="SIZE,STRIDE",
+        help="write a _chunks sidecar: overlapping fixed-token retrieval "
+        "chunks of every shipped doc (retrieval.chunk_documents — "
+        "token spans + chunk text, the RAG-ingestion index unit). "
+        "Rebuilt from the shipped corpus every run (derived data)",
+    )
+    ap.add_argument(
         "--mixture", default=None, metavar="LANG=W,...",
         help="downsample to target language proportions, e.g. "
         "en=0.5,fr=0.3,de=0.2 (largest achievable mix; languages "
@@ -282,6 +289,15 @@ def main() -> int:
         "--table-format", choices=("parquet", "iceberg"), default="parquet",
     )
     args = ap.parse_args()
+    chunk_params = None
+    if args.chunk_index is not None:
+        try:
+            _sz, _st = (int(x) for x in args.chunk_index.split(","))
+        except ValueError:
+            ap.error("--chunk-index takes SIZE,STRIDE ints, e.g. 256,192")
+        if _sz < 1 or _st < 1 or _st > _sz:
+            ap.error("--chunk-index needs 1 <= STRIDE <= SIZE")
+        chunk_params = (_sz, _st)
     split_fracs = None
     if args.split is not None:
         try:
@@ -949,6 +965,22 @@ def main() -> int:
         )
         write_sidecar(seqs, args.output, "_sequences")
         print("sequences=packed")
+    if chunk_params is not None:
+        # derived sidecar like _sequences, rebuilt from the SHIPPED
+        # corpus (url + text scan; document-local, zero shuffles)
+        from readability_ex_spark.operators.retrieval import chunk_documents
+
+        write_sidecar(
+            chunk_documents(
+                spark.read.parquet(args.output).select("url", "text"),
+                size=chunk_params[0],
+                stride=chunk_params[1],
+                id_col="url",
+            ),
+            args.output,
+            "_chunks",
+        )
+        print("chunks=indexed")
     if lm_vocab_df is not None and not lm_vocab_loaded:
         # persist the model the corpus was filtered by (tiny: V+1 rows)
         # so later --update batches score against it without a
@@ -1062,6 +1094,7 @@ def main() -> int:
                 "_lm_vocab",
                 "_quality_stats",
                 "_sequences",
+                "_chunks",
                 "_contamination",
                 "_hostrank",
                 "_datacard",

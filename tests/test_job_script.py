@@ -1410,6 +1410,7 @@ def test_prepare_corpus_script_split(spark, tmp_path):
             "--input", str(tmp_path / "pages"),
             "--output", str(out),
             "--split", "0.25,0.25",
+            "--chunk-index", "16,12",
             "--partitions", "2",
         ],
         capture_output=True, text=True, timeout=420, cwd=str(REPO),
@@ -1428,6 +1429,21 @@ def test_prepare_corpus_script_split(spark, tmp_path):
     assert all(r.split == expect(r.url) for r in rows)
     card = _json.loads((out / "_datacard" / "datacard.json").read_text())
     assert sum(card["splits"].values()) == len(rows)
+    # --chunk-index: every shipped doc chunked with valid ordered spans
+    shipped = {
+        r.url: r.text
+        for r in spark.read.parquet(str(out)).select("url", "text").collect()
+    }
+    chunks = {}
+    for r in spark.read.parquet(str(out / "_chunks")).collect():
+        chunks.setdefault(r.url, []).append(r)
+    assert set(chunks) == set(shipped)
+    for url, rs in chunks.items():
+        toks = shipped[url].split()
+        rs.sort(key=lambda r: r.chunk_id)
+        assert rs[-1].tok_end == len(toks)
+        for r in rs:
+            assert r.chunk_text == " ".join(toks[r.tok_start:r.tok_end])
     # band-symmetry guard: update WITHOUT --split must refuse
     proc2 = subprocess.run(
         [
