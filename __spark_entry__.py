@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": U.q_recrawl_schedule,
         "bigram_logprob": LM.q_bigram_logprob,
         "chunk_documents": RT.q_chunk_documents,
+        "bm25_materialized": RT.q_bm25_materialized,
         "dedup_manifest_quality": C.q_dedup_manifest_quality,
         "lang_quality_quantiles": CO.q_lang_quality_quantiles,
         "page_inlinks": LG.q_page_inlinks,
@@ -3061,6 +3062,10 @@ def oracle_sql() -> dict[str, str]:
         FROM s GROUP BY doc_id
         ORDER BY score DESC, doc_id LIMIT {RT.BM25_TOPK}
     """
+    # the materialized-postings BM25 probe must return EXACTLY what the
+    # inline path returns — same oracle, different physical read path
+    # (pruning-enforced at construction; parity also test-pinned)
+    sqls["bm25_materialized"] = sqls["bm25_topk"]
     # SemDeDup: within-cell pairwise cosine over the seeded IVF cells,
     # transitive closure, keeper = farthest-from-centroid (d from the
     # same dists CTE the assignment argmin uses, rounded 6 like the

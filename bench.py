@@ -262,6 +262,26 @@ def main() -> int:
 
     # two pruned scans (stats + filtered postings), broadcast scoring
     run("bm25_topk", lambda: q_bm25_topk(spark, sf_dir).count())
+    # build/probe split for the postings index (build amortizes)
+    from readability_ex_spark.operators.retrieval import (
+        bm25_materialized_topk as _bm25probe,
+        materialize_bm25 as _bm25build,
+        BM25_QUERY as _BM25Q,
+    )
+
+    _bm25_dir = _tf.mkdtemp(prefix="bench_bm25_idx_")
+    try:
+        _bdocs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        run(
+            "bm25_index_build",
+            lambda: _bm25build(_bdocs, f"{_bm25_dir}/i") or 1,
+        )
+        run(
+            "bm25_materialized_probe",
+            lambda: _bm25probe(spark, f"{_bm25_dir}/i", _BM25Q).count(),
+        )
+    finally:
+        _sh.rmtree(_bm25_dir, ignore_errors=True)
     # latest-fetch agg + host sizes + salted two-stage staleness cap
     run("recrawl_schedule", lambda: q_recrawl_schedule(spark, sf_dir).count())
     # cell assign (Arrow matmul) + within-cell pair join + components

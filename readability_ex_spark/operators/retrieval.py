@@ -74,6 +74,14 @@ def bm25_topk(
         .agg(F.count("*").alias("tf"))
     )
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    return _score_topk(tf.join(F.broadcast(df_t), "term"), stats, k, k1, b)
+
+
+def _score_topk(tf, stats, k: int, k1: float, b: float) -> DataFrame:
+    """Shared scoring tail: ``tf`` carries (doc_id, dl, term, tf, df),
+    ``stats`` is the 1-row (n_docs, sum_dl) frame. One expression used
+    by BOTH the inline and the materialized path, so their results (and
+    the shared oracle) agree bit-for-bit."""
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     idf = F.log(
         F.lit(1.0)
@@ -88,8 +96,7 @@ def bm25_topk(
         )
     )
     return (
-        tf.join(F.broadcast(df_t), "term")
-        .crossJoin(F.broadcast(stats))
+        tf.crossJoin(F.broadcast(stats))
         .select("doc_id", s.alias("_s"))
         .groupBy("doc_id")
         .agg(
@@ -99,6 +106,105 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(k)
     )
+
+
+N_TERM_BUCKETS = 64
+
+
+def _term_bucket_expr(term_col) -> "F.Column":
+    """md5-based term bucket (NOT xxhash64: the probe computes the same
+    bucket DRIVER-side with hashlib, which md5 makes bit-identical)."""
+    return (
+        F.conv(F.substring(F.md5(term_col), 1, 4), 16, 10).cast("long")
+        % N_TERM_BUCKETS
+    ).cast("int")
+
+
+def term_bucket(term: str) -> int:
+    """Driver-side twin of :func:`_term_bucket_expr`."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:4], 16) % N_TERM_BUCKETS
+
+
+def materialize_bm25(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Write the BM25 inverted index: FULL postings (term, doc_id, tf,
+    dl, df) partitioned by a 64-way md5 term bucket, plus the 1-row
+    corpus stats table — the amortized build that turns per-query
+    corpus scans into partition-pruned posting reads (the same
+    build/probe split as the materialized ANN indexes).
+
+    Rows are clustered by bucket before the partitioned write (the
+    `materialize_buckets` lesson: unclustered partitionBy sprays
+    tasks × buckets small files). df is denormalized onto each posting
+    so the probe needs no extra join."""
+    c = F.col(text_col)
+    toks = F.when(
+        c.isNull() | (F.trim(c) == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(c), r"\s+"))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_toks")
+    ).withColumn("dl", F.size("_toks"))
+    base.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    tf = (
+        base.select("doc_id", "dl", F.explode("_toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    postings = tf.join(df_t, "term").withColumn(
+        "term_bucket", _term_bucket_expr(F.col("term"))
+    )
+    postings.repartition(F.col("term_bucket")).write.mode(
+        "overwrite"
+    ).partitionBy("term_bucket").parquet(f"{path}/postings")
+
+
+def bm25_materialized_topk(
+    spark: SparkSession,
+    index_path: str,
+    query_terms,
+    k: int = BM25_TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Serve BM25 from a :func:`materialize_bm25` index — the 100 TB
+    read path: only the query terms' bucket directories are read
+    (construction RAISES unless the bucket predicate reached the scan
+    as a PartitionFilter, the same broken-index contract as the ANN
+    probes), so a 3-term query touches <= 3/64 of the postings.
+    Returns EXACTLY what :func:`bm25_topk` returns on the same corpus
+    (shared scoring tail; parity is oracle- and test-pinned)."""
+    import io
+    from contextlib import redirect_stdout
+
+    if not query_terms:
+        raise ValueError("bm25_materialized_topk needs at least one term")
+    terms = [str(t) for t in query_terms]
+    buckets = sorted({term_bucket(t) for t in terms})
+    pruned = (
+        spark.read.parquet(f"{index_path}/postings")
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain(True)
+    seg = buf.getvalue().split("PartitionFilters: [", 1)
+    if len(seg) != 2 or "term_bucket" not in seg[1][:300]:
+        raise RuntimeError(
+            "bm25_materialized_topk: term buckets did not partition-prune "
+            f"the postings scan at {index_path}"
+        )
+    stats = spark.read.parquet(f"{index_path}/stats")
+    return _score_topk(pruned.drop("term_bucket"), stats, k, k1, b)
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,3 +299,16 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping 32/24 token chunks over documents."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return chunk_documents(docs).orderBy("doc_id", "chunk_id")
+
+
+def q_bm25_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the fixed query served from a materialized
+    postings index — same result contract (and the same oracle) as
+    bm25_topk, but the read path is the partition-pruned probe,
+    asserted at construction."""
+    from readability_ex_spark.operators.similarity import _ann_scratch_dir
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = _ann_scratch_dir()
+    materialize_bm25(docs, path)
+    return bm25_materialized_topk(spark, path, BM25_QUERY)

@@ -162,3 +162,61 @@ def test_chunk_documents_plan_exchange_free(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# materialized BM25 index
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_materialized_matches_inline(spark, tmp_path):
+    """The partition-pruned probe returns exactly the inline result."""
+    from readability_ex_spark.operators.retrieval import (
+        bm25_materialized_topk,
+        bm25_topk,
+        materialize_bm25,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path / "bm25")
+    materialize_bm25(docs, idx)
+    inline = [
+        tuple(r) for r in bm25_topk(docs, ["vector", "stream"], k=7).collect()
+    ]
+    probed = [
+        tuple(r)
+        for r in bm25_materialized_topk(
+            spark, idx, ["vector", "stream"], k=7
+        ).collect()
+    ]
+    assert inline == probed
+
+
+def test_bm25_materialized_reads_only_query_buckets(spark, tmp_path):
+    """The probe scan carries a PartitionFilter on term_bucket and the
+    pruned read returns only the query terms' postings."""
+    from readability_ex_spark.operators.retrieval import (
+        bm25_materialized_topk,
+        materialize_bm25,
+        term_bucket,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * (i + 1)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "bm25")
+    materialize_bm25(docs, idx)
+    # construction raises on a non-pruned scan — reaching here IS the
+    # pruning assertion; also verify bucket math agrees with the data
+    out = bm25_materialized_topk(spark, idx, ["beta"], k=3)
+    assert out.count() == 3
+    stored = (
+        spark.read.parquet(f"{idx}/postings")
+        .filter(F.col("term") == "beta")
+        .select("term_bucket")
+        .distinct()
+        .collect()
+    )
+    assert [r.term_bucket for r in stored] == [term_bucket("beta")]
