@@ -1457,3 +1457,75 @@ def test_prepare_corpus_script_split(spark, tmp_path):
     )
     assert proc2.returncode != 0
     assert "split" in (proc2.stderr + proc2.stdout)
+
+
+def test_compact_corpus_script(spark, tmp_path):
+    """compact_corpus.py rewrites each bucket to one file, keeps every
+    row and sidecar, and the order-independent _checksums verify the
+    content survived (the design reason the checksums ignore layout)."""
+    import datetime
+    import json as _json
+
+    ts = datetime.datetime(2024, 6, 1)
+
+    def pages(tag, n):
+        def page(i):
+            body = " ".join(f"{tag}{i}w{j}" for j in range(40))
+            html = (
+                f"<html><body><article><p>{body}</p></article></body></html>"
+            ).encode()
+            return (f"http://cp.test/{tag}/{i}", ts, html, "", "en")
+
+        return spark.createDataFrame(
+            [page(i) for i in range(n)],
+            "url string, warc_ts timestamp, html binary, "
+            "text string, lang string",
+        )
+
+    pages("a", 30).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "p1")
+    )
+    pages("b", 30).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "p2")
+    )
+    out = tmp_path / "corpus"
+    for inp, extra in ((tmp_path / "p1", []), (tmp_path / "p2", ["--update"])):
+        proc = subprocess.run(
+            [
+                sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+                "--input", str(inp),
+                "--output", str(out),
+                "--checksums",
+                "--partitions", "2",
+            ] + extra,
+            capture_output=True, text=True, timeout=420, cwd=str(REPO),
+        )
+        assert proc.returncode == 0, proc.stderr[-1500:]
+    before = spark.read.parquet(str(out))
+    rows_before = sorted(r.url for r in before.select("url").collect())
+
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "compact_corpus.py"),
+            "--corpus", str(out),
+            "--verify-checksums",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    report = _json.loads(
+        next(
+            line for line in proc.stdout.splitlines()
+            if line.startswith("{")
+        )
+    )
+    assert report["checksums"] == "match"
+    assert report["files_after"] <= report["files_before"]
+    assert report["max_files_per_bucket_after"] == 1
+    after = spark.read.parquet(str(out))
+    assert sorted(r.url for r in after.select("url").collect()) == rows_before
+    # sidecars moved over intact
+    for side in ("_manifest", "_checksums", "_datacard"):
+        assert (out / side).exists(), side
+    assert not (out.parent / (out.name + ".compacting")).exists()
+    assert not (out.parent / (out.name + ".precompact")).exists()
