@@ -139,6 +139,14 @@ def main() -> int:
         "assignment — docs the model cannot score land in band K)",
     )
     ap.add_argument(
+        "--lm-order", type=int, choices=(1, 2), default=1,
+        help="LM used by --min-lm-logprob / --lm-bands: 1 = unigram "
+        "(default), 2 = Jelinek-Mercer interpolated bigram (closer to "
+        "CCNet's KenLM; persists/loads a _lm_bigrams pair table next "
+        "to _lm_vocab; score scales differ between orders — retune "
+        "the floor when switching)",
+    )
+    ap.add_argument(
         "--clf-model", default=None, metavar="MODEL_PATH",
         help="parquet weight table written by qualityclf.save_model (a "
         "quality classifier trained on YOUR labeled sample via "
@@ -289,6 +297,8 @@ def main() -> int:
         "--table-format", choices=("parquet", "iceberg"), default="parquet",
     )
     args = ap.parse_args()
+    if args.lm_order == 2 and args.min_lm_logprob is None and not args.lm_bands:
+        ap.error("--lm-order 2 needs --min-lm-logprob and/or --lm-bands")
     chunk_params = None
     if args.chunk_index is not None:
         try:
@@ -606,8 +616,12 @@ def main() -> int:
     if args.min_quality > 0:
         corpus = corpus.filter(F.col("quality_score") >= args.min_quality)
     lm_vocab_df = None
+    lm_bigrams_df = None
+    lm_bigrams_loaded = False
     if args.min_lm_logprob is not None or args.lm_bands:
         from readability_ex_spark.operators.lmquality import (
+            bigram_logprob,
+            bigram_vocab,
             unigram_logprob,
             unigram_vocab,
         )
@@ -636,7 +650,30 @@ def main() -> int:
         else:
             lm_vocab_df = unigram_vocab(corpus, text_col="text")
             print("lm_vocab=estimated")
-        lm = unigram_logprob(corpus, id_col="url", vocab=lm_vocab_df)
+        if args.lm_order == 2:
+            # second-order model: same sidecar lifecycle for the pair
+            # table (_lm_bigrams), scored by the interpolated bigram LM
+            lm_bigrams_loaded = args.update and sidecar_exists(
+                args.output, "_lm_bigrams"
+            )
+            if lm_bigrams_loaded:
+                lm_bigrams_df = load_sidecar(spark, args.output, "_lm_bigrams")
+                print("lm_bigrams=loaded")
+            elif args.update:
+                lm_bigrams_df = bigram_vocab(
+                    spark.read.parquet(args.output), text_col="text"
+                )
+                print("lm_bigrams=bootstrapped")
+            else:
+                lm_bigrams_df = bigram_vocab(corpus, text_col="text")
+                print("lm_bigrams=estimated")
+            lm = bigram_logprob(
+                corpus, id_col="url", vocab=lm_vocab_df,
+                bigrams=lm_bigrams_df,
+            ).withColumnRenamed("lm2_logprob", "lm_logprob")
+        else:
+            lm_bigrams_df = None
+            lm = unigram_logprob(corpus, id_col="url", vocab=lm_vocab_df)
         if args.min_lm_logprob is not None:
             corpus = corpus.join(
                 lm.filter(
@@ -657,9 +694,16 @@ def main() -> int:
             )
 
             corpus = corpus.localCheckpoint(eager=False)
-            scored = unigram_logprob(
-                corpus, id_col="url", vocab=lm_vocab_df
-            ).join(corpus.select("url", "lang"), "url")
+            if args.lm_order == 2:
+                scored = bigram_logprob(
+                    corpus, id_col="url", vocab=lm_vocab_df,
+                    bigrams=lm_bigrams_df,
+                ).withColumnRenamed("lm2_logprob", "lm_logprob")
+            else:
+                scored = unigram_logprob(
+                    corpus, id_col="url", vocab=lm_vocab_df
+                )
+            scored = scored.join(corpus.select("url", "lang"), "url")
             cuts = lm_bucket_thresholds(scored, n_buckets=args.lm_bands)
             corpus = corpus.join(
                 assign_lm_buckets(
@@ -986,6 +1030,9 @@ def main() -> int:
         # so later --update batches score against it without a
         # corpus-wide token count
         write_sidecar(lm_vocab_df.coalesce(1), args.output, "_lm_vocab")
+    if lm_bigrams_df is not None and not lm_bigrams_loaded:
+        # the second-order half of the model (top-B pair counts)
+        write_sidecar(lm_bigrams_df.coalesce(1), args.output, "_lm_bigrams")
     if kill_stats:
         write_sidecar(
             spark.createDataFrame(
@@ -1092,6 +1139,7 @@ def main() -> int:
                 "_bands",
                 "_chunk_df",
                 "_lm_vocab",
+                "_lm_bigrams",
                 "_quality_stats",
                 "_sequences",
                 "_chunks",

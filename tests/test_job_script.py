@@ -1529,3 +1529,87 @@ def test_compact_corpus_script(spark, tmp_path):
         assert (out / side).exists(), side
     assert not (out.parent / (out.name + ".compacting")).exists()
     assert not (out.parent / (out.name + ".precompact")).exists()
+
+
+def test_prepare_corpus_script_lm_order2(spark, tmp_path):
+    """--lm-order 2 scores the floor/bands with the interpolated bigram
+    LM, persists the _lm_bigrams pair table next to _lm_vocab, and an
+    --update loads both instead of re-estimating."""
+    import datetime
+
+    ts = datetime.datetime(2024, 6, 1)
+
+    def pages(tag, n):
+        def page(i):
+            body = " ".join(
+                f"common word {tag}{i}tok{j}" for j in range(15)
+            )
+            html = (
+                f"<html><body><article><p>{body}</p></article></body></html>"
+            ).encode()
+            return (f"http://lm2.test/{tag}/{i}", ts, html, "", "en")
+
+        return spark.createDataFrame(
+            [page(i) for i in range(n)],
+            "url string, warc_ts timestamp, html binary, "
+            "text string, lang string",
+        )
+
+    pages("a", 25).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "p1")
+    )
+    pages("b", 10).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "p2")
+    )
+    out = tmp_path / "corpus"
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(tmp_path / "p1"),
+            "--output", str(out),
+            "--min-lm-logprob", "-99",
+            "--lm-bands", "3",
+            "--lm-order", "2",
+            "--partitions", "2",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    assert "lm_bigrams=estimated" in proc.stdout
+    assert (out / "_lm_vocab").exists() and (out / "_lm_bigrams").exists()
+    shipped = spark.read.parquet(str(out))
+    n1 = shipped.count()
+    assert n1 > 0 and "lm_bucket" in shipped.columns
+    # the persisted pair table is the real top-B artifact
+    pairs = spark.read.parquet(str(out / "_lm_bigrams")).collect()
+    assert pairs and all(r.c >= 1 and " " in r.pair for r in pairs)
+
+    proc2 = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(tmp_path / "p2"),
+            "--output", str(out),
+            "--update",
+            "--min-lm-logprob", "-99",
+            "--lm-bands", "3",
+            "--lm-order", "2",
+            "--partitions", "2",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc2.returncode == 0, proc2.stderr[-1500:]
+    assert "lm_vocab=loaded" in proc2.stdout
+    assert "lm_bigrams=loaded" in proc2.stdout
+    assert spark.read.parquet(str(out)).count() > n1
+
+
+def test_prepare_corpus_lm_order2_requires_lm_stage():
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", "x", "--output", "y", "--lm-order", "2",
+        ],
+        capture_output=True, text=True, timeout=120, cwd=str(REPO),
+    )
+    assert proc.returncode != 0
+    assert "--lm-order 2 needs" in proc.stderr
