@@ -584,6 +584,48 @@ def embedding_dedup_drops(
     )
 
 
+def train_text_centroids(
+    corpus: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    n_cells: int = 16,
+    sample_size: int = 2048,
+):
+    """Deterministic k-means centroids over text embeddings of a
+    bounded md5-ordered sample — the persistable model half of
+    :func:`semantic_dedup_drops` (same artifact lifecycle as
+    ``_lm_vocab``: estimated on a full build, persisted, reused by
+    updates so every batch clusters in the SAME semantic space).
+
+    The sample rows are picked FIRST (orderBy md5 + limit — a bounded
+    TakeOrdered over the id column), then embedded; the corpus-wide
+    embedding pass belongs to scoring, not training. Returns a list of
+    centroid lists, or None when fewer than 2 non-zero sample vectors
+    exist."""
+    import numpy as np
+
+    from readability_ex_spark.operators.embedding import text_embedding
+    from readability_ex_spark.operators.similarity import train_ivf
+
+    sampled = (
+        corpus.select(id_col, text_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_size)
+    )
+    rows = text_embedding(sampled, id_col=id_col, text_col=text_col).select(
+        "embedding"
+    ).collect()
+    x = np.array([list(r.embedding) for r in rows], dtype="float64")
+    if len(x):
+        x = x[np.linalg.norm(x, axis=1) > 0]
+    if len(x) < 2:
+        return None
+    cents = train_ivf(
+        x, n_cells=max(1, min(n_cells, len(x) // 4)), seed=42
+    )
+    return [[float(v) for v in c] for c in cents]
+
+
 def semantic_dedup_drops(
     corpus: DataFrame,
     threshold: float,
@@ -591,6 +633,7 @@ def semantic_dedup_drops(
     text_col: str = "text",
     n_cells: int = 16,
     sample_size: int = 2048,
+    centroids=None,
 ) -> DataFrame:
     """ids to DROP via SemDeDup (Abbas et al. 2023) over the corpus
     text: text_embedding -> k-means centroids trained driver-side on a
@@ -603,15 +646,21 @@ def semantic_dedup_drops(
     recall dial) with the cluster-partitioned shape: candidate volume
     is bounded by cell sizes, which ``n_cells`` controls — at corpus
     scale n_cells grows with N so the within-cell quadratic never
-    does."""
-    import numpy as np
+    does.
 
+    Pass ``centroids`` (a :func:`train_text_centroids` result, e.g.
+    loaded from a persisted ``_sem_centroids`` artifact) to cluster in
+    a FIXED semantic space — the incremental-update path; by default
+    the model is trained from ``corpus`` itself."""
     from readability_ex_spark.operators.embedding import text_embedding
-    from readability_ex_spark.operators.similarity import (
-        semantic_dedup,
-        train_ivf,
-    )
+    from readability_ex_spark.operators.similarity import semantic_dedup
 
+    if centroids is None:
+        centroids = train_text_centroids(
+            corpus, id_col, text_col, n_cells, sample_size
+        )
+    if centroids is None:  # fewer than 2 usable sample vectors
+        return corpus.sparkSession.createDataFrame([], f"{id_col} string")
     emb = text_embedding(corpus, id_col=id_col, text_col=text_col).filter(
         F.aggregate(
             F.transform("embedding", lambda x: x * x),
@@ -619,26 +668,10 @@ def semantic_dedup_drops(
             lambda acc, v: acc + v,
         )
         > 0
-    ).localCheckpoint(eager=False)  # sample collect + dedup both read it
-    sample = [
-        [float(x) for x in r.embedding]
-        for r in emb.select(F.col(id_col).alias("_id"), "embedding")
-        .orderBy(F.md5(F.col("_id").cast("string")), "_id")
-        .limit(sample_size)
-        .collect()
-    ]
-    if len(sample) < 2:
-        return corpus.sparkSession.createDataFrame(
-            [], f"{id_col} string"
-        )
-    cents = train_ivf(
-        np.asarray(sample, dtype="float64"),
-        n_cells=max(1, min(n_cells, len(sample) // 4)),
-        seed=42,
     )
     manifest = semantic_dedup(
         emb.select(F.col(id_col).alias("vec_id"), "embedding"),
-        [list(c) for c in cents],
+        centroids,
         threshold=threshold,
     )
     return manifest.filter(~F.col("keep")).select(

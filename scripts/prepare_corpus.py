@@ -608,11 +608,39 @@ def main() -> int:
     if args.emb_near_dup is not None:
         drops = embedding_dedup_drops(corpus, args.emb_near_dup)
         corpus = corpus.join(drops, "url", "left_anti")
+    sem_cents = None
+    sem_cents_loaded = False
     if args.semantic_dedup is not None:
-        from readability_ex_spark.operators.corpus import semantic_dedup_drops
+        from readability_ex_spark.operators.corpus import (
+            semantic_dedup_drops,
+            train_text_centroids,
+        )
 
-        sem_drops = semantic_dedup_drops(corpus, args.semantic_dedup)
-        corpus = corpus.join(sem_drops, "url", "left_anti")
+        # the centroid model has the _lm_vocab lifecycle: estimated on
+        # a full build, persisted as _sem_centroids, loaded by updates
+        # (every batch must cluster in the SAME semantic space), and
+        # bootstrapped from the EXISTING corpus on the first update of
+        # a pre-model corpus
+        sem_cents_loaded = args.update and sidecar_exists(
+            args.output, "_sem_centroids"
+        )
+        if sem_cents_loaded:
+            rows = load_sidecar(spark, args.output, "_sem_centroids").collect()
+            sem_cents = [
+                list(r.centroid) for r in sorted(rows, key=lambda r: r.cell)
+            ]
+            print("sem_centroids=loaded")
+        elif args.update:
+            sem_cents = train_text_centroids(spark.read.parquet(args.output))
+            print("sem_centroids=bootstrapped")
+        else:
+            sem_cents = train_text_centroids(corpus)
+            print("sem_centroids=estimated")
+        if sem_cents is not None:
+            sem_drops = semantic_dedup_drops(
+                corpus, args.semantic_dedup, centroids=sem_cents
+            )
+            corpus = corpus.join(sem_drops, "url", "left_anti")
     if args.min_quality > 0:
         corpus = corpus.filter(F.col("quality_score") >= args.min_quality)
     lm_vocab_df = None
@@ -1033,6 +1061,16 @@ def main() -> int:
     if lm_bigrams_df is not None and not lm_bigrams_loaded:
         # the second-order half of the model (top-B pair counts)
         write_sidecar(lm_bigrams_df.coalesce(1), args.output, "_lm_bigrams")
+    if sem_cents is not None and not sem_cents_loaded:
+        # the semantic-dedup centroid model (n_cells rows)
+        write_sidecar(
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(sem_cents)],
+                "cell int, centroid array<double>",
+            ).coalesce(1),
+            args.output,
+            "_sem_centroids",
+        )
     if kill_stats:
         write_sidecar(
             spark.createDataFrame(
@@ -1140,6 +1178,7 @@ def main() -> int:
                 "_chunk_df",
                 "_lm_vocab",
                 "_lm_bigrams",
+                "_sem_centroids",
                 "_quality_stats",
                 "_sequences",
                 "_chunks",

@@ -1613,3 +1613,68 @@ def test_prepare_corpus_lm_order2_requires_lm_stage():
     )
     assert proc.returncode != 0
     assert "--lm-order 2 needs" in proc.stderr
+
+
+def test_prepare_corpus_semantic_dedup_centroids(spark, tmp_path):
+    """--semantic-dedup persists the centroid model (_sem_centroids) on
+    a full build and an --update clusters in the SAME space by loading
+    it instead of retraining on the batch."""
+    import datetime
+
+    ts = datetime.datetime(2024, 6, 1)
+
+    def pages(tag, n):
+        def page(i):
+            body = " ".join(f"{tag}{i}w{j} filler{j % 5}" for j in range(30))
+            html = (
+                f"<html><body><article><p>{body}</p></article></body></html>"
+            ).encode()
+            return (f"http://sc.test/{tag}/{i}", ts, html, "", "en")
+
+        return spark.createDataFrame(
+            [page(i) for i in range(n)],
+            "url string, warc_ts timestamp, html binary, "
+            "text string, lang string",
+        )
+
+    pages("a", 20).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "p1")
+    )
+    pages("b", 8).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "p2")
+    )
+    out = tmp_path / "corpus"
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(tmp_path / "p1"),
+            "--output", str(out),
+            "--semantic-dedup", "0.95",
+            "--partitions", "2",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    assert "sem_centroids=estimated" in proc.stdout
+    cents = spark.read.parquet(str(out / "_sem_centroids")).collect()
+    assert cents and all(len(r.centroid) == 64 for r in cents)
+    n1 = spark.read.parquet(str(out)).count()
+
+    proc2 = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(tmp_path / "p2"),
+            "--output", str(out),
+            "--update",
+            "--semantic-dedup", "0.95",
+            "--partitions", "2",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc2.returncode == 0, proc2.stderr[-1500:]
+    assert "sem_centroids=loaded" in proc2.stdout
+    assert spark.read.parquet(str(out)).count() > n1
+    # the model was NOT retrained: artifact bytes unchanged
+    cents2 = spark.read.parquet(str(out / "_sem_centroids")).collect()
+    assert sorted(map(tuple, ((r.cell, tuple(r.centroid)) for r in cents))) \
+        == sorted(map(tuple, ((r.cell, tuple(r.centroid)) for r in cents2)))
