@@ -430,16 +430,18 @@ def bigram_logprob(
 
     toks = _tokens(text_col)
     n = F.size(toks)
-    positions = F.when(
-        n >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w"),
-                F.when(i > 1, F.element_at(toks, i - 1)).alias("prev"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w:string,prev:string>>"))
+    # positions via arrays_zip over the token array and its 1-shifted
+    # self — single array ops, NOT a per-position transform lambda
+    # (interpreted HOFs measured ~5x the whole-query cost at sf0.1;
+    # the BENCH/BASELINE.md HOF rule applied at the expression level).
+    # arrays_zip pads the shorter side with NULL, so position 1 gets
+    # prev=NULL and an empty doc yields one all-NULL row — exactly the
+    # explode_outer(empty) shape the aggregation expects.
+    prevs = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+    )
+    positions = F.arrays_zip(toks.alias("w"), prevs.alias("prev"))
     # explode_outer keeps empty docs in the single pass (tree-plan rule:
     # a restore-join would re-derive the whole upstream)
     rows = docs.select(
