@@ -2158,13 +2158,15 @@ def oracle_sql() -> dict[str, str]:
         # mirrors textops.corpus_checksums: 60-bit md5-prefix content
         # hash (Spark conv == DuckDB CAST('0x…')), BIT_XOR per bucket —
         # order-independent, so both engines agree regardless of
-        # scheduling
+        # scheduling; COALESCE matches the Spark side's NULL-text rule
+        # (DuckDB concat skips NULLs, Spark concat nulls the row)
         "corpus_checksums": """
             SELECT CAST(doc_id % 16 AS INTEGER) AS bucket,
                    CAST(count(*) AS BIGINT) AS n_docs,
                    bit_xor(CAST(concat('0x',
                      substr(md5(concat(CAST(doc_id AS VARCHAR), '|',
-                                       text)), 1, 15)) AS BIGINT))
+                                       COALESCE(text, ''))), 1, 15))
+                     AS BIGINT))
                      AS content_xor
             FROM documents GROUP BY 1 ORDER BY bucket
         """,

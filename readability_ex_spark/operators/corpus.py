@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from readability_ex_spark.pipeline import run_extraction
 
+from readability_ex_spark.operators.tokenize import ws_tokens
+
 
 def _tokens(col: str):
     c = F.col(col)
@@ -250,10 +252,7 @@ def repetition_stats(
     mirrors.  Spam pages (repeated boilerplate/keyword stuffing) blow
     past the thresholds; prose sits far below.
     """
-    c = F.col(text_col)
-    toks = F.when(
-        c.isNull() | (F.trim(c) == ""), F.array().cast("array<string>")
-    ).otherwise(F.split(F.lower(F.trim(c)), r"\s+"))
+    toks = ws_tokens(text_col, lower=True)
 
     import numpy as np
     from pyspark.sql.functions import pandas_udf
@@ -560,17 +559,13 @@ def embedding_dedup_drops(
     from readability_ex_spark.operators.clusters import near_dup_clusters
     from readability_ex_spark.operators.embedding import (
         TEXT_EMB_DIM,
+        nonzero_embeddings,
         text_embedding,
     )
     from readability_ex_spark.operators.similarity import embedding_near_dup
 
-    emb = text_embedding(corpus, id_col=id_col, text_col=text_col).filter(
-        F.aggregate(
-            F.transform("embedding", lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        > 0
+    emb = nonzero_embeddings(
+        text_embedding(corpus, id_col=id_col, text_col=text_col)
     )
     pairs = embedding_near_dup(
         emb.select(F.col(id_col).alias("vec_id"), "embedding"),
@@ -652,7 +647,10 @@ def semantic_dedup_drops(
     loaded from a persisted ``_sem_centroids`` artifact) to cluster in
     a FIXED semantic space — the incremental-update path; by default
     the model is trained from ``corpus`` itself."""
-    from readability_ex_spark.operators.embedding import text_embedding
+    from readability_ex_spark.operators.embedding import (
+        nonzero_embeddings,
+        text_embedding,
+    )
     from readability_ex_spark.operators.similarity import semantic_dedup
 
     if centroids is None:
@@ -661,13 +659,8 @@ def semantic_dedup_drops(
         )
     if centroids is None:  # fewer than 2 usable sample vectors
         return corpus.sparkSession.createDataFrame([], f"{id_col} string")
-    emb = text_embedding(corpus, id_col=id_col, text_col=text_col).filter(
-        F.aggregate(
-            F.transform("embedding", lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        > 0
+    emb = nonzero_embeddings(
+        text_embedding(corpus, id_col=id_col, text_col=text_col)
     )
     manifest = semantic_dedup(
         emb.select(F.col(id_col).alias("vec_id"), "embedding"),
@@ -914,9 +907,16 @@ def prepare_training_corpus(
         )
         corpus = corpus.join(rep_ok.select("url"), "url", "left_semi")
     if emb_near_dup_threshold is not None:
+        # the drops derivation and the verdict anti-join both reference
+        # corpus — checkpoint once so the composed upstream (dedup
+        # manifest + every text stage) doesn't re-run per reference
+        corpus = corpus.localCheckpoint(eager=False)
         drops = embedding_dedup_drops(corpus, emb_near_dup_threshold)
         corpus = corpus.join(drops, "url", "left_anti")
     if semantic_dedup_threshold is not None:
+        # three references: the eager centroid-training collect, the
+        # corpus-wide scoring scan, and the anti-join — same rule
+        corpus = corpus.localCheckpoint(eager=False)
         sem_drops = semantic_dedup_drops(corpus, semantic_dedup_threshold)
         corpus = corpus.join(sem_drops, "url", "left_anti")
     if min_quality > 0:

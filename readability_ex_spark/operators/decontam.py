@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from readability_ex_spark.operators.textops import shingle_expr
+from readability_ex_spark.operators.tokenize import ws_tokens
 
 N_DECONTAM = 13  # tokens per overlap gram (GPT-3/PaLM convention)
 
@@ -204,10 +205,7 @@ LINE_MAX_DF = 2
 
 
 def _chunk_structs(text_col: str, chunk_tokens: int):
-    c = F.col(text_col)
-    toks = F.when(
-        c.isNull() | (F.trim(c) == ""), F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(c), r"\s+"))
+    toks = ws_tokens(text_col)
     n_chunks_expr = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
     # sequence(0, -1) counts DOWN in Spark — empty docs must short-circuit
     return F.when(
@@ -436,10 +434,7 @@ def dedup_chunks_within_doc(
     100 TB beyond reading the text. Returns ``(id_col, n_chunks,
     n_dupes, text_clean)``.
     """
-    c = F.col(text_col)
-    toks = F.when(
-        c.isNull() | (F.trim(c) == ""), F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(c), r"\s+"))
+    toks = ws_tokens(text_col)
     n_chunks_expr = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
     chunks = F.when(
         n_chunks_expr > 0,

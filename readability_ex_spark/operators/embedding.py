@@ -57,6 +57,21 @@ TEXT_EMB_ND_K = 8
 TEXT_EMB_ND_TABLES = 10
 
 
+def nonzero_embeddings(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    """Drop zero-norm vectors (empty / all-OOV text hashes to the zero
+    vector, for which cosine is undefined).  One shared filter so every
+    embedding consumer applies the same rule - a short fixed-width HOF,
+    within the BENCH interpreted-lambda budget (dim lambdas per row)."""
+    return df.filter(
+        F.aggregate(
+            F.transform(emb_col, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        > 0
+    )
+
+
 def text_embedding(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -140,14 +155,7 @@ def q_text_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from readability_ex_spark.operators.textops import _docs
 
-    emb = text_embedding(_docs(spark, sf_dir)).filter(
-        F.aggregate(
-            F.transform("embedding", lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        > 0
-    )
+    emb = nonzero_embeddings(text_embedding(_docs(spark, sf_dir)))
     return (
         embedding_near_dup_banded(
             emb.select(F.col("doc_id").alias("vec_id"), "embedding"),

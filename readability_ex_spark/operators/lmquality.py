@@ -41,10 +41,9 @@ LOGPROB_DECIMALS = 4  # absorbs summation-order ulps across engines
 
 
 def _tokens(text_col: str):
-    c = F.col(text_col)
-    return F.when(
-        c.isNull() | (F.trim(c) == ""), F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(c), r"\s+"))
+    from readability_ex_spark.operators.tokenize import ws_tokens
+
+    return ws_tokens(text_col)
 
 
 def unigram_vocab(

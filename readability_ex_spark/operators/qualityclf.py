@@ -46,6 +46,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from readability_ex_spark.operators.tokenize import ws_tokens
+
 N_BUCKETS = 256  # md5 first-2-hex buckets; plenty for a linear model
 _HEX = "0123456789abcdef"
 BUCKETS = tuple(a + b for a in _HEX for b in _HEX)
@@ -59,10 +61,7 @@ SCORE_DECIMALS = 6
 def tokens_expr(text_col: str = "text") -> Column:
     """Lowercased whitespace tokens; empty array for empty/NULL text
     (the shared corpus tokenizer shape — see corpus.with_quality_rules)."""
-    c = F.col(text_col)
-    return F.when(
-        c.isNull() | (F.trim(c) == ""), F.array().cast("array<string>")
-    ).otherwise(F.split(F.lower(F.trim(c)), r"\s+"))
+    return ws_tokens(text_col, lower=True)
 
 
 def bucket_expr(token: Column) -> Column:

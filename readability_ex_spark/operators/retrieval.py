@@ -26,6 +26,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from readability_ex_spark.operators.tokenize import ws_tokens
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 
@@ -57,10 +59,7 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("bm25_topk needs at least one query term")
-    c = F.col(text_col)
-    toks = F.when(
-        c.isNull() | (F.trim(c) == ""), F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(c), r"\s+"))
+    toks = ws_tokens(text_col)
     base = docs.select(
         F.col(id_col).alias("doc_id"), toks.alias("_toks")
     ).withColumn("dl", F.size("_toks"))
@@ -143,10 +142,7 @@ def materialize_bm25(
     `materialize_buckets` lesson: unclustered partitionBy sprays
     tasks × buckets small files). df is denormalized onto each posting
     so the probe needs no extra join."""
-    c = F.col(text_col)
-    toks = F.when(
-        c.isNull() | (F.trim(c) == ""), F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(c), r"\s+"))
+    toks = ws_tokens(text_col)
     base = docs.select(
         F.col(id_col).alias("doc_id"), toks.alias("_toks")
     ).withColumn("dl", F.size("_toks"))
@@ -248,10 +244,7 @@ def chunk_documents(
     """
     if size < 1 or stride < 1 or stride > size:
         raise ValueError("need 1 <= stride <= size")
-    c = F.col(text_col)
-    toks = F.when(
-        c.isNull() | (F.trim(c) == ""), F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(c), r"\s+"))
+    toks = ws_tokens(text_col)
     base = docs.select(F.col(id_col), toks.alias("_toks")).withColumn(
         "_n", F.size("_toks")
     )

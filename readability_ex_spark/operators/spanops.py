@@ -79,10 +79,9 @@ def _block_expr(text_col: str = "text", block_tokens: int = SPAN_BLOCK_TOKENS):
     """Deterministic block decomposition: consecutive ``block_tokens``-
     token windows of the whitespace tokenization (same chunk unit as
     ``decontam.line_dedup``, so both engines recompute it exactly)."""
-    c = F.col(text_col)
-    toks = F.when(
-        c.isNull() | (F.trim(c) == ""), F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(c), r"\s+"))
+    from readability_ex_spark.operators.tokenize import ws_tokens
+
+    toks = ws_tokens(text_col)
     n = F.ceil(F.size(toks) / F.lit(block_tokens)).cast("int")
     return F.when(
         n > 0,

@@ -743,10 +743,9 @@ def corpus_top_ngrams(
     a global top-k over the gram-cardinality table (TakeOrdered — no
     full sort materialization).  Output ``(gram, c)``.
     """
-    c = F.col(text_col)
-    toks = F.when(
-        c.isNull() | (F.trim(c) == ""), F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(c), r"\s+"))
+    from readability_ex_spark.operators.tokenize import ws_tokens
+
+    toks = ws_tokens(text_col)
     n_grams = F.size(toks) - F.lit(n - 1)
     grams = F.when(
         n_grams > 0,
@@ -774,9 +773,17 @@ def content_hash60(id_col, text_col) -> "F.Column":
     hex chars of md5(id|text) parsed as a long.  md5 + hex-parse are
     byte-identical in Spark (``conv``) and DuckDB (``CAST('0x…')``),
     unlike xxhash64 — the engine-portable ingredient a checksum oracle
-    needs.  60 bits so the parse never overflows a signed 64-bit int."""
+    needs.  60 bits so the parse never overflows a signed 64-bit int.
+
+    NULL text coalesces to '' so the row still contributes its id to
+    the checksum (Spark ``concat`` would otherwise return NULL and
+    ``bit_xor`` would silently skip the row — two corpora differing
+    only in NULL-text rows' ids would checksum identically), and so
+    both engines agree (DuckDB ``concat`` skips NULLs instead)."""
     payload = F.concat(
-        F.col(id_col).cast("string"), F.lit("|"), F.col(text_col)
+        F.col(id_col).cast("string"),
+        F.lit("|"),
+        F.coalesce(F.col(text_col), F.lit("")),
     )
     return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
 

@@ -222,6 +222,10 @@ def recrawl_schedule(
         .groupBy("url")
         .agg(F.max("_d").alias("fetch_date"))
         .withColumn("host", host_expr(F.col("url")))
+        # referenced up to 3x below (as-of bounds, host sizes, the
+        # scored join) — checkpoint so the full-history scan + url
+        # exchange run once, not per reference (plans are trees)
+        .localCheckpoint(eager=False)
     )
     if as_of is None:
         bounds = latest.agg(F.max("fetch_date").alias("_as_of"))

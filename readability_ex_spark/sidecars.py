@@ -68,11 +68,18 @@ def write_sidecar(
     df.write.mode(mode).parquet(sidecar_path(output, name))
 
 
-def record_sidecars(output: str, names: list[str]) -> None:
+def record_sidecars(
+    output: str, names: list[str], params: dict | None = None
+) -> None:
     """Write/refresh the versioned ``_sidecars.json`` manifest (the
-    union of artifacts ever recorded for this corpus)."""
+    union of artifacts ever recorded for this corpus).  ``params``
+    records build parameters that MUST stay fixed across updates (e.g.
+    the ``--split`` fractions — a corpus banded under two different
+    thresholds is silently contaminated); they merge over previous
+    values so unrelated runs don't erase them."""
     p = Path(output) / "_sidecars.json"
     known: set[str] = set()
+    kept_params: dict = {}
     if p.exists():
         try:
             doc = json.loads(p.read_text())
@@ -83,15 +90,33 @@ def record_sidecars(output: str, names: list[str]) -> None:
                     "refusing to extend them"
                 )
             known = set(doc.get("artifacts", []))
+            kept_params = dict(doc.get("params", {}))
         except (ValueError, KeyError):
             pass  # corrupt manifest: rewrite from scratch
     known.update(names)
+    kept_params.update(params or {})
     p.write_text(
         json.dumps(
-            {"version": SIDECAR_VERSION, "artifacts": sorted(known)},
+            {
+                "version": SIDECAR_VERSION,
+                "artifacts": sorted(known),
+                "params": kept_params,
+            },
             indent=1,
         )
     )
+
+
+def read_sidecar_params(output: str) -> dict:
+    """The pinned build parameters from ``_sidecars.json`` (empty if
+    the corpus predates the manifest or records none)."""
+    p = Path(output) / "_sidecars.json"
+    if not p.exists():
+        return {}
+    try:
+        return dict(json.loads(p.read_text()).get("params", {}))
+    except (ValueError, KeyError, TypeError, AttributeError):
+        return {}
 
 
 @dataclass(frozen=True)

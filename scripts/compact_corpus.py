@@ -16,9 +16,13 @@ dominate the scan). Compaction rewrites the data clustered by bucket —
    so the swap below is a metadata rename, not a copy — note: on
    object stores without atomic rename, run with a fresh --output-style
    path and flip the table pointer instead);
-3. swap: sidecar directories (``_manifest``, ``_bands``, ...) move over
-   unchanged — they describe corpus CONTENT, which compaction preserves
-   — then the old directory is replaced by the staged one.
+3. guard: the staged row count must equal the original's BEFORE the
+   original is touched (a concurrent append aborts the swap cleanly);
+4. swap: sidecar directories (``_manifest``, ``_bands``, ...) are
+   COPIED over unchanged — they describe corpus CONTENT, which
+   compaction preserves — then the old directory is replaced by the
+   staged one; the original survives at ``.precompact`` until the
+   post-swap recount passes.
 
 ``--verify-checksums`` recomputes the order-independent per-bucket
 content checksums (``textops.corpus_checksums``) over the compacted
@@ -130,24 +134,46 @@ def main() -> int:
             print(json.dumps({"error": "checksum mismatch — swap aborted"}))
             return 1
 
-    # swap: sidecars describe content, which is unchanged — move them
+    # row-count guard BEFORE anything touches the original: a staged
+    # rewrite that lost/duplicated rows (e.g. a concurrent --update
+    # between the rows_before count and the staging read) aborts while
+    # the corpus is still fully intact
+    rows_staged = spark.read.parquet(str(staging)).count()
+    if rows_staged != rows_before:
+        shutil.rmtree(staging, ignore_errors=True)
+        print(
+            json.dumps(
+                {
+                    "error": "row count changed in staged rewrite — "
+                    f"swap aborted: {rows_before} -> {rows_staged}"
+                }
+            )
+        )
+        return 1
+
+    # swap: sidecars describe content, which is unchanged — COPY them
+    # into staging (not move), so the original directory stays complete
+    # until the rename pair below; the only crash window is between the
+    # two renames, where the full original survives at .precompact
     for side in sorted(root.iterdir()):
-        if side.is_dir() and side.name.startswith("_"):
-            shutil.move(str(side), str(staging / side.name))
-        elif side.is_file() and side.name.startswith("_"):
-            shutil.move(str(side), str(staging / side.name))
+        if side.name.startswith("_"):
+            if side.is_dir():
+                shutil.copytree(str(side), str(staging / side.name))
+            else:
+                shutil.copy2(str(side), str(staging / side.name))
     old = root.with_name(root.name + ".precompact")
     shutil.rmtree(old, ignore_errors=True)
     root.rename(old)
     staging.rename(root)
-    shutil.rmtree(old, ignore_errors=True)
 
     rows_after = spark.read.parquet(args.corpus).count()
     if rows_after != rows_before:
+        # keep the .precompact copy for recovery
         raise SystemExit(
             f"row count changed across compaction: {rows_before} -> "
-            f"{rows_after}"
+            f"{rows_after} (original kept at {old})"
         )
+    shutil.rmtree(old, ignore_errors=True)
     print(
         json.dumps(
             {

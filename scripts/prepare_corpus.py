@@ -606,11 +606,18 @@ def main() -> int:
         )
     corpus = with_quality_signals(survivors)
     if args.emb_near_dup is not None:
+        # drops derivation + verdict anti-join both reference corpus —
+        # cut the plan tree once (CLAUDE.md tree-plan rule)
+        corpus = corpus.localCheckpoint(eager=False)
         drops = embedding_dedup_drops(corpus, args.emb_near_dup)
         corpus = corpus.join(drops, "url", "left_anti")
     sem_cents = None
     sem_cents_loaded = False
     if args.semantic_dedup is not None:
+        # up to three references below (centroid-training collect,
+        # scoring scan, anti-join) — checkpoint so the composed
+        # upstream runs once
+        corpus = corpus.localCheckpoint(eager=False)
         from readability_ex_spark.operators.corpus import (
             semantic_dedup_drops,
             train_text_centroids,
@@ -862,6 +869,27 @@ def main() -> int:
                 + ("without" if "split" not in existing.columns else "with")
                 + " a split column"
             )
+        if split_fracs is not None:
+            # ...and under the SAME fractions: bands assigned under a
+            # different threshold would mix [0,v1) and [0,v2) test
+            # membership across batches — exactly the cross-batch eval
+            # contamination the symmetry guard above refuses
+            from readability_ex_spark.sidecars import read_sidecar_params
+
+            recorded = read_sidecar_params(args.output).get("split")
+            if recorded is None:
+                raise SystemExit(
+                    "--split update refused: the existing corpus does "
+                    "not record its split fractions in _sidecars.json "
+                    "(built by an older version?); rebuild, or restore "
+                    "the manifest"
+                )
+            if tuple(recorded) != split_fracs:
+                raise SystemExit(
+                    "--split must match the existing corpus's recorded "
+                    f"fractions {tuple(recorded)}; got {split_fracs} — "
+                    "a url's split band would change across batches"
+                )
         # Self-heal before extending: the artifact appends of an update
         # (corpus, then each sidecar) are not atomic — a crash between
         # them leaves corpus rows the sidecars never learned about, and
@@ -1170,7 +1198,10 @@ def main() -> int:
     # which lifecycle version — the check a future layout change needs
     record_sidecars(
         args.output,
-        [
+        params=(
+            {"split": list(split_fracs)} if split_fracs is not None else None
+        ),
+        names=[
             n
             for n in (
                 "_manifest",

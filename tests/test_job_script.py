@@ -1457,6 +1457,46 @@ def test_prepare_corpus_script_split(spark, tmp_path):
     )
     assert proc2.returncode != 0
     assert "split" in (proc2.stderr + proc2.stdout)
+    # fraction guard: the build recorded its fractions in the sidecar
+    # manifest, and an update under DIFFERENT fractions must refuse
+    # (bands assigned under two thresholds = cross-batch contamination)
+    params = _json.loads((out / "_sidecars.json").read_text())["params"]
+    assert params["split"] == [0.25, 0.25]
+    proc3 = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(tmp_path / "pages"),
+            "--output", str(out),
+            "--update",
+            "--split", "0.1,0.1",
+            "--partitions", "2",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc3.returncode != 0
+    assert "fractions" in (proc3.stderr + proc3.stdout)
+    # ...and an update under the SAME fractions goes through, banding
+    # the new batch identically
+    spark.createDataFrame(
+        [page(i) for i in range(40, 50)],
+        "url string, warc_ts timestamp, html binary, "
+        "text string, lang string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "pages2"))
+    proc4 = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(tmp_path / "pages2"),
+            "--output", str(out),
+            "--update",
+            "--split", "0.25,0.25",
+            "--partitions", "2",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc4.returncode == 0, proc4.stderr[-1500:]
+    rows2 = spark.read.parquet(str(out)).select("url", "split").collect()
+    assert len(rows2) > len(rows)
+    assert all(r.split == expect(r.url) for r in rows2)
 
 
 def test_compact_corpus_script(spark, tmp_path):

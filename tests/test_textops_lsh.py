@@ -236,3 +236,35 @@ def test_corpus_top_ngrams(spark):
     want = sorted(naive.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     assert out == want
     assert out[0] == ("a b", 3)
+
+
+def test_corpus_checksums_null_text_contributes(spark):
+    """A NULL-text row still flips the checksum (content_hash60
+    coalesces, so bit_xor never skips the row), and NULL hashes like
+    empty text — matching the DuckDB oracle's COALESCE."""
+    import hashlib
+
+    from readability_ex_spark.operators.textops import corpus_checksums
+
+    base = spark.createDataFrame(
+        [("u1", "alpha"), ("u2", None)], "url string, text string"
+    )
+    out = {
+        r.bucket: (r.n_docs, r.content_xor)
+        for r in corpus_checksums(base, n_buckets=1).collect()
+    }
+    expect = 0
+    for url, text in (("u1", "alpha"), ("u2", "")):
+        h = hashlib.md5(f"{url}|{text}".encode()).hexdigest()[:15]
+        expect ^= int(h, 16)
+    assert out == {0: (2, expect)}
+
+    # dropping the NULL-text row changes the checksum (the integrity
+    # property the old concat-null plan silently lost)
+    only = {
+        r.bucket: r.content_xor
+        for r in corpus_checksums(
+            base.filter("text IS NOT NULL"), n_buckets=1
+        ).collect()
+    }
+    assert only[0] != out[0][1]
