@@ -760,6 +760,15 @@ def prepare_training_corpus(
         from readability_ex_spark.operators.urlops import canonicalize_url
 
         pages = pages.withColumn("url", canonicalize_url(F.col("url")))
+    if robots_rules is not None:
+        # host-level REP rules depend only on the url, so they filter
+        # the RAW pages: a disallowed page never pays extraction, and
+        # the anti-join's two references to its input re-derive only
+        # the cheap page scan — not the kernel (plans are trees; the
+        # post-extraction placement ran the UDF stage twice)
+        from readability_ex_spark.operators.robotstxt import robots_filter
+
+        pages = robots_filter(pages, robots_rules, agent=robots_agent)
     # Spark plans are trees: the dedup manifest AND every text-replacing
     # self-join stage (boilerplate, substring dedup, span decontam)
     # re-derive their input from this frame, and without a cache each
@@ -779,14 +788,6 @@ def prepare_training_corpus(
         from readability_ex_spark.operators.policyops import policy_filter
 
         extracted = policy_filter(extracted)
-    if robots_rules is not None:
-        # host-level REP rules, same early position: the rules table is
-        # tiny and broadcast; only matched urls reach the precedence agg
-        from readability_ex_spark.operators.robotstxt import robots_filter
-
-        extracted = robots_filter(
-            extracted, robots_rules, agent=robots_agent
-        )
     extracted = extracted.cache()
     if lang is not None:
         # route by language BEFORE the English-centric stopword/quality

@@ -75,14 +75,19 @@ def unigram_logprob(
     text_col: str = "text",
     vocab_size: int = DEFAULT_VOCAB_SIZE,
     vocab: DataFrame | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document mean unigram log-probability vs the corpus model.
 
-    Returns ``(id_col, n_tokens, n_oov, lm_logprob)``; ``lm_logprob``
-    is rounded to :data:`LOGPROB_DECIMALS` (engine-portable) and NULL
-    for token-less docs.  Pass a persisted :func:`unigram_vocab` result
-    as ``vocab`` to skip the corpus-wide build (the incremental-update
-    path); by default the model is estimated from ``docs`` itself.
+    Returns ``(id_col, *carry_cols, n_tokens, n_oov, lm_logprob)``;
+    ``lm_logprob`` is rounded to :data:`LOGPROB_DECIMALS`
+    (engine-portable) and NULL for token-less docs.  Pass a persisted
+    :func:`unigram_vocab` result as ``vocab`` to skip the corpus-wide
+    build (the incremental-update path); by default the model is
+    estimated from ``docs`` itself.  ``carry_cols`` ride through the
+    single scoring pass (grouped with the unique id, so grouping is
+    unchanged) — the alternative, joining the result back onto
+    ``docs``, would re-derive the whole upstream plan a second time.
     """
     if vocab is None:
         vocab = unigram_vocab(docs, text_col, vocab_size)
@@ -99,11 +104,13 @@ def unigram_logprob(
     # (Spark plans are trees), which inside a composed corpus build
     # means re-running the dedup pipeline
     toks = docs.select(
-        F.col(id_col), F.explode_outer(_tokens(text_col)).alias("token")
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.explode_outer(_tokens(text_col)).alias("token"),
     )
     per_doc = (
         toks.join(F.broadcast(entries), "token", "left")
-        .groupBy(id_col)
+        .groupBy(id_col, *carry_cols)
         .agg(
             F.count("token").alias("n_tokens"),
             F.sum(
@@ -116,6 +123,7 @@ def unigram_logprob(
     )
     return per_doc.crossJoin(F.broadcast(total_df)).select(
         id_col,
+        *carry_cols,
         "n_tokens",
         "n_oov",
         F.when(
@@ -248,8 +256,13 @@ def lm_buckets(
     """
     from pyspark.sql import Window
 
-    scored = unigram_logprob(docs, id_col, text_col, vocab_size, vocab)
-    keyed = docs.select(id_col, lang_col).join(scored, id_col)
+    # lang rides through the single scoring pass — the old restore
+    # join (docs.select(id, lang).join(scored)) re-derived the docs
+    # upstream twice, the exact pattern unigram_logprob's own
+    # explode_outer comment forbids
+    keyed = unigram_logprob(
+        docs, id_col, text_col, vocab_size, vocab, carry_cols=(lang_col,)
+    )
     w = Window.partitionBy(lang_col).orderBy(
         F.col("lm_logprob").desc_nulls_last(), F.col(id_col).asc()
     )

@@ -93,10 +93,15 @@ def _features(texts: list[str]):
 
     import numpy as np
 
+    from readability_ex_spark.operators.tokenize import py_ws_tokens
+
     x = np.zeros((len(texts), N_BUCKETS))
     idx = {b: i for i, b in enumerate(BUCKETS)}
     for r, text in enumerate(texts):
-        toks = (text or "").strip().lower().split()
+        # EXACT twin of tokens_expr — str.split() would train weights
+        # on buckets the distributed scorer never produces (it swallows
+        # U+00A0 and strips non-space whitespace the JVM trim keeps)
+        toks = py_ws_tokens(text, lower=True)
         for t in toks:
             x[r, idx[hashlib.md5(t.encode("utf-8")).hexdigest()[:2]]] += 1.0
         if toks:
@@ -306,9 +311,11 @@ def score_texts(model: QualityModel, texts: list[str]) -> list[float]:
     """Driver-side reference scorer (numpy-free, per-row) for tests."""
     import hashlib
 
+    from readability_ex_spark.operators.tokenize import py_ws_tokens
+
     out = []
     for text in texts:
-        toks = (text or "").strip().lower().split()
+        toks = py_ws_tokens(text, lower=True)
         s = sum(
             model.weights.get(
                 hashlib.md5(t.encode("utf-8")).hexdigest()[:2], 0.0

@@ -48,6 +48,56 @@ from pyspark.sql import functions as F
 from readability_ex_spark.operators.urlops import _SCHEME_AUTH_RE, host_expr
 
 
+def _kv_lines(
+    robots: DataFrame,
+    host_col: str,
+    body_col: str,
+    keys: tuple[str, ...],
+    with_pos: bool = True,
+) -> DataFrame:
+    """The fuzz-tested robots.txt line decomposition, as ONE copy shared
+    by every parser (:func:`parse_robots`, :func:`parse_sitemaps`,
+    :func:`parse_crawl_delay` — a fix to the comment-strip or key regex
+    lands everywhere at once): split bodies on newline, strip ``#``
+    comments, trim, split key/value on the first ``:``
+    (case-insensitive key), keep only ``keys``.  ``with_pos`` carries
+    ``line_no`` for the group-formation window."""
+    line_cols = (
+        F.posexplode(
+            F.split(F.coalesce(F.col(body_col), F.lit("")), "\n")
+        ).alias("line_no", "raw")
+        if with_pos
+        else F.explode(
+            F.split(F.coalesce(F.col(body_col), F.lit("")), "\n")
+        ).alias("raw")
+    )
+    lines = robots.select(F.col(host_col).alias("host"), line_cols)
+    stripped = F.trim(F.regexp_extract(F.col("raw"), r"^[^#]*", 0))
+    key = F.lower(F.regexp_extract(stripped, r"^([A-Za-z][A-Za-z-]*)\s*:", 1))
+    value = F.trim(
+        F.regexp_extract(stripped, r"^[A-Za-z][A-Za-z-]*\s*:(.*)$", 1)
+    )
+    cols = ["host"] + (["line_no"] if with_pos else [])
+    return lines.select(
+        *cols, key.alias("key"), value.alias("value")
+    ).filter(F.col("key").isin(*keys))
+
+
+def _agent_groups(kv: DataFrame) -> DataFrame:
+    """RFC 9309 group formation over a ``_kv_lines(with_pos=True)``
+    frame: a run of consecutive ``user-agent`` lines starts a group;
+    rows before any group are dropped.  Adds ``group_id``."""
+    w = Window.partitionBy("host").orderBy("line_no")
+    is_ua = F.col("key") == "user-agent"
+    group_start = is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))
+    return kv.withColumn(
+        "group_id",
+        F.sum(group_start.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).filter(F.col("group_id") > 0)
+
+
 def parse_robots(
     robots: DataFrame,
     host_col: str = "host",
@@ -63,33 +113,11 @@ def parse_robots(
     Keys are case-insensitive; ``#`` starts a comment; blank lines are
     insignificant (they do NOT close a group — RFC 9309 §2.2).
     """
-    lines = robots.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.coalesce(F.col(body_col), F.lit("")), "\n")).alias(
-            "line_no", "raw"
-        ),
+    kv = _kv_lines(
+        robots, host_col, body_col, ("user-agent", "allow", "disallow")
     )
-    # comment strip + trim, then key/value split on the first ':'
-    stripped = F.trim(F.regexp_extract(F.col("raw"), r"^[^#]*", 0))
-    key = F.lower(F.regexp_extract(stripped, r"^([A-Za-z][A-Za-z-]*)\s*:", 1))
-    value = F.trim(F.regexp_extract(stripped, r"^[A-Za-z][A-Za-z-]*\s*:(.*)$", 1))
-    kv = lines.select(
-        "host",
-        "line_no",
-        key.alias("key"),
-        value.alias("value"),
-    ).filter(F.col("key").isin("user-agent", "allow", "disallow"))
-
-    w = Window.partitionBy("host").orderBy("line_no")
+    grouped = _agent_groups(kv)
     is_ua = F.col("key") == "user-agent"
-    group_start = is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))
-    grouped = kv.withColumn(
-        "group_id",
-        F.sum(group_start.cast("int")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    ).filter(F.col("group_id") > 0)
-
     agents = grouped.filter(is_ua).select(
         "host", "group_id", F.lower(F.col("value")).alias("agent")
     )
@@ -116,21 +144,10 @@ def parse_sitemaps(
     the file, including before any group), so extraction is a plain
     line filter — no group window needed.  Duplicate declarations
     collapse; line order is not meaningful."""
-    lines = robots.select(
-        F.col(host_col).alias("host"),
-        F.explode(
-            F.split(F.coalesce(F.col(body_col), F.lit("")), "\n")
-        ).alias("raw"),
-    )
-    stripped = F.trim(F.regexp_extract(F.col("raw"), r"^[^#]*", 0))
-    key = F.lower(F.regexp_extract(stripped, r"^([A-Za-z][A-Za-z-]*)\s*:", 1))
-    value = F.trim(
-        F.regexp_extract(stripped, r"^[A-Za-z][A-Za-z-]*\s*:(.*)$", 1)
-    )
     return (
-        lines.select("host", key.alias("key"), value.alias("sitemap_url"))
-        .filter((F.col("key") == "sitemap") & (F.col("sitemap_url") != ""))
-        .select("host", "sitemap_url")
+        _kv_lines(robots, host_col, body_col, ("sitemap",), with_pos=False)
+        .filter(F.col("value") != "")
+        .select("host", F.col("value").alias("sitemap_url"))
         .distinct()
     )
 
@@ -153,31 +170,9 @@ def parse_crawl_delay(
     9309 §2.2.2 — keeps them one run; the two parsers only ever
     disagree on files that interleave the keys that way.
     """
-    lines = robots.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(
-            F.split(F.coalesce(F.col(body_col), F.lit("")), "\n")
-        ).alias("line_no", "raw"),
-    )
-    stripped = F.trim(F.regexp_extract(F.col("raw"), r"^[^#]*", 0))
-    key = F.lower(F.regexp_extract(stripped, r"^([A-Za-z][A-Za-z-]*)\s*:", 1))
-    value = F.trim(
-        F.regexp_extract(stripped, r"^[A-Za-z][A-Za-z-]*\s*:(.*)$", 1)
-    )
-    kv = lines.select(
-        "host", "line_no", key.alias("key"), value.alias("value")
-    ).filter(F.col("key").isin("user-agent", "crawl-delay"))
-
-    w = Window.partitionBy("host").orderBy("line_no")
+    kv = _kv_lines(robots, host_col, body_col, ("user-agent", "crawl-delay"))
+    grouped = _agent_groups(kv)
     is_ua = F.col("key") == "user-agent"
-    group_start = is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))
-    grouped = kv.withColumn(
-        "group_id",
-        F.sum(group_start.cast("int")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    ).filter(F.col("group_id") > 0)
-
     agents = grouped.filter(is_ua).select(
         "host", "group_id", F.lower(F.col("value")).alias("agent")
     )
@@ -362,6 +357,29 @@ def url_path_expr(url: Column | str) -> Column:
     ).otherwise(rest)
 
 
+def _rules_side(rules: DataFrame, agent: str) -> DataFrame:
+    """The broadcastable rules side both :func:`robots_verdict` and
+    :func:`robots_filter` join against: agent-filtered rules with the
+    precompiled anchored regex and the precedence pattern length."""
+    return rules_for_agent(rules, agent).select(
+        "host",
+        "rule",
+        "path",
+        F.concat(F.lit("^"), pattern_regex_expr("path")).alias("_rx"),
+        F.length("path").alias("_patlen"),
+    )
+
+
+def _keyed_pages(pages: DataFrame, url_col: str) -> DataFrame:
+    """Pages projected to the (url, host, path) join key — shared by
+    the verdict and filter variants so they match the same way."""
+    return pages.select(
+        F.col(url_col).alias("_url"),
+        host_expr(url_col).alias("_host"),
+        url_path_expr(url_col).alias("_path"),
+    )
+
+
 def robots_verdict(
     pages: DataFrame,
     rules: DataFrame,
@@ -379,21 +397,8 @@ def robots_verdict(
     never shuffles pages more than that one agg).  No rule / no
     robots.txt -> allowed (permissive default).
     """
-    side = (
-        rules_for_agent(rules, agent)
-        .select(
-            "host",
-            "rule",
-            "path",
-            F.concat(F.lit("^"), pattern_regex_expr("path")).alias("_rx"),
-            F.length("path").alias("_patlen"),
-        )
-    )
-    keyed = pages.select(
-        F.col(url_col).alias("_url"),
-        host_expr(url_col).alias("_host"),
-        url_path_expr(url_col).alias("_path"),
-    )
+    side = _rules_side(rules, agent)
+    keyed = _keyed_pages(pages, url_col)
     is_match = F.col("host").isNotNull() & F.rlike(
         F.col("_path"), F.col("_rx")
     )
@@ -438,7 +443,14 @@ def robots_verdict(
         F.col("_win.rule").alias("robots_rule"),
         F.col("_win.path").alias("robots_path"),
     )
-    return pages.join(verdict, url_col)
+    # LEFT join + permissive coalesce: an equi-join never matches a
+    # NULL url, so an inner join would silently DROP such rows — the
+    # annotate variant must keep every input row (robots_filter's
+    # left_anti keeps them too; the two variants must agree on which
+    # pages exist), with the documented no-rule -> allowed default
+    return pages.join(verdict, url_col, "left").withColumn(
+        "robots_allowed", F.coalesce(F.col("robots_allowed"), F.lit(True))
+    )
 
 
 def robots_filter(
@@ -457,18 +469,8 @@ def robots_filter(
     LEFT ANTI join against just the disallowed urls, which AQE sizes
     (usually broadcast: the disallowed set is tiny relative to pages).
     """
-    side = rules_for_agent(rules, agent).select(
-        "host",
-        "rule",
-        "path",
-        F.concat(F.lit("^"), pattern_regex_expr("path")).alias("_rx"),
-        F.length("path").alias("_patlen"),
-    )
-    keyed = pages.select(
-        F.col(url_col).alias("_url"),
-        host_expr(url_col).alias("_host"),
-        url_path_expr(url_col).alias("_path"),
-    )
+    side = _rules_side(rules, agent)
+    keyed = _keyed_pages(pages, url_col)
     disallowed = (
         keyed.join(F.broadcast(side), keyed["_host"] == side["host"])
         .filter(F.rlike(F.col("_path"), F.col("_rx")))

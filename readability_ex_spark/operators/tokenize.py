@@ -15,7 +15,13 @@ token-grain query in ``__spark_entry__.py``.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, functions as F
+
+# Java \s is ASCII-only: [ \t\n\x0B\f\r] — NOT Python str.split()'s
+# Unicode whitespace (U+00A0 etc.)
+_JAVA_WS = re.compile("[ \\t\\n\\x0b\\f\\r]+")
 
 
 def ws_tokens(text_col: str | Column, lower: bool = False) -> Column:
@@ -27,3 +33,26 @@ def ws_tokens(text_col: str | Column, lower: bool = False) -> Column:
     return F.when(
         c.isNull() | (F.trim(c) == ""), F.array().cast("array<string>")
     ).otherwise(F.split(body, r"\s+"))
+
+
+def py_ws_tokens(text: str | None, lower: bool = False) -> list[str]:
+    """Driver-side twin of :func:`ws_tokens`, reproducing the JVM
+    semantics EXACTLY — anything trained/referenced in Python against
+    text the cluster tokenizes must use this, not ``str.split()``:
+
+    - trim strips ASCII spaces only (``F.trim``), not all whitespace;
+    - NULL or space-only text -> ``[]``;
+    - split on Java ``\\s`` (ASCII ``[ \\t\\n\\x0B\\f\\r]``), keeping
+      leading/trailing empty tokens like ``F.split``'s limit=-1 —
+      ``re.split`` matches both, ``str.split()`` matches neither (it
+      also swallows U+00A0 and friends, producing buckets the
+      distributed scorer never sees).
+    """
+    if text is None:
+        return []
+    t = text.strip(" ")
+    if t == "":
+        return []
+    if lower:
+        t = t.lower()
+    return _JAVA_WS.split(t)

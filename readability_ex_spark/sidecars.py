@@ -31,6 +31,14 @@ script; this module is the one code path.  Two lifecycle classes:
 corpus carries and the lifecycle version that wrote them, so a future
 layout change can detect (and migrate) older corpora instead of
 silently misreading them.
+
+Deployment constraint: existence checks and the JSON manifest use
+``pathlib`` and the sidecar writes use Spark, so the CORPUS PATH MUST
+BE A LOCAL FILESYSTEM (the sandbox's deployment shape).  An
+object-store/HDFS deployment swaps the ``Path`` calls here (and the
+``shutil`` staging moves in ``scripts/prepare_corpus.py`` /
+``scripts/compact_corpus.py``) for the Hadoop FileSystem API — this
+module is deliberately the one seam where that change lands.
 """
 
 from __future__ import annotations

@@ -100,6 +100,20 @@ def stream_extraction(
             batch_df = batch_df.withColumn(
                 "url", canonicalize_url(F.col("url"))
             )
+        if robots_rules is not None:
+            # host-level REP rules depend only on the url — filter the
+            # raw batch rows so a disallowed page never pays extraction
+            # and the anti-join's two input references re-derive the
+            # micro-batch scan, not the kernel (the post-extraction
+            # placement ran the UDF stage twice per micro-batch). Same
+            # survivor set as the batch script by construction.
+            from readability_ex_spark.operators.robotstxt import (
+                robots_filter,
+            )
+
+            batch_df = robots_filter(
+                batch_df, robots_rules, agent=robots_agent
+            )
         extracted = run_extraction(batch_df, dedup=True)
         if respect_robots:
             # same position as the batch script: right after extraction,
@@ -111,14 +125,6 @@ def stream_extraction(
             )
 
             extracted = policy_filter(extracted)
-        if robots_rules is not None:
-            from readability_ex_spark.operators.robotstxt import (
-                robots_filter,
-            )
-
-            extracted = robots_filter(
-                extracted, robots_rules, agent=robots_agent
-            )
         if low_hosts is not None:
             from readability_ex_spark.operators.urlops import host_expr
 

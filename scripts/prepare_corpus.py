@@ -299,6 +299,11 @@ def main() -> int:
     args = ap.parse_args()
     if args.lm_order == 2 and args.min_lm_logprob is None and not args.lm_bands:
         ap.error("--lm-order 2 needs --min-lm-logprob and/or --lm-bands")
+    if args.contamination_report and args.decontaminate is None:
+        # refusing beats silence: without the eval set there is nothing
+        # to audit, and a run that exits 0 with no _contamination
+        # sidecar reads as "the check passed"
+        ap.error("--contamination-report needs --decontaminate EVAL_PATH")
     chunk_params = None
     if args.chunk_index is not None:
         try:
@@ -345,6 +350,32 @@ def main() -> int:
         from readability_ex_spark.operators.urlops import canonicalize_url
 
         pages = pages.withColumn("url", canonicalize_url(F.col("url")))
+    if args.robots_txt or args.robots_from_crawl:
+        # host-level REP rules depend only on the url, so they filter
+        # the RAW pages: a disallowed page never pays extraction, and
+        # robots_filter's two references to its input re-derive only
+        # the cheap page scan — not the kernel (the post-extraction
+        # placement ran the UDF stage twice). The rules table is tiny
+        # (one row per host x agent x rule) and broadcast; only matched
+        # urls reach the precedence agg.
+        from readability_ex_spark.operators.robotstxt import (
+            parse_robots,
+            robots_filter,
+            robots_from_pages,
+        )
+
+        if args.robots_txt:
+            robots_df = spark.read.parquet(args.robots_txt)
+        else:
+            # the crawl archived its own robots fetches: lift them off
+            # the RAW page rows BEFORE the filter below prunes them
+            # (robots.txt is not HTML — those rows never become corpus
+            # docs anyway)
+            robots_df = robots_from_pages(pages, ts_col="warc_ts")
+        robots_rules = parse_robots(robots_df).localCheckpoint(
+            eager=True
+        )  # tiny; cut the re-derivation per use
+        pages = robots_filter(pages, robots_rules, agent=args.robots_agent)
 
     # extraction is the expensive stage — run it ONCE and cache; both the
     # corpus and the manifest artifact derive from it
@@ -357,29 +388,6 @@ def main() -> int:
         from readability_ex_spark.operators.policyops import policy_filter
 
         extracted = policy_filter(extracted)
-    if args.robots_txt or args.robots_from_crawl:
-        # host-level REP rules, same early position as the meta flags:
-        # the rules table is tiny (one row per host x agent x rule) and
-        # broadcast; only matched urls reach the precedence agg
-        from readability_ex_spark.operators.robotstxt import (
-            parse_robots,
-            robots_filter,
-            robots_from_pages,
-        )
-
-        if args.robots_txt:
-            robots_df = spark.read.parquet(args.robots_txt)
-        else:
-            # the crawl archived its own robots fetches: lift them off
-            # the RAW page rows (robots.txt is not HTML — those rows
-            # never become corpus docs anyway)
-            robots_df = robots_from_pages(pages, ts_col="warc_ts")
-        robots_rules = parse_robots(robots_df).localCheckpoint(
-            eager=True
-        )  # tiny; cut the re-derivation per use
-        extracted = robots_filter(
-            extracted, robots_rules, agent=args.robots_agent
-        )
     hostrank_df = None
     if args.host_rank_floor > 0:
         # crawl-graph quality floor: rank hosts by the batch's own link
@@ -393,6 +401,10 @@ def main() -> int:
         )
         from readability_ex_spark.operators.urlops import host_expr
 
+        # the edge walk (materialized by the threshold collect below)
+        # and the host anti-join both reference extracted BEFORE the
+        # cache() downstream — checkpoint so the kernel runs once
+        extracted = extracted.localCheckpoint(eager=False)
         edges = (
             extracted.filter(F.col("outlinks").isNotNull())
             .select("url", F.explode("outlinks").alias("dst"))
@@ -1002,10 +1014,33 @@ def main() -> int:
     corpus = corpus.withColumn(
         "url_bucket", F.pmod(F.xxhash64("url"), F.lit(64)).cast("int")
     )
+    if args.update:
+        # schema symmetry for the WHOLE row, not just the flag-guarded
+        # columns: appending part-files with different columns (a stage
+        # flag changed, or the code version added a kernel column)
+        # makes reads of the mixed directory nondeterministic — the
+        # parquet footer that wins file-listing order decides which
+        # columns exist. Refuse instead.
+        existing_cols = set(spark.read.parquet(args.output).columns)
+        new_cols = set(corpus.columns)
+        if new_cols != existing_cols:
+            raise SystemExit(
+                "--update refused: appended schema would not match the "
+                f"existing corpus (missing: {sorted(existing_cols - new_cols)}; "
+                f"extra: {sorted(new_cols - existing_cols)}). Re-run with "
+                "the stage flags the corpus was built with (see the "
+                "_datacard stages), or rebuild without --update to "
+                "migrate it to this code version's schema."
+            )
     corpus.write.partitionBy("url_bucket").mode(write_mode).parquet(args.output)
     if args.drop_boilerplate and not args.update:
         # promote the staged pre-verdict chunk counts into the output
-        # dir now that the overwrite is done (local/HDFS rename)
+        # dir now that the overwrite is done. NOTE: shutil (like the
+        # Path-based sidecar_exists checks) only works on a LOCAL
+        # --output path — the sandbox's deployment shape; an object-
+        # store/HDFS deployment must swap these filesystem calls for
+        # the Hadoop FileSystem API (one seam: sidecars.py + this
+        # block), same caveat as compact_corpus.py's rename swap
         import shutil
 
         shutil.move(chunk_df_staging, chunk_df_path)

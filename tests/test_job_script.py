@@ -1718,3 +1718,59 @@ def test_prepare_corpus_semantic_dedup_centroids(spark, tmp_path):
     cents2 = spark.read.parquet(str(out / "_sem_centroids")).collect()
     assert sorted(map(tuple, ((r.cell, tuple(r.centroid)) for r in cents))) \
         == sorted(map(tuple, ((r.cell, tuple(r.centroid)) for r in cents2)))
+
+
+def test_prepare_corpus_update_schema_guard(spark, tmp_path):
+    """--update refuses to append a batch whose schema differs from the
+    existing corpus (here: --shard-tokens adds shard_id) — a mixed-
+    schema parquet directory reads nondeterministically."""
+    import datetime
+
+    ts = datetime.datetime(2024, 6, 1)
+
+    def page(i):
+        body = " ".join(f"w{i}x{j}" for j in range(40))
+        html = (
+            f"<html><body><article><p>{body}</p></article></body></html>"
+        ).encode()
+        return (f"http://sg.test/{i}", ts, html, "", "en")
+
+    spark.createDataFrame(
+        [page(i) for i in range(10)],
+        "url string, warc_ts timestamp, html binary, "
+        "text string, lang string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "pages"))
+    out = tmp_path / "corpus"
+    base = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(tmp_path / "pages"),
+            "--output", str(out),
+            "--partitions", "2",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert base.returncode == 0, base.stderr[-1500:]
+    spark.createDataFrame(
+        [page(i) for i in range(10, 14)],
+        "url string, warc_ts timestamp, html binary, "
+        "text string, lang string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "pages2"))
+    upd = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+            "--input", str(tmp_path / "pages2"),
+            "--output", str(out),
+            "--update",
+            "--shard-tokens", "100",
+            "--partitions", "2",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert upd.returncode != 0
+    assert "schema" in (upd.stderr + upd.stdout)
+    assert "shard_id" in (upd.stderr + upd.stdout)
+    # the refused update must not have appended anything
+    assert spark.read.parquet(str(out)).count() == spark.read.parquet(
+        str(out)
+    ).select("url").distinct().count()

@@ -177,3 +177,39 @@ def test_training_inputs_affect_weights():
     m1 = train_quality_model(["alpha beta", "gamma delta"], [True, False])
     m2 = train_quality_model(["alpha beta", "gamma delta"], [False, True])
     assert m1 != m2
+
+
+def test_py_ws_tokens_matches_jvm_expression(spark):
+    """The driver-side tokenizer twin reproduces ws_tokens exactly on
+    the whitespace shapes where str.split() diverges (NBSP, tabs at the
+    edges, runs of mixed ASCII whitespace, NULL/blank)."""
+    from pyspark.sql import functions as F
+
+    from readability_ex_spark.operators.tokenize import (
+        py_ws_tokens,
+        ws_tokens,
+    )
+
+    cases = [
+        None,
+        "",
+        "   ",
+        "\t\n",
+        "plain words here",
+        "foo bar",          # NBSP: ONE jvm token, two for str.split
+        "\tlead tab",            # trim keeps the tab -> leading empty tok
+        "trail tab\t",
+        "a  b\t\tc\nd",
+        " MiXeD Case WS ",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)],
+                               "i int, text string")
+    for lower in (False, True):
+        jvm = {
+            r.i: r.toks
+            for r in df.select(
+                "i", ws_tokens("text", lower=lower).alias("toks")
+            ).collect()
+        }
+        for i, t in enumerate(cases):
+            assert jvm[i] == py_ws_tokens(t, lower=lower), (t, lower)

@@ -457,3 +457,29 @@ def test_sitemaps_from_pages_and_parse(spark):
         ("https://h.test/new?a=1&b=2", False),  # decoded, trimmed, deduped
         ("https://h.test/sitemap-sub.xml", True),
     }
+
+
+def test_verdict_keeps_null_url_rows(spark, rules):
+    """A NULL-url row survives robots_verdict (left join + permissive
+    default — an inner equi-join would silently drop it) and gets the
+    same existence verdict as robots_filter's left_anti."""
+    from readability_ex_spark.operators.robotstxt import robots_filter
+
+    pages = spark.createDataFrame(
+        [("http://a.com/private/x",), ("http://d.com/ok",), (None,)],
+        "url string",
+    )
+    v = robots_verdict(pages, rules, agent="GoodBot")
+    rows = {r.url: r for r in v.collect()}
+    assert set(rows) == {"http://a.com/private/x", "http://d.com/ok", None}
+    assert rows[None].robots_allowed is True
+    assert rows[None].robots_rule is None
+    # annotate-then-filter == the filter variant, row for row
+    kept_verdict = sorted(
+        r.url or "" for r in v.filter("robots_allowed").collect()
+    )
+    kept_filter = sorted(
+        r.url or ""
+        for r in robots_filter(pages, rules, agent="GoodBot").collect()
+    )
+    assert kept_verdict == kept_filter
