@@ -2192,8 +2192,14 @@ def oracle_sql() -> dict[str, str]:
                        '(?i)<loc[^>]*>([^<]*)</loc>', 1)) AS raw
               FROM smaps),
             dec AS (
+              -- regexp whitespace trim at both ends, matching the Spark
+              -- side (SQL trim strips only spaces; pretty-printed
+              -- sitemaps newline-pad their locs); two anchored replaces
+              -- because DuckDB regexp_replace is first-match-only
               SELECT DISTINCT host,
-                     replace(replace(replace(replace(replace(trim(raw),
+                     replace(replace(replace(replace(replace(
+                       regexp_replace(regexp_replace(raw,
+                         '^\\s+', ''), '\\s+$', ''),
                        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                        '&apos;', ''''), '&amp;', '&') AS loc,
                      from_index

@@ -525,7 +525,10 @@ def dedup_quality_keeper(
     """
     joined = manifest.join(
         scores.select(F.col(id_col), F.col(score_col)), id_col
-    )
+    # referenced twice below (the keeper argmax AND the output re-join)
+    # — checkpoint so the manifest/scores lineage runs once per action
+    # (plans are trees; the callers' caches come later)
+    ).localCheckpoint(eager=False)
     keepers = (
         joined.groupBy(canonical_col)
         .agg(

@@ -241,7 +241,11 @@ def parse_sitemap_urls(
     sitemaps.org ``<urlset>`` documents list page urls, ``<sitemapindex>``
     documents list MORE sitemaps (``from_index`` = true; the caller
     feeds those back through the fetch loop).  ``<loc>`` values are
-    whitespace-trimmed and XML-entity-decoded; extraction is one
+    whitespace-trimmed (REGEXP trim at both ends — ``F.trim`` strips
+    only 0x20 spaces, and pretty-printed sitemaps newline-pad their
+    locs, which would then fail the frontier's anchored ``^https?://``
+    check and silently vanish from the schedule) and
+    XML-entity-decoded; extraction is one
     ``regexp_extract_all`` (locs cannot contain ``<``, so the pattern
     needs no lazy quantifier), pure codegen, duplicates collapsed.
     """
@@ -256,7 +260,16 @@ def parse_sitemap_urls(
         )
         .select(
             "host",
-            _xml_unescape(F.trim(F.col("_raw"))).alias("loc"),
+            # two anchored replaces, not one alternation: DuckDB's
+            # regexp_replace is first-match-only, and each anchored
+            # pattern can match at most once — portable by construction
+            _xml_unescape(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("_raw"), r"^\s+", ""),
+                    r"\s+$",
+                    "",
+                )
+            ).alias("loc"),
             "from_index",
         )
         .filter(F.col("loc") != "")

@@ -114,6 +114,18 @@ def stream_extraction(
             batch_df = robots_filter(
                 batch_df, robots_rules, agent=robots_agent
             )
+        if low_hosts is not None:
+            # the host floor is url-derived too — drop below-floor
+            # hosts' pages BEFORE they pay the kernel (the same
+            # reasoning as the robots filter above; the anti-join's
+            # references re-derive the micro-batch scan, not the UDF)
+            from readability_ex_spark.operators.urlops import host_expr
+
+            batch_df = batch_df.join(
+                F.broadcast(low_hosts),
+                host_expr(F.col("url")) == low_hosts.host,
+                "left_anti",
+            )
         extracted = run_extraction(batch_df, dedup=True)
         if respect_robots:
             # same position as the batch script: right after extraction,
@@ -125,14 +137,6 @@ def stream_extraction(
             )
 
             extracted = policy_filter(extracted)
-        if low_hosts is not None:
-            from readability_ex_spark.operators.urlops import host_expr
-
-            extracted = extracted.join(
-                F.broadcast(low_hosts),
-                host_expr(F.col("url")) == low_hosts.host,
-                "left_anti",
-            )
         # stage ORDER mirrors scripts/prepare_corpus.py (pii scrub, THEN
         # blocklist): with both flags on, a doc whose only blocklist hit
         # sits inside later-scrubbed text must get the same verdict in

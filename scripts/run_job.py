@@ -27,6 +27,26 @@ if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
 
+def _committed_with_outlinks(spark, output: str):
+    """Read back the whole committed output table for the link-graph
+    artifacts, schema-merged: a resumed run may append onto files
+    written by an older code version without the ``outlinks`` column,
+    and a single-footer schema inference would then either raise
+    UNRESOLVED_COLUMN or silently drop the old rows' edges depending on
+    which file wins listing order.  mergeSchema makes it deterministic
+    (legacy rows read outlinks as NULL and are filtered, new rows
+    contribute); a table with NO outlinks anywhere fails loudly."""
+    committed = spark.read.option("mergeSchema", "true").parquet(output)
+    if "outlinks" not in committed.columns:
+        raise SystemExit(
+            "--host-rank/--inlinks/--frontier need the kernel-emitted "
+            f"outlinks column, which no file under {output} carries — "
+            "the output predates it; re-run extraction with this code "
+            "version first"
+        )
+    return committed
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
@@ -264,8 +284,14 @@ def main() -> int:
             anchor_index,
             extract_anchors,
         )
+        from readability_ex_spark.pipeline import dedup_latest_crawl
 
-        anchor_index(extract_anchors(pages)).write.mode(
+        # latest fetch per url first: a crawl input carries repeated
+        # (url, warc_ts) fetches, and counting each fetch's anchors
+        # would skew n_anchors by REFETCH frequency, not link frequency
+        # (the same collapse run_extraction and the edge .distinct()s
+        # apply)
+        anchor_index(extract_anchors(dedup_latest_crawl(pages))).write.mode(
             "overwrite"
         ).parquet(f"{args.output}/_anchors")
 
@@ -281,7 +307,7 @@ def main() -> int:
         # the graph covers the whole corpus even on a resumed run.
         # outlinks are harvested pre-parse, so not_readable/error pages
         # still contribute their edges — only empty-html rows drop out.
-        committed = spark.read.parquet(args.output)
+        committed = _committed_with_outlinks(spark, args.output)
         edges = (
             committed.filter(F.col("outlinks").isNotNull())
             .select("url", F.explode("outlinks").alias("dst"))
@@ -299,7 +325,7 @@ def main() -> int:
 
         # same read-back discipline as --host-rank: the artifact covers
         # every committed row, resumed runs included
-        committed = spark.read.parquet(args.output)
+        committed = _committed_with_outlinks(spark, args.output)
         edges = (
             committed.filter(F.col("outlinks").isNotNull())
             .select(F.col("url").alias("src"), F.explode("outlinks").alias("dst"))
@@ -319,7 +345,7 @@ def main() -> int:
             sitemaps_from_pages,
         )
 
-        committed = spark.read.parquet(args.output)
+        committed = _committed_with_outlinks(spark, args.output)
         discovered = (
             committed.filter(F.col("outlinks").isNotNull())
             .select(F.explode("outlinks").alias("url"))
@@ -334,11 +360,7 @@ def main() -> int:
             .select(F.col("loc").alias("url"))
         )
         discovered = discovered.unionByName(sitemap_locs)
-        frontier = crawl_frontier(
-            discovered,
-            committed.select("url"),
-            max_per_host=args.frontier,
-        )
+        delays = None
         if args.frontier_agent:
             from readability_ex_spark.operators.robotstxt import (
                 crawl_delay_for_agent,
@@ -349,13 +371,16 @@ def main() -> int:
             )
 
             # one robots lift feeds both halves of the policy: RFC 9309
-            # rules drop disallowed urls from the schedule entirely, and
+            # rules drop disallowed urls from the CANDIDATE POOL —
+            # before the per-host cap, so a disallowed url never
+            # consumes the host's quota (filtering the capped frontier
+            # instead left hosts under-scheduled and rk gapped) — and
             # Crawl-delay annotates what survives
             robots_bodies = robots_from_pages(pages).localCheckpoint(
                 eager=True
             )
-            frontier = robots_filter(
-                frontier,
+            discovered = robots_filter(
+                discovered,
                 parse_robots(robots_bodies),
                 agent=args.frontier_agent,
             )
@@ -363,6 +388,12 @@ def main() -> int:
                 parse_crawl_delay(robots_bodies),
                 agent=args.frontier_agent,
             )
+        frontier = crawl_frontier(
+            discovered,
+            committed.select("url"),
+            max_per_host=args.frontier,
+        )
+        if delays is not None:
             # tiny per-host table; hosts with no declared delay -> NULL
             frontier = frontier.join(F.broadcast(delays), "host", "left")
         frontier.write.mode("overwrite").parquet(f"{args.output}/_frontier")

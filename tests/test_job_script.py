@@ -1356,7 +1356,11 @@ def test_run_job_frontier_delays(spark, tmp_path):
             "--input", str(tmp_path / "pages"),
             "--output", str(tmp_path / "out"),
             "--partitions", "2",
-            "--frontier", "5",
+            # cap 2 with 3 candidates, the middle one (url-ascending)
+            # robots-disallowed: the filter must run BEFORE the cap, or
+            # /fresh/b would consume a quota slot and push from-sitemap
+            # out of the schedule
+            "--frontier", "2",
             "--frontier-agent", "mybot",
             "--run-id", "fd0",
         ],
@@ -1371,11 +1375,14 @@ def test_run_job_frontier_delays(spark, tmp_path):
     }
     # outlink discovery + sitemap discovery; the sitemap's already-
     # crawled loc (p1) must not re-enter, and the robots-disallowed
-    # /fresh/b never enters the schedule
+    # /fresh/b never enters the schedule NOR consumes the host's quota
+    # (cap 2 still schedules both allowed urls)
     assert set(frontier) == {
         "http://h.test/fresh/a",
         "http://h.test/from-sitemap",
     }
+    # rk stays contiguous 1..k after the pre-cap filter
+    assert sorted(r.rk for r in frontier.values()) == [1, 2]
     # mybot has no exact group -> the * group's delay governs
     assert all(r.crawl_delay == 4.0 for r in frontier.values())
 

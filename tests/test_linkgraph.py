@@ -507,3 +507,32 @@ def test_resolve_href_fuzz_vs_python_reference(spark):
     }
     for i, (h, b) in enumerate(cases):
         assert got[i] == _py_resolve(h, b), (h, b, got[i], _py_resolve(h, b))
+
+
+def test_anchor_counts_collapse_repeated_fetches(spark):
+    """The run_job --anchors composition counts LINK frequency, not
+    refetch frequency: repeated (url, warc_ts) fetches of one page must
+    contribute its anchors once (latest fetch wins), matching the
+    .distinct() discipline of the edge artifacts."""
+    import datetime
+
+    from readability_ex_spark.operators.linkgraph import (
+        anchor_index,
+        extract_anchors,
+    )
+    from readability_ex_spark.pipeline import dedup_latest_crawl
+
+    html = b'<html><body><a href="http://t.test/x">X</a></body></html>'
+    rows = [
+        ("http://s.test/p", datetime.datetime(2024, 1, d), html, "", "en")
+        for d in (1, 2, 3)
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, "
+        "text string, lang string",
+    )
+    out = anchor_index(extract_anchors(dedup_latest_crawl(pages))).collect()
+    assert [(r.target, r.anchor_text, r.n_anchors) for r in out] == [
+        ("http://t.test/x", "X", 1)
+    ]

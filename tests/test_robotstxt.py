@@ -432,7 +432,11 @@ def test_sitemaps_from_pages_and_parse(spark):
     old = b"<urlset><url><loc>https://h.test/old</loc></url></urlset>"
     new = (
         b"<urlset><url><loc> https://h.test/new?a=1&amp;b=2 </loc></url>"
-        b"<url><loc>https://h.test/new?a=1&amp;b=2</loc></url></urlset>"
+        b"<url><loc>https://h.test/new?a=1&amp;b=2</loc></url>"
+        # pretty-printed (newline/tab-padded) loc: the regexp trim must
+        # strip it — SQL trim only handles 0x20 and would leave a loc
+        # the frontier's ^https?:// check then drops
+        b"<url><loc>\n\t https://h.test/padded \n</loc></url></urlset>"
     )
     idx = (
         b"<sitemapindex><sitemap><loc>https://h.test/sitemap-sub.xml"
@@ -455,6 +459,7 @@ def test_sitemaps_from_pages_and_parse(spark):
     }
     assert rows == {
         ("https://h.test/new?a=1&b=2", False),  # decoded, trimmed, deduped
+        ("https://h.test/padded", False),  # newline-padded -> regexp trim
         ("https://h.test/sitemap-sub.xml", True),
     }
 
