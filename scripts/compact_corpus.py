@@ -101,9 +101,14 @@ def main() -> int:
             F.col("url_bucket"),
             F.pmod(F.xxhash64("url"), F.lit(args.files_per_bucket)),
         ]
-    df.repartition(*part_cols).write.partitionBy("url_bucket").parquet(
-        str(staging)
-    )
+    from readability_ex_spark.sinks import with_url_bloom
+
+    # compaction re-establishes the url bloom filters on the rewritten
+    # files (see sinks.URL_BLOOM_OPTIONS — the hash-bucket layout makes
+    # them the only row-group pruner for url point lookups)
+    with_url_bloom(df.repartition(*part_cols).write).partitionBy(
+        "url_bucket"
+    ).parquet(str(staging))
 
     checksums = None
     if args.verify_checksums:

@@ -1032,7 +1032,14 @@ def main() -> int:
                 "_datacard stages), or rebuild without --update to "
                 "migrate it to this code version's schema."
             )
-    corpus.write.partitionBy("url_bucket").mode(write_mode).parquet(args.output)
+    from readability_ex_spark.sinks import with_url_bloom
+
+    # url bloom filters: the bucket layout hash-scatters urls, so
+    # min/max stats never prune a point lookup — the bloom is the only
+    # row-group pruner the update verify reads / url audits can use
+    with_url_bloom(corpus.write).partitionBy("url_bucket").mode(
+        write_mode
+    ).parquet(args.output)
     if args.drop_boilerplate and not args.update:
         # promote the staged pre-verdict chunk counts into the output
         # dir now that the overwrite is done. NOTE: shutil (like the

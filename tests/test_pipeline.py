@@ -160,3 +160,49 @@ def test_write_jsonl_rejects_missing_columns(spark, tmp_path):
     df = spark.createDataFrame([(1, "t")], "url string, text string")
     with _pytest.raises(ValueError, match="title"):
         write_jsonl(df, str(tmp_path / "x"))
+
+
+def test_url_bloom_filters_written(spark, tmp_path):
+    """Every url-keyed parquet sink writes a bloom filter for the url
+    column (and only it): the hash-bucket layout scatters urls within
+    row groups, so min/max stats can never prune a url point lookup —
+    the bloom is the only row-group pruner. Presence verified through
+    parquet-mr (pyarrow in this sandbox predates the metadata field)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from readability_ex_spark.sinks import with_url_bloom
+
+    out = str(tmp_path / "bloomed")
+    df = spark.range(500).select(
+        F.concat(F.lit("http://b.test/"), F.col("id")).alias("url"),
+        F.col("id").alias("v"),
+    )
+    with_url_bloom(df.coalesce(1).write).parquet(out)
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    f = glob.glob(f"{out}/*.parquet")[0]
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(
+        jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jvm.org.apache.hadoop.fs.Path(f), conf
+        )
+    )
+    try:
+        block = reader.getFooter().getBlocks().get(0)
+        bd = reader.getBloomFilterDataReader(block)
+        has_bloom = {}
+        for i in range(block.getColumns().size()):
+            col = block.getColumns().get(i)
+            has_bloom[col.getPath().toDotString()] = (
+                bd.readBloomFilter(col) is not None
+            )
+    finally:
+        reader.close()
+    assert has_bloom == {"url": True, "v": False}
+
+    # the bloom changes the file bytes only — results are identical
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    assert back.filter(F.col("url") == "http://b.test/7").count() == 1
