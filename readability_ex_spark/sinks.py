@@ -54,12 +54,20 @@ URL_BLOOM_OPTIONS = {
 }
 
 
+# One shared option set for every url-keyed parquet sink (extraction
+# output, corpus build, compaction rewrite) so the storage contract
+# stays uniform: the url bloom above, plus zstd compression — measured
+# 0.62x the bytes of Spark's snappy default on the sf0.1 text corpus
+# with no write/read penalty (BENCH/BASELINE.md); at 100 TB that is
+# ~38% of the storage and scan IO back for free.
+CORPUS_SINK_OPTIONS = {**URL_BLOOM_OPTIONS, "compression": "zstd"}
+
+
 def with_url_bloom(writer):
-    """Apply :data:`URL_BLOOM_OPTIONS` to a ``DataFrameWriter`` —
-    shared by every url-keyed parquet sink (extraction output, corpus
-    build, compaction rewrite) so the layout contract stays uniform.
-    Presence is verified through parquet-mr in the tests."""
-    for k, v in URL_BLOOM_OPTIONS.items():
+    """Apply :data:`CORPUS_SINK_OPTIONS` (url bloom + zstd) to a
+    ``DataFrameWriter``.  Presence of the bloom and the codec are
+    verified through parquet metadata in the tests."""
+    for k, v in CORPUS_SINK_OPTIONS.items():
         writer = writer.option(k, v)
     return writer
 

@@ -202,7 +202,15 @@ def test_url_bloom_filters_written(spark, tmp_path):
         reader.close()
     assert has_bloom == {"url": True, "v": False}
 
-    # the bloom changes the file bytes only — results are identical
+    # ...and the zstd codec of CORPUS_SINK_OPTIONS reached the file
+    import pyarrow.parquet as pq
+
+    assert (
+        pq.ParquetFile(f).metadata.row_group(0).column(0).compression
+        == "ZSTD"
+    )
+
+    # the bloom/codec change the file bytes only — results identical
     back = spark.read.parquet(out)
     assert back.count() == 500
     assert back.filter(F.col("url") == "http://b.test/7").count() == 1
