@@ -21,10 +21,7 @@ from readability_ex_spark.operators.tokenize import ws_tokens
 
 
 def _tokens(col: str):
-    c = F.col(col)
-    return F.when(
-        F.trim(c) == "", F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(c), r"\s+"))
+    return ws_tokens(col)
 
 
 def with_quality_signals(extracted: DataFrame, text_col: str = "text") -> DataFrame:
@@ -128,9 +125,7 @@ def with_quality_rules(
     """
     c = F.col(text_col)
     empty_arr = F.array().cast("array<string>")
-    words = F.when(
-        c.isNull() | (F.trim(c) == ""), empty_arr
-    ).otherwise(F.split(F.trim(c), r"\s+"))
+    words = ws_tokens(text_col)
     n_words = F.size(words).cast("long")
     nw = n_words.cast("double")
 

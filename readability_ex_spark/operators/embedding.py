@@ -113,9 +113,9 @@ def text_embedding(
             out.append((v / n).tolist() if n > 0 else v.tolist())
         return pd.Series(out)
 
-    toks = F.when(
-        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    from readability_ex_spark.operators.tokenize import ws_tokens
+
+    toks = ws_tokens(text_col)
     return df.select(F.col(id_col), _vec(toks).alias(out_col))
 
 

@@ -101,9 +101,9 @@ PACK_BUDGET = 2_000
 
 def _docs_with_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = F.when(
-        F.trim(F.col("text")) == "", F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+    from readability_ex_spark.operators.tokenize import ws_tokens
+
+    toks = ws_tokens("text")
     n_tokens = F.size(toks).cast("long")
     n_stop = F.regexp_count(
         F.col("text"), F.lit(r"\b(the|a|of|and|to)\b")

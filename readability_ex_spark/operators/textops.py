@@ -47,9 +47,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _tokens_col():
     """Whitespace tokens of trimmed text; empty text -> empty array."""
-    return F.when(F.trim(F.col("text")) == "", F.array().cast("array<string>")).otherwise(
-        F.split(F.trim(F.col("text")), r"\s+")
-    )
+    from readability_ex_spark.operators.tokenize import ws_tokens
+
+    return ws_tokens("text")
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,10 +372,9 @@ def _minhash_expr(seed: int, text_col: str = "text"):
 
 
 def _text_tokens(text_col: str):
-    c = F.col(text_col)
-    return F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(
-        F.split(F.trim(c), r"\s+")
-    )
+    from readability_ex_spark.operators.tokenize import ws_tokens
+
+    return ws_tokens(text_col)
 
 
 def minhash_signature(n_sig: int = N_MINHASH_SIG):
@@ -766,6 +765,15 @@ def corpus_top_ngrams(
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return corpus_top_ngrams(docs, n=2, k=50)
+
+
+# Version of the content-hash rule below. Bumped to 2 when NULL text
+# started coalescing to '' (rule 1 let Spark's concat NULL the row and
+# bit_xor skip it). A `_checksums` sidecar only verifies against the
+# rule that wrote it — consumers compare this against the
+# `checksum_rule` pinned in `_sidecars.json` params and refuse
+# cross-rule comparisons instead of reporting phantom drift.
+CONTENT_HASH_RULE = 2
 
 
 def content_hash60(id_col, text_col) -> "F.Column":

@@ -133,6 +133,7 @@ def crawl_frontier(
     max_per_host: int | None = None,
     canonicalize: bool = True,
     n_salts: int = 16,
+    pre_cap_filter=None,
 ) -> DataFrame:
     """The next crawl batch from link discovery: http(s) candidates
     minus everything already crawled, politeness-capped per host.
@@ -144,7 +145,14 @@ def crawl_frontier(
        candidate exchange;
     2. LEFT ANTI against the known-url set — a key-only scan of the
        crawled table, the same resume shape as ``anti_join_resume``;
-    3. optional ``max_per_host`` politeness budget via the skew-safe
+    3. optional ``pre_cap_filter`` (a ``DataFrame -> DataFrame``
+       callable, e.g. a ``robots_filter`` closure): policy filters
+       belong HERE — after the distinct/anti-join (so they run over
+       bounded distinct NEW urls, never raw edges) and on the
+       CANONICAL url (the form the crawler will actually fetch), but
+       before the cap (a disallowed url must not consume the host's
+       quota);
+    4. optional ``max_per_host`` politeness budget via the skew-safe
        two-stage top-k (``relational.top_k_per_key``; url-ascending =
        deterministic pick), so a newly-discovered 10^7-page host cannot
        put its whole frontier in one window task.
@@ -166,6 +174,8 @@ def crawl_frontier(
     frontier = cand.join(
         known.select(known_url.alias("url")), "url", "left_anti"
     ).withColumn("host", host_expr(F.col("url")))
+    if pre_cap_filter is not None:
+        frontier = pre_cap_filter(frontier)
     if max_per_host is not None:
         from readability_ex_spark.operators.relational import top_k_per_key
 

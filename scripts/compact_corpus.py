@@ -112,13 +112,30 @@ def main() -> int:
 
     checksums = None
     if args.verify_checksums:
-        from readability_ex_spark.operators.textops import corpus_checksums
+        from readability_ex_spark.operators.textops import (
+            CONTENT_HASH_RULE,
+            corpus_checksums,
+        )
+        from readability_ex_spark.sidecars import read_sidecar_params
 
         side = root / "_checksums"
         if not side.exists():
             raise SystemExit(
                 "--verify-checksums: corpus has no _checksums sidecar "
                 "(build with prepare_corpus.py --checksums)"
+            )
+        stored_rule = read_sidecar_params(args.corpus).get("checksum_rule")
+        if stored_rule != CONTENT_HASH_RULE:
+            # comparing across hash rules (or against a sidecar written
+            # before rules were pinned) would report phantom drift on an
+            # intact corpus — refuse with the remedy instead
+            shutil.rmtree(staging, ignore_errors=True)
+            raise SystemExit(
+                "--verify-checksums: the _checksums sidecar was written "
+                f"under content-hash rule {stored_rule!r}, this code "
+                f"verifies rule {CONTENT_HASH_RULE} — rebuild the "
+                "sidecar first (prepare_corpus.py --checksums on an "
+                "unchanged corpus, or an --update run)"
             )
         stored = {
             r.url_bucket: (r.n_docs, r.content_xor)

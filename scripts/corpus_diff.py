@@ -20,7 +20,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
 
 
 def _lang_rollup(df):
@@ -98,7 +103,18 @@ def main() -> int:
     changed_buckets = None
     old_ck = Path(args.old) / "_checksums"
     new_ck = Path(args.new) / "_checksums"
-    if old_ck.exists() and new_ck.exists():
+    # checksums are only comparable under ONE hash rule (see
+    # textops.CONTENT_HASH_RULE): mixed-rule sides would report every
+    # NULL-text-bearing bucket as phantom drift — skip the bucket diff
+    # and surface the mismatch instead
+    from readability_ex_spark.sidecars import read_sidecar_params
+
+    old_rule = read_sidecar_params(args.old).get("checksum_rule")
+    new_rule = read_sidecar_params(args.new).get("checksum_rule")
+    checksum_rules = {"old": old_rule, "new": new_rule}
+    if old_ck.exists() and new_ck.exists() and old_rule != new_rule:
+        changed_buckets = "incomparable: sides use different checksum rules"
+    elif old_ck.exists() and new_ck.exists():
         o = {
             r.url_bucket: (r.n_docs, r.content_xor)
             for r in spark.read.parquet(str(old_ck)).collect()
@@ -126,6 +142,7 @@ def main() -> int:
         "artifacts_added": sorted(set(new_arts) - set(old_arts)),
         "artifacts_removed": sorted(set(old_arts) - set(new_arts)),
         "changed_buckets": changed_buckets,
+        "checksum_rules": checksum_rules,
     }
     print(json.dumps(report, sort_keys=True))
     return 0

@@ -1020,8 +1020,16 @@ def main() -> int:
         # flag changed, or the code version added a kernel column)
         # makes reads of the mixed directory nondeterministic — the
         # parquet footer that wins file-listing order decides which
-        # columns exist. Refuse instead.
-        existing_cols = set(spark.read.parquet(args.output).columns)
+        # columns exist. Refuse instead. The guard's OWN read must be
+        # schema-merged, or on a corpus already mixed by a pre-guard
+        # code version it would compare against whichever footer wins
+        # listing order — the union of columns is the deterministic
+        # comparison target.
+        existing_cols = set(
+            spark.read.option("mergeSchema", "true")
+            .parquet(args.output)
+            .columns
+        )
         new_cols = set(corpus.columns)
         if new_cols != existing_cols:
             raise SystemExit(
@@ -1238,11 +1246,21 @@ def main() -> int:
         )
     # versioned sidecar manifest: what this corpus carries, written by
     # which lifecycle version — the check a future layout change needs
+    _params: dict = {}
+    if split_fracs is not None:
+        _params["split"] = list(split_fracs)
+    if args.checksums:
+        # pin WHICH hash rule wrote _checksums, so consumers
+        # (compact_corpus --verify-checksums, corpus_diff) can refuse
+        # cross-rule comparisons instead of reporting phantom drift
+        from readability_ex_spark.operators.textops import (
+            CONTENT_HASH_RULE,
+        )
+
+        _params["checksum_rule"] = CONTENT_HASH_RULE
     record_sidecars(
         args.output,
-        params=(
-            {"split": list(split_fracs)} if split_fracs is not None else None
-        ),
+        params=_params or None,
         names=[
             n
             for n in (

@@ -361,6 +361,7 @@ def main() -> int:
         )
         discovered = discovered.unionByName(sitemap_locs)
         delays = None
+        pre_cap = None
         if args.frontier_agent:
             from readability_ex_spark.operators.robotstxt import (
                 crawl_delay_for_agent,
@@ -371,19 +372,23 @@ def main() -> int:
             )
 
             # one robots lift feeds both halves of the policy: RFC 9309
-            # rules drop disallowed urls from the CANDIDATE POOL —
-            # before the per-host cap, so a disallowed url never
-            # consumes the host's quota (filtering the capped frontier
-            # instead left hosts under-scheduled and rk gapped) — and
-            # Crawl-delay annotates what survives
+            # rules drop disallowed urls as crawl_frontier's
+            # pre_cap_filter — AFTER canonicalize/distinct/anti-join
+            # (the verdict is computed on the CANONICAL url the crawler
+            # will actually fetch, over bounded distinct NEW urls, not
+            # raw edges) and BEFORE the per-host cap (a disallowed url
+            # must not consume the host's quota) — and Crawl-delay
+            # annotates what survives
             robots_bodies = robots_from_pages(pages).localCheckpoint(
                 eager=True
             )
-            discovered = robots_filter(
-                discovered,
-                parse_robots(robots_bodies),
-                agent=args.frontier_agent,
-            )
+            rules = parse_robots(robots_bodies)
+
+            def pre_cap(df, _rules=rules):
+                return robots_filter(
+                    df, _rules, agent=args.frontier_agent
+                )
+
             delays = crawl_delay_for_agent(
                 parse_crawl_delay(robots_bodies),
                 agent=args.frontier_agent,
@@ -392,6 +397,7 @@ def main() -> int:
             discovered,
             committed.select("url"),
             max_per_host=args.frontier,
+            pre_cap_filter=pre_cap,
         )
         if delays is not None:
             # tiny per-host table; hosts with no declared delay -> NULL

@@ -297,3 +297,38 @@ def test_recrawl_schedule_matches_naive_window(spark):
         .collect()
     }
     assert got == naive
+
+
+def test_frontier_pre_cap_filter_sees_canonical_urls(spark):
+    """crawl_frontier applies pre_cap_filter AFTER canonicalization and
+    the anti-join, so a robots rule is evaluated against the CANONICAL
+    url the crawler will fetch (a tracking-param spelling must not
+    dodge a Disallow), and before the cap."""
+    from readability_ex_spark.operators.robotstxt import (
+        parse_robots,
+        robots_filter,
+    )
+    from readability_ex_spark.operators.urlops import crawl_frontier
+
+    discovered = spark.createDataFrame(
+        [
+            # canonicalizes to http://h.test/page?id=1 -> disallowed
+            ("http://h.test/page?utm_source=x&id=1",),
+            ("http://h.test/ok",),
+        ],
+        "url string",
+    )
+    known = spark.createDataFrame([("http://h.test/other",)], "url string")
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("h.test", "User-agent: *\nDisallow: /page?id=\n")],
+            "host string, robots_txt string",
+        )
+    )
+    out = crawl_frontier(
+        discovered,
+        known,
+        max_per_host=5,
+        pre_cap_filter=lambda df: robots_filter(df, rules),
+    ).collect()
+    assert [(r.url, r.rk) for r in out] == [("http://h.test/ok", 1)]
