@@ -434,17 +434,11 @@ def dedup_chunks_within_doc(
     100 TB beyond reading the text. Returns ``(id_col, n_chunks,
     n_dupes, text_clean)``.
     """
-    toks = ws_tokens(text_col)
-    n_chunks_expr = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
-    chunks = F.when(
-        n_chunks_expr > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_chunks_expr - 1),
-            lambda i: F.concat_ws(
-                " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # chunk identity MUST match line_dedup's — one shared chunking
+    # expression (_chunk_structs), projected to the chunk strings
+    chunks = F.transform(
+        _chunk_structs(text_col, chunk_tokens), lambda s: s["chunk"]
+    )
     kept = F.array_distinct(chunks)
     return docs.select(
         F.col(id_col),

@@ -51,13 +51,31 @@ def _dot(a, b):
 
 
 def _norm(a):
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    s = F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
+    # NULL (not 0) for zero vectors: cosine against a zero vector is
+    # undefined, and the 0/0 = NaN it would otherwise produce sorts
+    # ABOVE every real double under desc() — degenerate vectors would
+    # silently fill the top-k. A NULL cosine sorts LAST under desc(),
+    # so zero-norm rows sink instead (callers that must exclude them
+    # entirely use embedding.nonzero_embeddings).
+    return F.when(s > 0, F.sqrt(s))
+
+
+def _query_vec(emb: DataFrame, vec_id: int) -> list[float]:
+    """The query point's embedding, failing LOUDLY when the id is
+    absent (a filtered/truncated table would otherwise surface as an
+    opaque NoneType subscript — same contract as _seed_centroids'
+    missing-seed error)."""
+    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
+    if row is None:
+        raise ValueError(
+            f"query vec_id={vec_id} missing from the embeddings table"
+        )
+    return [float(x) for x in row[0]]
 
 
 def cosine_topk(
@@ -87,8 +105,7 @@ def cosine_topk(
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 cosine neighbors of vec_id=QUERY_VEC_ID (oracle-checked)."""
     emb = _emb(spark, sf_dir)
-    qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
-    qvec = [float(x) for x in qrow[0]]
+    qvec = _query_vec(emb, QUERY_VEC_ID)
     return cosine_topk(emb, qvec, k=5, exclude_id=QUERY_VEC_ID)
 
 
@@ -159,7 +176,15 @@ def _cosine_pairs(a_col, b_col):
             dot = dot + av[:, j] * bv[:, j]
             na = na + av[:, j] * av[:, j]
             nb = nb + bv[:, j] * bv[:, j]
-        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+        # eps clamp: a zero-norm side would make this 0/0 = NaN, and
+        # Spark's ordering treats NaN as GREATER than every number, so
+        # a NaN cosine would PASS >= threshold filters; clamped, the
+        # pair scores 0 and fails. Exact for all nonzero vectors
+        # (max(n, 1e-12) == n whenever any component is >= 1e-7), so
+        # the bit-exactness contract above is untouched.
+        return pd.Series(
+            dot / np.maximum(np.sqrt(na) * np.sqrt(nb), 1e-12)
+        )
 
     return _cos(a_col, b_col)
 
@@ -209,8 +234,14 @@ def lsh_bucket(
 
 
 def probe_buckets(bucket: int, n_planes: int, probe_hamming: int = 1) -> list[int]:
-    """All bucket ids within the given Hamming radius of ``bucket``
-    (multi-probe set). Radius 1 => 1 + n_planes buckets."""
+    """All bucket ids within Hamming radius ``probe_hamming`` (<= 2) of
+    ``bucket`` (multi-probe set). Radius 1 => 1 + n_planes buckets.
+    Radii above 2 raise — silently returning the radius-2 ball would
+    deliver lower recall than the caller's tuning assumes."""
+    if probe_hamming > 2:
+        raise ValueError(
+            f"probe_hamming={probe_hamming} not supported (max radius 2)"
+        )
     probes = {bucket}
     if probe_hamming >= 1:
         probes |= {bucket ^ (1 << i) for i in range(n_planes)}
@@ -277,8 +308,7 @@ def ann_lsh_topk(
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe (Hamming-1) top-5 for the vec_id=0 query."""
     emb = _emb(spark, sf_dir)
-    qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
-    qvec = [float(x) for x in qrow[0]]
+    qvec = _query_vec(emb, QUERY_VEC_ID)
     return ann_lsh_topk(emb.filter(F.col("vec_id") != QUERY_VEC_ID), qvec, k=5)
 
 
@@ -305,14 +335,29 @@ def ann_batch_lsh_topk(
         queries, dim=dim, n_planes=n_planes, seed=seed,
         emb_col="query_vec", out_col="qbucket",
     )
+    # the full radius-<=2 probe masks, mirroring probe_buckets — the
+    # old radius-1-only branch silently treated probe_hamming=2 as 1,
+    # desyncing recall from the siblings that honor radius 2
+    if probe_hamming > 2:
+        raise ValueError(
+            f"probe_hamming={probe_hamming} not supported (max radius 2)"
+        )
+    masks = [0]
     if probe_hamming >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if probe_hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    if len(masks) > 1:
         probe = F.explode(
             F.array(
-                F.col("qbucket"),
                 *[
-                    F.col("qbucket").bitwiseXOR(F.lit(1 << i)).cast("long")
-                    for i in range(n_planes)
-                ],
+                    F.col("qbucket").bitwiseXOR(F.lit(m)).cast("long")
+                    for m in masks
+                ]
             )
         )
     else:
@@ -588,11 +633,8 @@ def ann_materialized_topk(
 # Scratch indexes created by q_ann_materialized_topk. Each call needs
 # its OWN path (the returned DataFrame reads the index lazily, so a
 # shared path would race — an overwrite could delete files a still-held
-# result reads), but a long-lived driver looping the query (bench,
-# parity sweeps) must not accumulate dirs unboundedly: keep the most
-# recent _ANN_SCRATCH_KEEP (older results are long consumed by then),
-# delete the rest eagerly, and remove everything at interpreter exit.
-_ANN_SCRATCH_KEEP = 4
+# result reads); for the same laziness reason nothing is evicted
+# mid-process — everything is removed at interpreter exit.
 _ann_scratch_paths: list[str] = []
 
 
@@ -613,9 +655,13 @@ def _ann_scratch_dir() -> str:
     path = os.path.join(
         tempfile.gettempdir(), f"readability_ann_index_{uuid.uuid4().hex}"
     )
+    # Cleanup happens ONLY at process exit (atexit above): the returned
+    # DataFrames read their index directory lazily, so an eager
+    # oldest-first eviction (the old KEEP=4 cap) could delete a
+    # still-held result's parquet out from under it mid-sweep. Each
+    # scratch index is a few MB at checked-query scale — a session's
+    # accumulation is bounded by the handful of materialized queries.
     _ann_scratch_paths.append(path)
-    while len(_ann_scratch_paths) > _ANN_SCRATCH_KEEP:
-        shutil.rmtree(_ann_scratch_paths.pop(0), ignore_errors=True)
     return path
 
 
@@ -625,8 +671,7 @@ def q_ann_materialized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_lsh_topk — the oracle is identical — but the read path is the
     partition-pruned probe, asserted at construction)."""
     emb = _emb(spark, sf_dir)
-    qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
-    qvec = [float(x) for x in qrow[0]]
+    qvec = _query_vec(emb, QUERY_VEC_ID)
     path = _ann_scratch_dir()
     materialize_buckets(emb, path)
     return ann_materialized_topk(
@@ -688,7 +733,13 @@ def ivf_assign(
     @pandas_udf("int")
     def _cell(v: pd.Series) -> pd.Series:
         x = _as_matrix(v)
-        u = x / np.linalg.norm(x, axis=1, keepdims=True)
+        # eps clamp (the train_ivf/_seed_centroids guard): a zero-norm
+        # row would otherwise go all-NaN and argmin would silently
+        # return cell 0; clamped it deterministically lands in the
+        # smallest-||c|| cell instead of propagating NaN
+        u = x / np.maximum(
+            np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+        )
         d = half_sq[None, :] - u @ cents.T
         return pd.Series(d.argmin(axis=1).astype("int32"))
 
@@ -712,7 +763,11 @@ def ivf_probe_cells(
     @pandas_udf("array<int>")
     def _probes(v: pd.Series) -> pd.Series:
         x = _as_matrix(v)
-        u = x / np.linalg.norm(x, axis=1, keepdims=True)
+        # same eps clamp as ivf_assign: no NaN propagation on a
+        # zero-norm query
+        u = x / np.maximum(
+            np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+        )
         d = half_sq[None, :] - u @ cents.T
         order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([row.astype("int32").tolist() for row in order])
@@ -844,7 +899,10 @@ def ann_ivf_materialized_topk(
     cents = [r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)]
     probes = ivf_probe_cells(
         queries.select("query_id", "query_vec"), cents, nprobe
-    )
+    # referenced twice (the cell-set collect below AND the scored
+    # join) — checkpoint so the query-side Arrow UDF and any upstream
+    # derivation run once (plans are trees)
+    ).localCheckpoint(eager=False)
     # the probed-cell set is <= n_cells (bounded by the index, not the
     # data) — collecting it drives the partition-pruned read
     cell_set = sorted(
@@ -959,7 +1017,9 @@ def _centroid_dist(emb_col, cell_col, centroids) -> "F.Column":
         n = np.zeros(len(x))
         for j in range(x.shape[1]):
             n = n + x[:, j] * x[:, j]
-        u = x / np.sqrt(n)[:, None]
+        # eps clamp: zero-norm rows get a finite (large) distance
+        # instead of NaN, which Spark would sort above every real value
+        u = x / np.maximum(np.sqrt(n), 1e-12)[:, None]
         c = cents[cell.to_numpy()]
         d = np.zeros(len(x))
         for j in range(x.shape[1]):
