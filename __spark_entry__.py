@@ -942,7 +942,10 @@ def oracle_sql() -> dict[str, str]:
         # mirrors linkgraph.q_extract_outlinks: synthetic page html over
         # the synthetic url base; href harvest (double-quoted matches
         # first, then single-quoted) + the RFC 3986 safe-subset
-        # resolution, NULL elements preserved as the skip audit trail
+        # resolution.  SCALAR rows only (driver contract): the outlink
+        # list is UNNESTed WITH ORDINALITY to (doc_id, pos, outlink)
+        # rows — NULL elements (skipped refs) survive as NULL rows,
+        # matching Spark's posexplode of the same array.
         "extract_outlinks": f"""
             WITH {_URLS_CTE.strip()},
             lp AS (
@@ -965,10 +968,12 @@ def oracle_sql() -> dict[str, str]:
                          x -> regexp_extract(trim(x), '^[^#]*', 0)),
                        h -> {_resolve_case('h')}) AS outlinks
               FROM hr)
-            SELECT doc_id, n_hrefs, outlinks,
+            SELECT doc_id, n_hrefs,
                    CAST(len(list_filter(outlinks, x -> x IS NOT NULL))
-                        AS INTEGER) AS n_outlinks
-            FROM res ORDER BY doc_id
+                        AS INTEGER) AS n_outlinks,
+                   CAST(unnest(range(len(outlinks))) AS INTEGER) AS pos,
+                   unnest(outlinks) AS outlink
+            FROM res ORDER BY doc_id, pos
         """,
         # mirrors linkgraph.q_page_inlinks: same href/base/resolve CTEs
         # as extract_outlinks, with the ORIGINAL page url carried as

@@ -59,6 +59,24 @@ def main() -> int:
         except (OSError, ValueError):
             return []
 
+    # Quiet-box gate: both r5 and r6 driver benches landed at ~0.75x the
+    # steady band purely because ambient load was ~3 at start.  Wait
+    # (bounded) for the 1-minute loadavg to drop below the gate before
+    # measuring, so the recorded number reflects the engine, not the
+    # co-tenants.  Gate and budget are env-tunable; on timeout we proceed
+    # and the stamped loadavg_start makes the compromise visible.
+    gate = float(os.environ.get("SPARK_GRAFT_LOADAVG_GATE", "1.0"))
+    budget = float(os.environ.get("SPARK_GRAFT_LOADAVG_WAIT_SEC", "600"))
+    waited = 0.0
+    while budget > 0:
+        la = _loadavg()
+        if not la or la[0] < gate:
+            break
+        step = min(15.0, budget)
+        time.sleep(step)
+        waited += step
+        budget -= step
+
     load_start = _loadavg()
 
     from readability_ex_spark.operators import embedding as E
@@ -466,6 +484,7 @@ def main() -> int:
                 "extract_runs": extract_runs,
                 "loadavg_start": load_start,
                 "loadavg_end": _loadavg(),
+                "loadavg_gate_waited_sec": round(waited, 1),
             }
         )
     )

@@ -50,11 +50,18 @@ TEXT_EMB_ND_THRESHOLD = 0.8
 # brute-force ground truth (2,055 true pairs >= 0.8 at sf0.1):
 #   single-table  8 planes, Hamming<=1 probe: 2.2M candidates -> 64%
 #   single-table 12 planes, Hamming<=2:       3.1M candidates -> 79%
-#   BANDED 8 planes x 10 tables (chosen):    3.85M candidates -> 88%
+#   BANDED 8 planes x 10 tables:             3.85M candidates -> 88%
 # OR-amplification across independent coarse tables dominates deeper
-# probe balls around one fine table on this distribution.
+# probe balls around one fine table on this distribution — and, per
+# the round-7 head-to-head (scripts/bench_emb_nd.py), it also
+# dominates SemDeDup-style k-means cells as a PAIR FINDER (cells cap
+# at ~50% recall: pairs straddling a cell boundary are invisible by
+# construction).  More tables are nearly free thanks to
+# distinct-before-verify (a pair colliding in several tables pays one
+# cosine):  T=10 83.6% @14.4s | T=16 95.4% @16.5s |
+# T=24 (chosen) 98.6% @16.9s | T=32 99.7% @20.8s.
 TEXT_EMB_ND_K = 8
-TEXT_EMB_ND_TABLES = 10
+TEXT_EMB_ND_TABLES = 24
 
 
 def nonzero_embeddings(df: DataFrame, emb_col: str = "embedding") -> DataFrame:

@@ -255,6 +255,8 @@ def host_pagerank(
     dst_col: str = "dst_host",
     iterations: int = 3,
     damping: float = 0.85,
+    tol: float | None = None,
+    residual_col: str | None = None,
 ) -> DataFrame:
     """Damped PageRank over the DISTINCT host edge set, K fixed
     iterations, dangling mass redistributed uniformly.
@@ -277,6 +279,17 @@ def host_pagerank(
     The rank table itself is never broadcast: at web scale it is
     ~#hosts rows and must flow through ordinary co-partitioned
     shuffles.
+
+    Convergence evidence: ``tol`` turns the fixed iteration count into
+    a data-driven cap — after each round the L1 residual
+    ``Σ|rank_t+1 − rank_t|`` is computed (one extra hash agg over the
+    already-checkpointed rank tables, collected as a single scalar —
+    bounded) and iteration stops early once it drops below ``tol``.
+    ``residual_col`` additionally stamps the final round's residual
+    onto every output row (broadcast 1-row cross join, no collect), so
+    a 100 TB run that keeps ``tol=None`` still ships the evidence to
+    pick K from data next time.  Costs when both are off: zero — the
+    residual path is never built.
     """
     e = (
         host_edges.select(
@@ -299,7 +312,25 @@ def host_pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
 
     ranks = nodes.select("host", F.lit(1.0 / n).alias("rank"))
+
+    def _residual(prev: DataFrame, cur: DataFrame) -> DataFrame:
+        # L1 residual between two checkpointed rank tables: one
+        # host-keyed join + one 1-row agg — the same per-round shape the
+        # iteration already pays, never a driver-side row iteration
+        return (
+            prev.select("host", F.col("rank").alias("_pr"))
+            .join(cur.select("host", "rank"), "host")
+            .agg(
+                F.coalesce(
+                    F.sum(F.abs(F.col("rank") - F.col("_pr"))), F.lit(0.0)
+                ).alias("rank_residual")
+            )
+        )
+
+    track = tol is not None or residual_col is not None
+    last_residual: DataFrame | None = None
     for _ in range(iterations):
+        prev = ranks
         dangling = (
             ranks.join(outdeg, ranks.host == outdeg.src, "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
@@ -325,6 +356,21 @@ def host_pagerank(
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)
+        )
+        if track:
+            last_residual = _residual(prev, ranks)
+            if tol is not None:
+                # single bounded scalar per round — the price of choosing
+                # K from data instead of guessing it
+                if last_residual.collect()[0]["rank_residual"] < tol:
+                    break
+    if residual_col is not None and last_residual is not None:
+        ranks = ranks.crossJoin(
+            F.broadcast(
+                last_residual.select(
+                    F.col("rank_residual").alias(residual_col)
+                )
+            )
         )
     return ranks
 
@@ -412,7 +458,15 @@ def synth_host_edges(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def q_extract_outlinks(spark, sf_dir: str) -> DataFrame:
     """Raw hrefs + resolved outlinks over the synthetic page/url
-    derivation (urn-base docs exercise the no-authority branch)."""
+    derivation (urn-base docs exercise the no-authority branch).
+
+    Output is SCALAR-only: the outlink array is posexploded to one
+    ``(doc_id, pos, outlink)`` row per element (NULL elements — skipped
+    refs — survive as NULL rows, keeping the skip audit).  Every synth
+    doc carries one unconditional absolute href, so the inner explode
+    drops nothing.  The driver's canonicalizer sorts rows via pandas,
+    which cannot hash list cells — array columns are banned from the
+    contract surface (pinned by ``test_operator_oracles``)."""
     from readability_ex_spark.operators.urlops import synth_url_expr
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -421,11 +475,13 @@ def q_extract_outlinks(spark, sf_dir: str) -> DataFrame:
         synth_url_expr().alias("url"),
         synth_link_html_expr().alias("html"),
     )
-    return (
-        extract_outlinks(pages, keep=("doc_id",))
-        .drop("url")
-        .orderBy("doc_id")
-    )
+    links = extract_outlinks(pages, keep=("doc_id",)).drop("url")
+    return links.select(
+        "doc_id",
+        "n_hrefs",
+        "n_outlinks",
+        F.posexplode("outlinks").alias("pos", "outlink"),
+    ).orderBy("doc_id", "pos")
 
 
 def q_page_inlinks(spark, sf_dir: str) -> DataFrame:

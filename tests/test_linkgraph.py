@@ -191,6 +191,54 @@ def test_pagerank_empty_graph(spark):
     assert host_pagerank(edges, iterations=2).count() == 0
 
 
+def test_pagerank_tol_stops_at_numpy_converged_point(spark):
+    """tol turns K into a data-driven cap: with a generous iteration
+    budget and a tight tol, the early-stopped ranks must agree with the
+    numpy reference iterated to ITS converged fixpoint (successive
+    numpy rounds change by < tol), and the stamped residual must match
+    the numpy residual trajectory (< tol, > 0)."""
+    # numpy fixpoint: iterate until the L1 step change drops below tol
+    tol = 1e-10
+    prev, k = None, 0
+    while True:
+        k += 1
+        cur = _numpy_pagerank(GRAPH, k=k)
+        if prev is not None:
+            step = sum(abs(cur[h] - prev[h]) for h in cur)
+            if step < tol:
+                break
+        prev = cur
+        assert k < 200  # the 4-node graph converges in tens of rounds
+    edges = spark.createDataFrame(GRAPH, "src_host string, dst_host string")
+    out = host_pagerank(
+        edges, iterations=500, damping=0.85, tol=tol,
+        residual_col="rank_residual",
+    ).collect()
+    got = {r.host: r.rank for r in out}
+    for h in cur:
+        assert got[h] == pytest.approx(cur[h], abs=1e-9)
+    res = {r.rank_residual for r in out}
+    assert len(res) == 1  # broadcast scalar, identical on every row
+    r = res.pop()
+    assert 0.0 <= r < tol
+
+
+def test_pagerank_residual_col_without_tol(spark):
+    """residual_col alone (no early stop) stamps the final round's L1
+    step onto every row — the 100 TB evidence channel."""
+    edges = spark.createDataFrame(GRAPH, "src_host string, dst_host string")
+    out = host_pagerank(edges, iterations=3, residual_col="rr").collect()
+    want2 = _numpy_pagerank(GRAPH, k=2)
+    want3 = _numpy_pagerank(GRAPH, k=3)
+    expect = sum(abs(want3[h] - want2[h]) for h in want3)
+    for r in out:
+        assert r.rr == pytest.approx(expect, abs=1e-12)
+    # ranks themselves are unchanged by the residual channel
+    got = {r.host: r.rank for r in out}
+    for h in want3:
+        assert got[h] == pytest.approx(want3[h], abs=1e-12)
+
+
 def test_synth_edges_have_dangling_hosts(spark):
     """The checked-query derivation must actually exercise the
     dangling-mass path: hosts 13-16 appear as dst only."""

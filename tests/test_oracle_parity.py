@@ -66,3 +66,35 @@ def test_window_rotation_orders_stalest_first():
     never = [n for n in names if last.get(n, -1) == -1]
     if len(never) <= 50:
         assert all(names.index(n) < 50 for n in never)
+    # staleness cap: any entry absent from the last two committed
+    # rounds' windows must sit inside the NEXT window (first 50
+    # positions), so nothing can go three rounds driver-unchecked.
+    # (With 102 entries and a 50-slot window, two-round absences are
+    # arithmetically unavoidable for up to 2 entries; the rotation must
+    # guarantee they lead the next round.)
+    if last:
+        max_rnd = max(last.values())
+        stale = [
+            n for n in names if last.get(n, -1) < max_rnd - 1
+        ]
+        assert all(names.index(n) < 50 for n in stale), (
+            f"entries stale beyond the next driver window: "
+            f"{[n for n in stale if names.index(n) >= 50]}"
+        )
+
+
+def test_all_queries_emit_scalar_columns_only(spark):
+    """The driver's canonicalizer sorts result rows with pandas, which
+    cannot hash list/dict cells — an array/map/struct output column
+    turns a correct query into a red CORRECTNESS row (extract_outlinks,
+    round 6).  Pin the invariant: every queries() entry's output schema
+    is scalar-only."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
+    for name, fn in E.queries().items():
+        df = fn(spark, SF)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"non-scalar contract columns: {bad}"
