@@ -432,15 +432,18 @@ def _text_emb_ctes() -> str:
               FROM tv GROUP BY 1)"""
 
 
-def _banded_code_sql(emb_expr: str, t: int) -> str:
+def _banded_code_sql(emb_expr: str, t: int, total: int | None = None) -> str:
     """DuckDB expression for table ``t``'s sign-hash code, mirroring
     similarity.embedding_near_dup_banded: planes t*k..t*k+k-1 of one
     seeded stream, plane 0 of the table = MSB, component-sequential
-    list_sum dots (the exact accumulation order of the Arrow UDF)."""
+    list_sum dots (the exact accumulation order of the Arrow UDF).
+    ``total`` widens the generated plane stream for the prefilter
+    signature's extra 8-bit groups (t >= n_tables); the stream is
+    prefix-stable, so band codes are identical either way."""
     from readability_ex_spark.operators import embedding as _E
 
     k, n_tables = _E.TEXT_EMB_ND_K, _E.TEXT_EMB_ND_TABLES
-    planes = S.hyperplanes(S.EMB_DIM, k * n_tables, S.LSH_SEED)
+    planes = S.hyperplanes(S.EMB_DIM, total or (k * n_tables), S.LSH_SEED)
     bits = " + ".join(
         f"CASE WHEN list_sum(list_transform(list_zip({emb_expr}, "
         f"{_sql_floats(planes[t * k + i])}), z -> z[1] * z[2])) >= 0 "
@@ -2716,10 +2719,36 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, count(*) OVER (PARTITION BY t, code) AS _n
                 FROM tb0)
               WHERE _n <= {S.EMB_MAX_BUCKET}),
+            sgx AS (
+              SELECT vec_id, t, code FROM tb0
+              UNION ALL {" UNION ALL ".join(
+                  f'''SELECT vec_id, {t} AS t,
+                      {_banded_code_sql("ed", t,
+                          total=2 * E.TEXT_EMB_ND_K * E.TEXT_EMB_ND_TABLES)}
+                      AS code FROM temb'''
+                  for t in range(E.TEXT_EMB_ND_TABLES,
+                                 2 * E.TEXT_EMB_ND_TABLES)
+              )}),
+            sg AS (
+              SELECT vec_id, list(code ORDER BY t) AS cs
+              FROM sgx GROUP BY vec_id),
             p0 AS (
+              -- signature-Hamming prefilter, mirroring the Spark plan:
+              -- Σ_group popcount(code_a XOR code_b) over the 2*k*T-bit
+              -- signature (band bits prefix-extended by as many again)
+              -- == popcount of the packed signature Spark carries; the
+              -- cutoff is the SAME Python-computed integer both
+              -- engines interpolate
               SELECT DISTINCT a.vec_id AS doc_a, x.vec_id AS doc_b
               FROM tb a JOIN tb x
-                ON a.t = x.t AND a.code = x.code AND a.vec_id < x.vec_id),
+                ON a.t = x.t AND a.code = x.code AND a.vec_id < x.vec_id
+              JOIN sg ca ON ca.vec_id = a.vec_id
+              JOIN sg cb ON cb.vec_id = x.vec_id
+              WHERE list_sum(list_transform(list_zip(ca.cs, cb.cs),
+                      z -> bit_count(xor(z[1], z[2]))))
+                    <= {S.hamming_prefilter_cutoff(
+                        E.TEXT_EMB_ND_THRESHOLD,
+                        2 * E.TEXT_EMB_ND_K * E.TEXT_EMB_ND_TABLES)}),
             p AS (
               SELECT doc_a, doc_b,
                      round(

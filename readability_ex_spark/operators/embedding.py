@@ -57,9 +57,11 @@ TEXT_EMB_ND_THRESHOLD = 0.8
 # dominates SemDeDup-style k-means cells as a PAIR FINDER (cells cap
 # at ~50% recall: pairs straddling a cell boundary are invisible by
 # construction).  More tables are nearly free thanks to
-# distinct-before-verify (a pair colliding in several tables pays one
-# cosine):  T=10 83.6% @14.4s | T=16 95.4% @16.5s |
-# T=24 (chosen) 98.6% @16.9s | T=32 99.7% @20.8s.
+# distinct-before-verify plus the 2*k*T-bit signature-Hamming
+# prefilter (see embedding_near_dup_banded), which kills far
+# candidates inside the band-join stage: T=24 (chosen) 98.6% recall,
+# 0 false pairs, 9.6 s at sf0.1 (17.2 s before the prefilter;
+# T=32 99.7% @11.4 s is the next step on the curve).
 TEXT_EMB_ND_K = 8
 TEXT_EMB_ND_TABLES = 24
 

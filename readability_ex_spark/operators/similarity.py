@@ -471,6 +471,36 @@ def embedding_near_dup(
     )
 
 
+def hamming_prefilter_cutoff(
+    threshold: float, n_bits: int, margin: float = 4.0
+) -> int:
+    """Max signature Hamming distance a pair at exactly ``threshold``
+    cosine plausibly shows over ``n_bits`` independent sign-hash bits.
+
+    Each random-hyperplane bit disagrees with probability
+    ``p = acos(cos) / pi`` (independent across planes given the pair's
+    angle), so a pair AT the threshold has Binomial(n_bits, p) Hamming
+    distance; the cutoff is ``mean + margin sigma`` — a pair >=
+    threshold exceeds it with probability ~3e-5 at the default 4-sigma
+    margin (pairs ABOVE threshold have strictly smaller p, so this
+    bounds the whole keep set). Measured at sf0.1 (2,055 true pairs
+    >= 0.8): observed max true-pair Hamming is mean+3.0s at 192 bits
+    and mean+3.5s at 384 — the 4-sigma cutoff lost 0 of 2,055 at both
+    widths, while 5 sigma was so loose it kept 55% of ALL pairs at 192
+    bits (the distribution's mid-cosine mass sits only ~2 sigma above
+    the threshold band). Pure integer output from module constants:
+    the DuckDB oracle interpolates the SAME number, so both engines
+    apply the identical filter and parity is exact by construction.
+    """
+    import math
+
+    p = math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    if p <= 0.0:
+        return 0
+    cut = n_bits * p + margin * math.sqrt(n_bits * p * (1.0 - p))
+    return min(n_bits, int(math.floor(cut)))
+
+
 def embedding_near_dup_banded(
     emb: DataFrame,
     threshold: float,
@@ -479,11 +509,14 @@ def embedding_near_dup_banded(
     n_tables: int = 10,
     seed: int = LSH_SEED,
     max_bucket: int = EMB_MAX_BUCKET,
+    sig_bits: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup via BANDED multi-table LSH: ``n_tables``
     independent sign-hash tables of ``k_planes`` planes each; a pair is
-    a candidate when it collides in ANY table (OR-amplification), then
-    exact-cosine verified >= threshold.
+    a candidate when it collides in ANY table (OR-amplification), a
+    signature-Hamming prefilter discards far candidates inside the
+    band-join stage, then survivors are exact-cosine verified
+    >= threshold.
 
     Measured against numpy brute-force ground truth at sf0.1 (2,055
     true pairs >= 0.8 over hashing-trick vectors), banding dominates
@@ -492,25 +525,47 @@ def embedding_near_dup_banded(
     3.1M (and 8/H1 64% at 2.2M) — more independent coarse views beat a
     deeper ball around one fine view.
 
-    Plan: ONE Arrow pass computes all T codes per vector (the 80 dots
-    accumulate component-sequentially, bit-exactly matching the
-    inlined-plane list_sum the DuckDB oracle runs); explode to
-    (table, code); per-(table, code) cap; equality self-join; DISTINCT
-    pairs BEFORE the verify so a pair colliding in several tables pays
-    one cosine; verify joins each side's vector by id. Candidates never
-    come from a cross join, and the id-keyed verify joins reuse the
-    corpus partitioning at scale.
+    The prefilter signature is DECOUPLED from the band bits:
+    ``sig_bits`` (default 2 * k * T, prefix-extending the same seeded
+    plane stream, so band codes are unchanged) exists because the band
+    bits alone cannot discriminate — on this correlated corpus 80% of
+    ALL pairs collide in >= 1 of 24 tables, and a 192-bit Hamming
+    cutoff at the safe margin still keeps 36% of pairs (the mid-cosine
+    mass sits ~2 sigma from the threshold band), while 384 bits at the
+    same 4-sigma margin keeps 11% and 768 keeps 3.3% (0 of 2,055 true
+    pairs lost at every width; see ``hamming_prefilter_cutoff``).
+    2*k*T doubles the discrimination for +24 bytes of band-shuffle
+    payload per exploded row — the knee of that curve.
+
+    Plan: ONE Arrow pass computes all T codes per vector PLUS the
+    packed ``sig_bits``-bit signature (the dots accumulate
+    component-sequentially, bit-exactly matching the inlined-plane
+    list_sum the DuckDB oracle runs); explode to (table, code);
+    per-(table, code) cap; equality self-join carrying both sides'
+    packed signatures (ceil(sig_bits/64) longs — 48 bytes at the
+    default 8x24, vs 512 bytes of vector); the Hamming prefilter
+    (bit_count over XORed words, pure codegen) runs IN THE SAME STAGE
+    as the join, so most far-candidate rows die before ever reaching a
+    shuffle — the DISTINCT dedups only surviving pairs, and the
+    id-keyed embedding joins + Arrow cosine verify run at a fraction
+    of the candidate volume. Candidates never come from a cross join,
+    and the id-keyed verify joins reuse the corpus partitioning at
+    scale.
     """
     import numpy as np
 
     from pyspark.sql.functions import pandas_udf
 
-    planes = hyperplanes(dim, k_planes * n_tables, seed)
+    band_bits = k_planes * n_tables
+    n_bits = max(band_bits, sig_bits or 2 * band_bits)
+    n_words = (n_bits + 63) // 64
+    ham_max = hamming_prefilter_cutoff(threshold, n_bits)
+    planes = hyperplanes(dim, n_bits, seed)
 
-    @pandas_udf("array<long>")
-    def _codes(embs: pd.Series) -> pd.Series:
+    @pandas_udf("cs array<long>, sig array<long>")
+    def _codes(embs: pd.Series) -> pd.DataFrame:
         if len(embs) == 0:  # zero-row Arrow batch: nothing to code
-            return pd.Series([], dtype=object)
+            return pd.DataFrame({"cs": [], "sig": []})
         M = np.array(embs.tolist(), dtype=np.float64)
         if M.ndim != 2 or M.shape[1] != dim:
             raise ValueError(
@@ -519,19 +574,43 @@ def embedding_near_dup_banded(
         # component-sequential accumulation (index order) — the exact
         # float semantics of list_sum over list_zip in the oracle; a
         # BLAS matmul's pairwise sums could flip a near-zero sign bit
-        acc = np.zeros((len(M), k_planes * n_tables))
+        acc = np.zeros((len(M), n_bits))
         for i in range(dim):
             acc += M[:, i : i + 1] * planes.T[i : i + 1, :]
         bits = acc >= 0
         w = 1 << np.arange(k_planes - 1, -1, -1)  # plane 0 = MSB
-        codes = bits.reshape(len(M), n_tables, k_planes) @ w
-        return pd.Series([[int(x) for x in row] for row in codes])
+        # band codes use the FIRST k*T planes of the stream — the
+        # signature's extra planes extend it without touching them
+        codes = bits[:, :band_bits].reshape(len(M), n_tables, k_planes) @ w
+        # pack the same bits into 64-bit words (bit 0 = MSB of word 0;
+        # zero padding past n_bits XORs to zero, so padding never
+        # contributes to a Hamming distance). int64 wraparound on the
+        # top byte is two's complement — the exact bit pattern Spark's
+        # long carries, and bit_count/XOR are sign-agnostic.
+        padded = np.zeros((len(M), n_words * 64), dtype=bool)
+        padded[:, :n_bits] = bits
+        by = np.packbits(padded, axis=1).reshape(len(M), n_words, 8)
+        shifts = (np.arange(7, -1, -1, dtype=np.int64) * 8)[None, None, :]
+        sigs = (by.astype(np.int64) << shifts).sum(
+            axis=2, dtype=np.int64
+        )
+        return pd.DataFrame(
+            {
+                "cs": [[int(x) for x in row] for row in codes],
+                "sig": [[int(x) for x in row] for row in sigs],
+            }
+        )
 
     coded = emb.select(
-        F.col("vec_id"), F.col("embedding"), _codes("embedding").alias("cs")
+        F.col("vec_id"),
+        F.col("embedding"),
+        _codes("embedding").alias("c"),
+    ).select(
+        "vec_id", "embedding", F.col("c.cs").alias("cs"),
+        F.col("c.sig").alias("sig"),
     ).localCheckpoint(eager=False)
     tabled = coded.select(
-        "vec_id", F.posexplode("cs").alias("t", "code")
+        "vec_id", "sig", F.posexplode("cs").alias("t", "code")
     )
     counts = tabled.groupBy("t", "code").agg(F.count("*").alias("_n"))
     b = (
@@ -539,10 +618,34 @@ def embedding_near_dup_banded(
         .filter(F.col("_n") <= max_bucket)
         .drop("_n")
     )
+    # flat getItem sum, NOT aggregate/zip_with: the signature width is
+    # known at plan time, and the higher-order array functions run as
+    # interpreted lambda expressions (measured 11 s vs 3.2 s for this
+    # filter over the same 10M-row band join at sf0.1) — per-element
+    # expressions keep the whole filter inside codegen
+    ham = None
+    for _w in range(n_words):
+        _term = F.bit_count(
+            F.col("sig_a").getItem(_w).bitwiseXOR(
+                F.col("sig_b").getItem(_w)
+            )
+        )
+        ham = _term if ham is None else ham + _term
     pairs = (
-        b.select(F.col("vec_id").alias("vec_a"), "t", "code")
-        .join(b.select(F.col("vec_id").alias("vec_b"), "t", "code"), ["t", "code"])
+        b.select(
+            F.col("vec_id").alias("vec_a"), F.col("sig").alias("sig_a"),
+            "t", "code",
+        )
+        .join(
+            b.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("sig").alias("sig_b"),
+                "t", "code",
+            ),
+            ["t", "code"],
+        )
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(ham <= F.lit(ham_max))
         .select("vec_a", "vec_b")
         .distinct()
     )

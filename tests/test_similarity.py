@@ -404,3 +404,68 @@ def test_semantic_dedup_matches_naive(spark):
     assert len(out) == n
     for r in out:
         assert (r.cluster_id, r.keep) == expect[r.vec_id], r
+
+
+def test_hamming_prefilter_cutoff_values():
+    """Cutoff math pinned: the known production point (0.8 threshold,
+    384-bit signature -> 110), perfect-match degeneracy, full-range
+    keep-all, and monotonicity (higher threshold -> tighter cutoff)."""
+    from readability_ex_spark.operators.similarity import (
+        hamming_prefilter_cutoff,
+    )
+
+    assert hamming_prefilter_cutoff(0.8, 384) == 110
+    assert hamming_prefilter_cutoff(1.0, 192) == 0
+    assert hamming_prefilter_cutoff(-1.0, 8) == 8  # keep everything
+    cuts = [hamming_prefilter_cutoff(t / 10, 384) for t in range(-9, 10)]
+    assert cuts == sorted(cuts, reverse=True)
+
+
+def test_banded_near_dup_prefilter_is_lossless(spark, monkeypatch):
+    """The signature-Hamming prefilter must not change the output: the
+    same planted set run with the filter disabled (cutoff = all bits)
+    yields the identical verified pair set."""
+    from readability_ex_spark.operators import similarity as S
+
+    emb, n_base = _planted_df(spark)
+    vecs = emb.select("vec_id", "embedding")
+
+    def pairs():
+        return {
+            (r.vec_a, r.vec_b, r.cosine)
+            for r in S.embedding_near_dup_banded(
+                vecs, threshold=0.9, k_planes=8, n_tables=24
+            ).collect()
+        }
+
+    with_filter = pairs()
+    monkeypatch.setattr(
+        S, "hamming_prefilter_cutoff", lambda thr, b, margin=4.0: b
+    )
+    without = pairs()
+    assert with_filter == without
+    # and the pairs are real: planted partners only, >=90% recovered
+    truth = {(i, i + n_base) for i in range(n_base)}
+    got = {(a, b) for a, b, _ in with_filter}
+    assert got <= truth and len(got) / n_base >= 0.9
+
+
+def test_banded_sig_width_does_not_change_bands(spark):
+    """sig_bits prefix-extends the plane stream: band codes (and thus
+    the candidate set and verified output) are identical at 192- and
+    384-bit signatures — only the prefilter's discrimination varies."""
+    from readability_ex_spark.operators import similarity as S
+
+    emb, _ = _planted_df(spark, n_base=50)
+    vecs = emb.select("vec_id", "embedding")
+
+    def pairs(sig_bits):
+        return {
+            (r.vec_a, r.vec_b, r.cosine)
+            for r in S.embedding_near_dup_banded(
+                vecs, threshold=0.9, k_planes=8, n_tables=24,
+                sig_bits=sig_bits,
+            ).collect()
+        }
+
+    assert pairs(192) == pairs(384)
