@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_pack": SA.q_token_budget_pack,
         "text_embedding": E.q_text_embedding,
         "text_emb_near_dup": E.q_text_emb_near_dup,
+        "cross_emb_near_dup": E.q_cross_emb_near_dup,
         "multimodal_meta": T.q_multimodal_meta,
         "multimodal_dedup": _q_multimodal_dedup,
         "ann_bruteforce": S.q_ann_bruteforce,
@@ -2763,6 +2764,88 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, cosine FROM p
             WHERE cosine >= {E.TEXT_EMB_ND_THRESHOLD}
             ORDER BY doc_a, doc_b
+        """,
+        # mirrors embedding.q_cross_emb_near_dup: the SAME text-emb +
+        # banded-code + signature CTEs as text_emb_near_dup, with the
+        # corpus split doc_id % CROSS_SPLIT_MOD (batch = 0, existing
+        # != 0), the bucket cap computed over the EXISTING side only
+        # (the batch is never capped — mirror of the text-LSH cross
+        # path), the Hamming prefilter over the full 2*k*T-bit
+        # signature, and the exact-cosine verify; output = distinct
+        # batch doc_ids to drop
+        "cross_emb_near_dup": f"""
+            WITH {_text_emb_ctes()},
+            arr AS (
+              SELECT fe.doc_id,
+                     list_transform(generate_series(0, {E.TEXT_EMB_DIM - 1}),
+                       b -> CAST(coalesce(list_sum(list_transform(hs, h ->
+                         CASE WHEN
+                           (16 * (strpos('{_HEX}', substr(h, 1, 1)) - 1) +
+                            (strpos('{_HEX}', substr(h, 2, 1)) - 1))
+                             % {E.TEXT_EMB_DIM} = b
+                           THEN CASE WHEN strpos('13579bdf',
+                                             substr(h, 3, 1)) > 0
+                                     THEN 1 ELSE -1 END
+                           ELSE 0 END)), 0) AS DOUBLE)) AS v
+              FROM fe),
+            temb AS (
+              SELECT arr.doc_id AS vec_id,
+                     list_transform(v, x -> x / nrm) AS ed
+              FROM arr JOIN tn ON tn.doc_id = arr.doc_id
+              WHERE nrm > 0),
+            tb0 AS (
+              {" UNION ALL ".join(
+                  f'''SELECT vec_id, {t} AS t,
+                      {_banded_code_sql("ed", t)} AS code FROM temb'''
+                  for t in range(E.TEXT_EMB_ND_TABLES)
+              )}),
+            sgx AS (
+              SELECT vec_id, t, code FROM tb0
+              UNION ALL {" UNION ALL ".join(
+                  f'''SELECT vec_id, {t} AS t,
+                      {_banded_code_sql("ed", t,
+                          total=2 * E.TEXT_EMB_ND_K * E.TEXT_EMB_ND_TABLES)}
+                      AS code FROM temb'''
+                  for t in range(E.TEXT_EMB_ND_TABLES,
+                                 2 * E.TEXT_EMB_ND_TABLES)
+              )}),
+            sg AS (
+              SELECT vec_id, list(code ORDER BY t) AS cs
+              FROM sgx GROUP BY vec_id),
+            ebt AS (
+              SELECT vec_id, t, code FROM (
+                SELECT *, count(*) OVER (PARTITION BY t, code) AS _n
+                FROM tb0 WHERE vec_id % {T.CROSS_SPLIT_MOD} <> 0)
+              WHERE _n <= {S.EMB_MAX_BUCKET}),
+            bbt AS (
+              SELECT vec_id, t, code FROM tb0
+              WHERE vec_id % {T.CROSS_SPLIT_MOD} = 0),
+            cand AS (
+              SELECT DISTINCT b.vec_id AS _batch_id,
+                              e.vec_id AS _existing_id
+              FROM bbt b JOIN ebt e
+                ON b.t = e.t AND b.code = e.code
+              JOIN sg ca ON ca.vec_id = b.vec_id
+              JOIN sg cb ON cb.vec_id = e.vec_id
+              WHERE list_sum(list_transform(list_zip(ca.cs, cb.cs),
+                      z -> bit_count(xor(z[1], z[2]))))
+                    <= {S.hamming_prefilter_cutoff(
+                        E.TEXT_EMB_ND_THRESHOLD,
+                        2 * E.TEXT_EMB_ND_K * E.TEXT_EMB_ND_TABLES)}),
+            v AS (
+              SELECT _batch_id,
+                     round(
+                       list_sum(list_transform(list_zip(ea.ed, eb.ed),
+                                               z -> z[1] * z[2])) /
+                       (sqrt(list_sum(list_transform(ea.ed, x -> x * x))) *
+                        sqrt(list_sum(list_transform(eb.ed, x -> x * x)))),
+                       6) AS cosine
+              FROM cand
+              JOIN temb ea ON ea.vec_id = cand._batch_id
+              JOIN temb eb ON eb.vec_id = cand._existing_id)
+            SELECT DISTINCT _batch_id AS doc_id FROM v
+            WHERE cosine >= {E.TEXT_EMB_ND_THRESHOLD}
+            ORDER BY doc_id
         """,
         "multimodal_dedup": """
             SELECT md5(text) AS content_hash,

@@ -402,6 +402,48 @@ def main() -> int:
     finally:
         _sh.rmtree(_bdir, ignore_errors=True)
 
+    # the same three incremental numbers in EMBEDDING space: full
+    # rescan (both sides re-coded), the one-time _emb_sigs signature
+    # index build, and the per-update indexed path that codes only the
+    # batch
+    from readability_ex_spark.operators import similarity as _S
+    from readability_ex_spark.operators.embedding import (
+        TEXT_EMB_DIM as _ED,
+        TEXT_EMB_ND_K as _EK,
+        TEXT_EMB_ND_TABLES as _ET,
+        TEXT_EMB_ND_THRESHOLD as _ETH,
+        nonzero_embeddings as _nz,
+        text_embedding as _temb,
+    )
+
+    _eexist = _nz(_temb(_docs)).select(
+        _F.col("doc_id").alias("vec_id"), "embedding"
+    ).localCheckpoint()
+    _ebatch = _nz(_temb(_batch)).select(
+        _F.col("doc_id").alias("vec_id"), "embedding"
+    ).localCheckpoint()
+
+    def _emb_cross(sigs=None):
+        return _S.cross_emb_near_dup_matches(
+            _ebatch, _eexist, threshold=_ETH, dim=_ED, k_planes=_EK,
+            n_tables=_ET, existing_sigs=sigs,
+        ).count()
+
+    run("emb_update_rescan", _emb_cross)
+    _sdir = _tf.mkdtemp(prefix="bench_embsigs_")
+    try:
+        run(
+            "emb_sig_index_build",
+            lambda: _S.banded_sig_codes(
+                _eexist, dim=_ED, k_planes=_EK, n_tables=_ET
+            ).select("vec_id", "cs", "sig").write.parquet(f"{_sdir}/s")
+            or 1,
+        )
+        _esigs = spark.read.parquet(f"{_sdir}/s")
+        run("emb_update_indexed", lambda: _emb_cross(_esigs))
+    finally:
+        _sh.rmtree(_sdir, ignore_errors=True)
+
     if args.composed:
         import shutil
         import tempfile

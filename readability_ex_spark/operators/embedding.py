@@ -180,3 +180,44 @@ def q_text_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def q_cross_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-update drop verdict in EMBEDDING space: batch docs
+    (``doc_id % CROSS_SPLIT_MOD == 0`` — the same deterministic corpus
+    split as the text-LSH ``cross_near_dup`` query, so real dup
+    families straddle the sides) whose text embedding near-duplicates
+    (cosine >= TEXT_EMB_ND_THRESHOLD) an existing-side doc. The
+    existing side's band codes play the persisted ``_emb_sigs`` index:
+    the oracle recomputes banding, the existing-side bucket cap, the
+    signature-Hamming prefilter, and the exact-cosine verify."""
+    from readability_ex_spark.operators.similarity import (
+        banded_sig_codes,
+        cross_emb_near_dup_matches,
+    )
+    from readability_ex_spark.operators.textops import CROSS_SPLIT_MOD, _docs
+
+    emb = nonzero_embeddings(text_embedding(_docs(spark, sf_dir))).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    batch = emb.filter(F.col("vec_id") % CROSS_SPLIT_MOD == 0)
+    existing = emb.filter(F.col("vec_id") % CROSS_SPLIT_MOD != 0)
+    sigs = banded_sig_codes(
+        existing,
+        dim=TEXT_EMB_DIM,
+        k_planes=TEXT_EMB_ND_K,
+        n_tables=TEXT_EMB_ND_TABLES,
+    ).select("vec_id", "cs", "sig")
+    return (
+        cross_emb_near_dup_matches(
+            batch,
+            existing,
+            threshold=TEXT_EMB_ND_THRESHOLD,
+            dim=TEXT_EMB_DIM,
+            k_planes=TEXT_EMB_ND_K,
+            n_tables=TEXT_EMB_ND_TABLES,
+            existing_sigs=sigs,
+        )
+        .select(F.col("vec_id").alias("doc_id"))
+        .orderBy("doc_id")
+    )

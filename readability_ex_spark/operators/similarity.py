@@ -501,6 +501,101 @@ def hamming_prefilter_cutoff(
     return min(n_bits, int(math.floor(cut)))
 
 
+def banded_sig_codes(
+    emb: DataFrame,
+    dim: int = EMB_DIM,
+    k_planes: int = 8,
+    n_tables: int = 10,
+    seed: int = LSH_SEED,
+    sig_bits: int | None = None,
+) -> DataFrame:
+    """``(vec_id, embedding, cs, sig)``: per-vector band codes (array
+    of ``n_tables`` k-bit ints) plus the packed prefilter signature
+    (``ceil(sig_bits/64)`` longs) in ONE Arrow pass — the shared
+    derivation behind :func:`embedding_near_dup_banded` (self-join) and
+    :func:`cross_emb_near_dup_matches` (batch-vs-corpus), and, dropped
+    to ``(vec_id, cs, sig)``, the persistable ``_emb_sigs`` index that
+    makes incremental embedding near-dup batch-linear: an update run
+    codes only the NEW batch and joins the stored codes, never
+    re-reading or re-coding the existing corpus.
+
+    The dots accumulate component-sequentially (index order), the
+    exact float semantics of the DuckDB oracle's list_sum over
+    list_zip — a BLAS matmul's pairwise sums could flip a near-zero
+    sign bit. Band codes use the FIRST ``k*T`` planes of the seeded
+    stream; the signature's extra planes prefix-extend it
+    (prefix-stability test-pinned), so signatures of different widths
+    share band codes.
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    band_bits = k_planes * n_tables
+    n_bits = max(band_bits, sig_bits or 2 * band_bits)
+    n_words = (n_bits + 63) // 64
+    planes = hyperplanes(dim, n_bits, seed)
+
+    @pandas_udf("cs array<long>, sig array<long>")
+    def _codes(embs: pd.Series) -> pd.DataFrame:
+        if len(embs) == 0:  # zero-row Arrow batch: nothing to code
+            return pd.DataFrame({"cs": [], "sig": []})
+        M = np.array(embs.tolist(), dtype=np.float64)
+        if M.ndim != 2 or M.shape[1] != dim:
+            raise ValueError(
+                f"embedding width {M.shape} != contract dim {dim}"
+            )
+        acc = np.zeros((len(M), n_bits))
+        for i in range(dim):
+            acc += M[:, i : i + 1] * planes.T[i : i + 1, :]
+        bits = acc >= 0
+        w = 1 << np.arange(k_planes - 1, -1, -1)  # plane 0 = MSB
+        codes = bits[:, :band_bits].reshape(len(M), n_tables, k_planes) @ w
+        # pack the same bits into 64-bit words (bit 0 = MSB of word 0;
+        # zero padding past n_bits XORs to zero, so padding never
+        # contributes to a Hamming distance). int64 wraparound on the
+        # top byte is two's complement — the exact bit pattern Spark's
+        # long carries, and bit_count/XOR are sign-agnostic.
+        padded = np.zeros((len(M), n_words * 64), dtype=bool)
+        padded[:, :n_bits] = bits
+        by = np.packbits(padded, axis=1).reshape(len(M), n_words, 8)
+        shifts = (np.arange(7, -1, -1, dtype=np.int64) * 8)[None, None, :]
+        sigs = (by.astype(np.int64) << shifts).sum(
+            axis=2, dtype=np.int64
+        )
+        return pd.DataFrame(
+            {
+                "cs": [[int(x) for x in row] for row in codes],
+                "sig": [[int(x) for x in row] for row in sigs],
+            }
+        )
+
+    return emb.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        _codes("embedding").alias("c"),
+    ).select(
+        "vec_id", "embedding", F.col("c.cs").alias("cs"),
+        F.col("c.sig").alias("sig"),
+    )
+
+
+def _sig_hamming(n_words: int, a: str = "sig_a", b: str = "sig_b"):
+    """Hamming distance between two packed signatures as a flat
+    ``getItem`` XOR/popcount sum, NOT aggregate/zip_with: the width is
+    known at plan time, and the higher-order array functions run as
+    interpreted lambda expressions (measured 11 s vs 3.2 s for the
+    same filter over a 10M-row band join at sf0.1) — per-element
+    expressions keep the whole filter inside codegen."""
+    ham = None
+    for w in range(n_words):
+        term = F.bit_count(
+            F.col(a).getItem(w).bitwiseXOR(F.col(b).getItem(w))
+        )
+        ham = term if ham is None else ham + term
+    return ham
+
+
 def embedding_near_dup_banded(
     emb: DataFrame,
     threshold: float,
@@ -552,62 +647,14 @@ def embedding_near_dup_banded(
     and the id-keyed verify joins reuse the corpus partitioning at
     scale.
     """
-    import numpy as np
-
-    from pyspark.sql.functions import pandas_udf
-
     band_bits = k_planes * n_tables
     n_bits = max(band_bits, sig_bits or 2 * band_bits)
     n_words = (n_bits + 63) // 64
     ham_max = hamming_prefilter_cutoff(threshold, n_bits)
-    planes = hyperplanes(dim, n_bits, seed)
 
-    @pandas_udf("cs array<long>, sig array<long>")
-    def _codes(embs: pd.Series) -> pd.DataFrame:
-        if len(embs) == 0:  # zero-row Arrow batch: nothing to code
-            return pd.DataFrame({"cs": [], "sig": []})
-        M = np.array(embs.tolist(), dtype=np.float64)
-        if M.ndim != 2 or M.shape[1] != dim:
-            raise ValueError(
-                f"embedding width {M.shape} != contract dim {dim}"
-            )
-        # component-sequential accumulation (index order) — the exact
-        # float semantics of list_sum over list_zip in the oracle; a
-        # BLAS matmul's pairwise sums could flip a near-zero sign bit
-        acc = np.zeros((len(M), n_bits))
-        for i in range(dim):
-            acc += M[:, i : i + 1] * planes.T[i : i + 1, :]
-        bits = acc >= 0
-        w = 1 << np.arange(k_planes - 1, -1, -1)  # plane 0 = MSB
-        # band codes use the FIRST k*T planes of the stream — the
-        # signature's extra planes extend it without touching them
-        codes = bits[:, :band_bits].reshape(len(M), n_tables, k_planes) @ w
-        # pack the same bits into 64-bit words (bit 0 = MSB of word 0;
-        # zero padding past n_bits XORs to zero, so padding never
-        # contributes to a Hamming distance). int64 wraparound on the
-        # top byte is two's complement — the exact bit pattern Spark's
-        # long carries, and bit_count/XOR are sign-agnostic.
-        padded = np.zeros((len(M), n_words * 64), dtype=bool)
-        padded[:, :n_bits] = bits
-        by = np.packbits(padded, axis=1).reshape(len(M), n_words, 8)
-        shifts = (np.arange(7, -1, -1, dtype=np.int64) * 8)[None, None, :]
-        sigs = (by.astype(np.int64) << shifts).sum(
-            axis=2, dtype=np.int64
-        )
-        return pd.DataFrame(
-            {
-                "cs": [[int(x) for x in row] for row in codes],
-                "sig": [[int(x) for x in row] for row in sigs],
-            }
-        )
-
-    coded = emb.select(
-        F.col("vec_id"),
-        F.col("embedding"),
-        _codes("embedding").alias("c"),
-    ).select(
-        "vec_id", "embedding", F.col("c.cs").alias("cs"),
-        F.col("c.sig").alias("sig"),
+    coded = banded_sig_codes(
+        emb, dim=dim, k_planes=k_planes, n_tables=n_tables, seed=seed,
+        sig_bits=n_bits,
     ).localCheckpoint(eager=False)
     tabled = coded.select(
         "vec_id", "sig", F.posexplode("cs").alias("t", "code")
@@ -618,19 +665,7 @@ def embedding_near_dup_banded(
         .filter(F.col("_n") <= max_bucket)
         .drop("_n")
     )
-    # flat getItem sum, NOT aggregate/zip_with: the signature width is
-    # known at plan time, and the higher-order array functions run as
-    # interpreted lambda expressions (measured 11 s vs 3.2 s for this
-    # filter over the same 10M-row band join at sf0.1) — per-element
-    # expressions keep the whole filter inside codegen
-    ham = None
-    for _w in range(n_words):
-        _term = F.bit_count(
-            F.col("sig_a").getItem(_w).bitwiseXOR(
-                F.col("sig_b").getItem(_w)
-            )
-        )
-        ham = _term if ham is None else ham + _term
+    ham = _sig_hamming(n_words)
     pairs = (
         b.select(
             F.col("vec_id").alias("vec_a"), F.col("sig").alias("sig_a"),
@@ -660,6 +695,106 @@ def embedding_near_dup_banded(
     return (
         withvecs.select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cross_emb_near_dup_matches(
+    batch: DataFrame,
+    existing: DataFrame,
+    threshold: float,
+    dim: int = EMB_DIM,
+    k_planes: int = 8,
+    n_tables: int = 10,
+    seed: int = LSH_SEED,
+    max_bucket: int = EMB_MAX_BUCKET,
+    sig_bits: int | None = None,
+    existing_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Batch vectors that near-duplicate (cosine >= ``threshold``) an
+    EXISTING corpus vector: the cross-corpus variant of
+    :func:`embedding_near_dup_banded`, for incremental updates — the
+    embedding-modality mirror of ``textops.cross_near_dup_matches`` /
+    the ``_bands`` index. Returns distinct batch ``vec_id`` rows to
+    drop.
+
+    ``existing_sigs``: a persisted ``(vec_id, cs, sig)`` table (what
+    :func:`banded_sig_codes` emits, minus the vector — the
+    ``_emb_sigs`` artifact). When given, the existing corpus is NOT
+    re-embedded or re-coded: its rows are touched only to fetch the
+    exact vectors of verify CANDIDATES (a semi-joined point lookup),
+    which is the difference between an update that scales with the
+    BATCH and one that re-reads the world.
+
+    Plan: batch side coded in one Arrow pass (batch-linear); existing
+    band blocks capped per (table, code) like the self-join path
+    (over-cap boilerplate buckets are the exact manifest's job — same
+    contract as the text-LSH cross path); equality join on
+    (t, code) carrying both packed signatures; the Hamming prefilter
+    runs inside the join's codegen stage so far candidates never reach
+    a shuffle; distinct (batch, existing) survivors fetch exact
+    vectors (existing side SEMI-JOINED down to candidates first) for
+    the Arrow cosine verify.
+    """
+    band_bits = k_planes * n_tables
+    n_bits = max(band_bits, sig_bits or 2 * band_bits)
+    n_words = (n_bits + 63) // 64
+    ham_max = hamming_prefilter_cutoff(threshold, n_bits)
+
+    bc = banded_sig_codes(
+        batch, dim=dim, k_planes=k_planes, n_tables=n_tables, seed=seed,
+        sig_bits=n_bits,
+    ).localCheckpoint(eager=False)
+    if existing_sigs is not None:
+        ec = existing_sigs.select("vec_id", "cs", "sig")
+    else:
+        ec = banded_sig_codes(
+            existing, dim=dim, k_planes=k_planes, n_tables=n_tables,
+            seed=seed, sig_bits=n_bits,
+        ).select("vec_id", "cs", "sig")
+    eb = ec.select("vec_id", "sig", F.posexplode("cs").alias("t", "code"))
+    counts = eb.groupBy("t", "code").agg(F.count("*").alias("_n"))
+    eb = (
+        eb.join(counts, ["t", "code"])
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+    bb = bc.select(
+        F.col("vec_id").alias("_batch_id"),
+        F.col("sig").alias("sig_a"),
+        F.posexplode("cs").alias("t", "code"),
+    )
+    cand = (
+        bb.join(
+            eb.select(
+                F.col("vec_id").alias("_existing_id"),
+                F.col("sig").alias("sig_b"),
+                "t", "code",
+            ),
+            ["t", "code"],
+        )
+        .filter(_sig_hamming(n_words) <= F.lit(ham_max))
+        .select("_batch_id", "_existing_id")
+        .distinct()
+        # candidates feed the verify join AND the existing-side vector
+        # pruning — checkpoint so the band join runs once
+        .localCheckpoint(eager=False)
+    )
+    cand_ids = cand.select(F.col("_existing_id").alias("vec_id")).distinct()
+    ev = existing.join(cand_ids, ["vec_id"], "left_semi").select(
+        F.col("vec_id").alias("_existing_id"),
+        F.col("embedding").alias("emb_b"),
+    )
+    bv = bc.select(
+        F.col("vec_id").alias("_batch_id"),
+        F.col("embedding").alias("emb_a"),
+    )
+    cos = _cosine_pairs(F.col("emb_a"), F.col("emb_b"))
+    return (
+        cand.join(bv, "_batch_id")
+        .join(ev, "_existing_id")
+        .filter(F.round(cos, 6) >= threshold)
+        .select(F.col("_batch_id").alias("vec_id"))
+        .distinct()
     )
 
 

@@ -469,3 +469,84 @@ def test_banded_sig_width_does_not_change_bands(spark):
         }
 
     assert pairs(192) == pairs(384)
+
+
+def test_cross_emb_near_dup_drops_planted_batch_dups(spark):
+    """Batch vectors near-duplicating an existing vector are dropped;
+    unrelated batch vectors survive. The planted frame's base vectors
+    (ids < n_base) play the existing corpus, their near-duplicates
+    (ids >= n_base) the incoming batch, plus 20 fresh random vectors
+    that duplicate nothing."""
+    import numpy as np
+
+    from readability_ex_spark.operators.similarity import (
+        cross_emb_near_dup_matches,
+    )
+
+    emb, n_base = _planted_df(spark)
+    existing = emb.filter(F.col("vec_id") < n_base).select(
+        "vec_id", "embedding"
+    )
+    rng = np.random.default_rng(99)
+    fresh = rng.standard_normal((20, 64))
+    fresh /= np.linalg.norm(fresh, axis=1, keepdims=True)
+    fresh_df = spark.createDataFrame(
+        [(10_000 + i, [float(x) for x in fresh[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    batch = emb.filter(F.col("vec_id") >= n_base).select(
+        "vec_id", "embedding"
+    ).union(fresh_df)
+    dropped = {
+        r.vec_id
+        for r in cross_emb_near_dup_matches(
+            batch, existing, threshold=0.9, k_planes=8, n_tables=24
+        ).collect()
+    }
+    # no false positive: random 64-dim unit vectors never reach 0.9
+    assert not any(v >= 10_000 for v in dropped)
+    # banded recall on the planted partners
+    planted = {i + n_base for i in range(n_base)}
+    assert dropped <= planted and len(dropped) / n_base >= 0.9
+
+
+def test_cross_emb_near_dup_index_path_matches_and_codes_batch_only(
+    spark, monkeypatch
+):
+    """With a persisted (vec_id, cs, sig) index the result is identical
+    AND the existing side is never re-coded: the coding derivation runs
+    once (the batch's), not twice. (Plan-string counting can't see
+    this — both checkpoints cut the visible tree — so the invariant is
+    pinned at the call level.)"""
+    from readability_ex_spark.operators import similarity as S
+
+    emb, n_base = _planted_df(spark, n_base=50)
+    existing = emb.filter(F.col("vec_id") < n_base).select(
+        "vec_id", "embedding"
+    )
+    batch = emb.filter(F.col("vec_id") >= n_base).select(
+        "vec_id", "embedding"
+    )
+    sigs = S.banded_sig_codes(existing, k_planes=8, n_tables=24).select(
+        "vec_id", "cs", "sig"
+    ).localCheckpoint(eager=True)  # "persisted" index stand-in
+
+    calls = []
+    real = S.banded_sig_codes
+    monkeypatch.setattr(
+        S, "banded_sig_codes",
+        lambda *a, **kw: calls.append(1) or real(*a, **kw),
+    )
+    direct = S.cross_emb_near_dup_matches(
+        batch, existing, threshold=0.9, k_planes=8, n_tables=24
+    )
+    n_direct = len(calls)
+    indexed = S.cross_emb_near_dup_matches(
+        batch, existing, threshold=0.9, k_planes=8, n_tables=24,
+        existing_sigs=sigs,
+    )
+    n_indexed = len(calls) - n_direct
+    assert n_direct == 2 and n_indexed == 1
+    assert {r.vec_id for r in direct.collect()} == {
+        r.vec_id for r in indexed.collect()
+    }
