@@ -6,6 +6,9 @@ reading the corpus itself):
 
 - ``_manifest`` — every extracted url's keep decision (dedup audit)
 - ``_bands`` — persisted banded-LSH index (incremental near-dup)
+- ``_emb_sigs`` — persisted embedding band-code/signature index
+  (incremental embedding near-dup; key-complete — zero-norm text
+  carries NULL codes so heal can tell a crash from a sig-less doc)
 - ``_chunk_df`` — pre-verdict boilerplate chunk counts (additive)
 - ``_lm_vocab`` — the frozen unigram LM the corpus was filtered by
 - ``_quality_stats`` / ``_datacard`` — per-run rollups (rewritten)

@@ -29,6 +29,43 @@ import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+
+
+def _emb_sig_rows(corpus_df, orphan_keys=None):
+    """``(url, cs, sig)`` banded-signature index rows for a corpus
+    frame — the ``_emb_sigs`` artifact (embedding-space mirror of
+    ``_bands``): text-embed, drop zero-norm vectors (empty text has no
+    cosine), code with the production band/signature constants. With
+    ``orphan_keys``, restricted to those urls (the heal_sidecars
+    re-derive contract)."""
+    from pyspark.sql import functions as F
+
+    from readability_ex_spark.operators.embedding import (
+        TEXT_EMB_DIM,
+        TEXT_EMB_ND_K,
+        TEXT_EMB_ND_TABLES,
+        nonzero_embeddings,
+        text_embedding,
+    )
+    from readability_ex_spark.operators.similarity import banded_sig_codes
+
+    src = corpus_df.select("url", "text")
+    if orphan_keys is not None:
+        src = src.join(orphan_keys, "url", "left_semi")
+    emb = nonzero_embeddings(
+        text_embedding(src, id_col="url")
+    ).select(F.col("url").alias("vec_id"), "embedding")
+    coded = banded_sig_codes(
+        emb,
+        dim=TEXT_EMB_DIM,
+        k_planes=TEXT_EMB_ND_K,
+        n_tables=TEXT_EMB_ND_TABLES,
+    ).select(F.col("vec_id").alias("url"), "cs", "sig")
+    # EVERY corpus url gets a row (zero-norm text -> NULL cs/sig):
+    # a key-complete index is what lets heal_sidecars tell a crashed
+    # append from a legitimately sig-less doc; consumers explode cs,
+    # and exploding NULL yields no rows, so NULL rows are inert
+    return src.select("url").join(coded, "url", "left")
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
@@ -264,7 +301,8 @@ def main() -> int:
         "fingerprints win; see corpus.incremental_corpus_update). Run "
         "with the SAME stage flags as the original build so the "
         "appended schema matches. Cross-batch closure comes from the "
-        "persisted artifacts: _bands (near-dups), _lm_vocab (LM "
+        "persisted artifacts: _bands (near-dups), _emb_sigs "
+        "(embedding near-dups), _lm_vocab (LM "
         "floor), _chunk_df (pre-verdict chunk counts, so "
         "--drop-boilerplate judges each batch against ALL prior "
         "batches' frequencies), and --update-near-dup. Only "
@@ -277,6 +315,21 @@ def main() -> int:
         help="with --update: also drop batch docs whose shingle Jaccard "
         "vs ANY existing doc reaches this threshold (cross-corpus band "
         "join; exact urls/fingerprints are always dropped)",
+    )
+    ap.add_argument(
+        "--update-emb-near-dup", type=float, default=None, metavar="COSINE",
+        help="with --update: also drop batch docs whose text-embedding "
+        "cosine vs ANY existing doc reaches this threshold — the "
+        "paraphrase-level net token Jaccard misses. Uses the persisted "
+        "_emb_sigs signature index when present (batch-linear: the "
+        "existing corpus is never re-embedded except for verify "
+        "candidates); implies --emb-sigs so the index extends",
+    )
+    ap.add_argument(
+        "--emb-sigs", action="store_true",
+        help="persist/extend the _emb_sigs banded-signature index of "
+        "the kept corpus (url, band codes, packed Hamming signature) "
+        "so --update-emb-near-dup runs never re-embed the world",
     )
     ap.add_argument(
         "--export-jsonl", default=None, metavar="DIR",
@@ -862,6 +915,9 @@ def main() -> int:
         )
         corpus = corpus.join(rep_ok.select("url"), "url", "left_semi")
     had_bands = sidecar_exists(args.output, "_bands")
+    if args.update_emb_near_dup is not None:
+        args.emb_sigs = True  # the drop path keeps its own index fresh
+    had_emb_sigs = sidecar_exists(args.output, "_emb_sigs")
     if args.update:
         # incremental mode: the batch-composed corpus anti-joins what the
         # existing output already covers (same url: the existing
@@ -942,6 +998,7 @@ def main() -> int:
             [
                 SidecarSpec("_manifest", "url", _manifest_rows),
                 SidecarSpec("_bands", "url", _band_rows),
+                SidecarSpec("_emb_sigs", "url", _emb_sig_rows),
             ],
         )
         for _name, _n in repaired.items():
@@ -983,6 +1040,48 @@ def main() -> int:
                 ),
             )
             corpus = corpus.join(nd_drops, "url", "left_anti")
+        if args.update_emb_near_dup is not None:
+            from readability_ex_spark.operators.embedding import (
+                TEXT_EMB_DIM,
+                TEXT_EMB_ND_K,
+                TEXT_EMB_ND_TABLES,
+                nonzero_embeddings,
+                text_embedding,
+            )
+            from readability_ex_spark.operators.similarity import (
+                cross_emb_near_dup_matches,
+            )
+
+            # the persisted signature index (written by the full build,
+            # extended by every update) replaces re-embedding the whole
+            # existing corpus; existing text is then only embedded for
+            # signature-collision verify CANDIDATES (the left-semi
+            # prune pushes below the embedding projection). A corpus
+            # built before the artifact existed falls back to inline
+            # coding once — the write below starts the index.
+            _esigs = load_sidecar(spark, args.output, "_emb_sigs")
+            if _esigs is not None:
+                _esigs = _esigs.filter(
+                    F.col("cs").isNotNull()
+                ).select(F.col("url").alias("vec_id"), "cs", "sig")
+            _bemb = nonzero_embeddings(
+                text_embedding(corpus.select("url", "text"), id_col="url")
+            ).select(F.col("url").alias("vec_id"), "embedding")
+            _eemb = nonzero_embeddings(
+                text_embedding(
+                    existing.select("url", "text"), id_col="url"
+                )
+            ).select(F.col("url").alias("vec_id"), "embedding")
+            emb_drops = cross_emb_near_dup_matches(
+                _bemb,
+                _eemb,
+                threshold=args.update_emb_near_dup,
+                dim=TEXT_EMB_DIM,
+                k_planes=TEXT_EMB_ND_K,
+                n_tables=TEXT_EMB_ND_TABLES,
+                existing_sigs=_esigs,
+            ).select(F.col("vec_id").alias("url"))
+            corpus = corpus.join(emb_drops, "url", "left_anti")
         # the delta must be materialized BEFORE the append below starts
         # overwriting the directory it was derived from
         corpus = corpus.localCheckpoint(eager=True)
@@ -1092,6 +1191,27 @@ def main() -> int:
                 "_bands",
             )
             print("band_index=rebuilt")
+    if args.emb_sigs:
+        # same persist/extend/migrate contract as _bands, in embedding
+        # space: append only the checkpointed delta's signatures when
+        # the index already exists; otherwise (full build, or the first
+        # update of a pre-index corpus) sign the entire written output
+        # once
+        if args.update and had_emb_sigs:
+            write_sidecar(
+                _emb_sig_rows(corpus),
+                args.output,
+                "_emb_sigs",
+                mode="append",
+            )
+            print("emb_sigs=appended")
+        else:
+            write_sidecar(
+                _emb_sig_rows(spark.read.parquet(args.output)),
+                args.output,
+                "_emb_sigs",
+            )
+            print("emb_sigs=rebuilt")
     if contamination_rep_df is not None:
         write_sidecar(contamination_rep_df, args.output, "_contamination")
         print("contamination_report=written")

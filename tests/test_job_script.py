@@ -1781,3 +1781,91 @@ def test_prepare_corpus_update_schema_guard(spark, tmp_path):
     assert spark.read.parquet(str(out)).count() == spark.read.parquet(
         str(out)
     ).select("url").distinct().count()
+
+
+def test_prepare_corpus_script_emb_sigs_update(jobdir, spark):
+    """--emb-sigs persists the banded-signature index; --update
+    --update-emb-near-dup drops a new-url paraphrase the exact
+    fingerprint misses, appends the genuinely-fresh doc, extends the
+    index with the delta, and rebuilds it in full on a pre-index
+    corpus (the same contract as _bands)."""
+    from pyspark.sql import functions as F
+
+    out = jobdir / "corpus_emb"
+    base = [
+        sys.executable, str(REPO / "scripts" / "prepare_corpus.py"),
+        "--output", str(out), "--partitions", "4",
+    ]
+    proc = subprocess.run(
+        base + ["--input", str(jobdir / "pages"), "--emb-sigs"],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    assert "emb_sigs=rebuilt" in proc.stdout, proc.stdout
+    urls0 = {r.url for r in spark.read.parquet(str(out)).select("url").collect()}
+    sigs = spark.read.parquet(str(out / "_emb_sigs"))
+    # key-complete: EVERY corpus url has a row (zero-norm text -> NULL)
+    assert {r.url for r in sigs.select("url").distinct().collect()} == urls0
+
+    # batch 2: a paraphrase of an existing page under a NEW url with a
+    # tiny visible addition (text fingerprint changes, embedding cosine
+    # stays ~1) + genuinely fresh pages the build never saw
+    built_pages = spark.read.parquet(str(jobdir / "pages"))
+    donor_url = sorted(urls0)[0]
+    paraphrase = built_pages.filter(F.col("url") == donor_url).withColumn(
+        "url", F.lit("http://synth.test/doc/emb-paraphrase")
+    ).withColumn(
+        "html",
+        F.concat(
+            F.col("html"), F.lit(b"<p>tiny appendix sentence here</p>")
+        ),
+    )
+    # the fresh doc is GUARANTEED unique (synthetic sf pages contain
+    # real near-dup families, so a held-out page may legitimately be an
+    # embedding near-dup of a built one — correct drop, wrong fixture)
+    words = " ".join(f"zqfresh{i}token" for i in range(150))
+    fresh = built_pages.limit(1).withColumn(
+        "url", F.lit("http://synth.test/doc/fresh-emb")
+    ).withColumn(
+        "html",
+        F.lit(
+            f"<html><body><article><p>{words}</p></article></body></html>"
+            .encode()
+        ),
+    )
+    fresh_urls = {"http://synth.test/doc/fresh-emb"}
+    paraphrase.unionByName(fresh).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(jobdir / "pages_emb2"))
+
+    proc = subprocess.run(
+        base + ["--input", str(jobdir / "pages_emb2"), "--update",
+                "--update-emb-near-dup", "0.8"],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    assert "emb_sigs=appended" in proc.stdout, proc.stdout
+    after = {r.url for r in spark.read.parquet(str(out)).select("url").collect()}
+    assert "http://synth.test/doc/emb-paraphrase" not in after, (
+        "embedding near-dup must drop the new-url paraphrase"
+    )
+    assert fresh_urls <= after
+    sigs2 = spark.read.parquet(str(out / "_emb_sigs"))
+    assert {r.url for r in sigs2.select("url").distinct().collect()} == after
+    # no duplicate index rows after the append
+    assert sigs2.select("url").distinct().count() == sigs2.count()
+
+    # migration: an update on a corpus that PREDATES the index must
+    # rebuild it in FULL, not write a partial delta-only one
+    shutil.rmtree(out / "_emb_sigs")
+    proc = subprocess.run(
+        base + ["--input", str(jobdir / "pages_emb2"), "--update",
+                "--update-emb-near-dup", "0.8"],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    assert "emb_sigs=rebuilt" in proc.stdout, proc.stdout
+    rebuilt = spark.read.parquet(str(out / "_emb_sigs"))
+    assert {
+        r.url for r in rebuilt.select("url").distinct().collect()
+    } == after
