@@ -65,6 +65,25 @@ TEXT_EMB_ND_THRESHOLD = 0.8
 TEXT_EMB_ND_K = 8
 TEXT_EMB_ND_TABLES = 24
 
+# versioned identity of the _emb_sigs index scheme (embedding family +
+# dim, band shape, signature width, plane seed): recorded in
+# _sidecars.json when the index is written and REFUSED on mismatch by
+# --update runs — signatures computed under different constants are
+# incomparable, and silently mixing them in one index is the same
+# failure class the checksum-rule pin closed in round 6. Bump the v
+# suffix on any semantic change that keeps these numbers equal.
+def _emb_sig_rule() -> str:
+    from readability_ex_spark.operators.similarity import LSH_SEED
+
+    sig_bits = 2 * TEXT_EMB_ND_K * TEXT_EMB_ND_TABLES
+    return (
+        f"hash{TEXT_EMB_DIM}:k{TEXT_EMB_ND_K}xT{TEXT_EMB_ND_TABLES}"
+        f":sig{sig_bits}:seed{LSH_SEED}:v1"
+    )
+
+
+EMB_SIG_RULE = _emb_sig_rule()
+
 
 def nonzero_embeddings(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
     """Drop zero-norm vectors (empty / all-OOV text hashes to the zero

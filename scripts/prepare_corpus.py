@@ -918,6 +918,19 @@ def main() -> int:
     if args.update_emb_near_dup is not None:
         args.emb_sigs = True  # the drop path keeps its own index fresh
     had_emb_sigs = sidecar_exists(args.output, "_emb_sigs")
+    if args.update and args.emb_sigs and had_emb_sigs:
+        from readability_ex_spark.operators.embedding import EMB_SIG_RULE
+        from readability_ex_spark.sidecars import read_sidecar_params
+
+        _rec = read_sidecar_params(args.output).get("emb_sig_rule")
+        if _rec != EMB_SIG_RULE:
+            raise SystemExit(
+                "refusing to extend/use _emb_sigs: the existing index "
+                f"records signature rule {_rec!r} but this build would "
+                f"write {EMB_SIG_RULE!r} — mixed schemes in one index "
+                "are incomparable; delete the _emb_sigs directory to "
+                "rebuild it in full under the current rule"
+            )
     if args.update:
         # incremental mode: the batch-composed corpus anti-joins what the
         # existing output already covers (same url: the existing
@@ -1378,6 +1391,14 @@ def main() -> int:
         )
 
         _params["checksum_rule"] = CONTENT_HASH_RULE
+    if args.emb_sigs:
+        # pin WHICH banding/signature scheme wrote _emb_sigs: an update
+        # appending codes computed under different constants would mix
+        # incomparable signatures in one index (same posture as
+        # checksum_rule)
+        from readability_ex_spark.operators.embedding import EMB_SIG_RULE
+
+        _params["emb_sig_rule"] = EMB_SIG_RULE
     record_sidecars(
         args.output,
         params=_params or None,
@@ -1386,6 +1407,7 @@ def main() -> int:
             for n in (
                 "_manifest",
                 "_bands",
+                "_emb_sigs",
                 "_chunk_df",
                 "_lm_vocab",
                 "_lm_bigrams",

@@ -1869,3 +1869,26 @@ def test_prepare_corpus_script_emb_sigs_update(jobdir, spark):
     assert {
         r.url for r in rebuilt.select("url").distinct().collect()
     } == after
+
+    # the manifest records the index + WHICH signature scheme wrote it
+    import json as _json
+
+    from readability_ex_spark.operators.embedding import EMB_SIG_RULE
+
+    sj = _json.loads((out / "_sidecars.json").read_text())
+    assert "_emb_sigs" in sj["artifacts"]
+    assert sj["params"]["emb_sig_rule"] == EMB_SIG_RULE
+
+    # an update against an index written under a DIFFERENT scheme must
+    # refuse, not silently mix incomparable signatures
+    sj["params"]["emb_sig_rule"] = "hash64:k8xT10:sig160:seed42:v0"
+    (out / "_sidecars.json").write_text(_json.dumps(sj))
+    proc = subprocess.run(
+        base + ["--input", str(jobdir / "pages_emb2"), "--update",
+                "--update-emb-near-dup", "0.8"],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert proc.returncode != 0
+    assert "refusing to extend/use _emb_sigs" in (
+        proc.stderr + proc.stdout
+    ), proc.stderr[-800:]
