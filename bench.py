@@ -118,6 +118,23 @@ def main() -> int:
     t0 = time.perf_counter()
     run_extraction(pages.limit(256), dedup=False).count()
     timings["worker_warmup"] = round(time.perf_counter() - t0, 3)
+    # second ambient gate, IN-BAND: the guest loadavg cannot see host
+    # co-tenancy (measured: both loadavgs < 1 yet warmup 6.4 s vs the
+    # ~3.2 s steady state, and the headline read 40% low). The warmup
+    # pass is a calibrated control — if it runs slow, the box is slow;
+    # wait and re-measure it (bounded) before taking the numbers.
+    warm_gate = float(os.environ.get("SPARK_GRAFT_WARMUP_GATE", "4.5"))
+    warm_budget = float(os.environ.get("SPARK_GRAFT_WARMUP_WAIT_SEC", "600"))
+    warm_retries = 0
+    while timings["worker_warmup"] > warm_gate and warm_budget > 0:
+        time.sleep(min(60.0, warm_budget))
+        warm_budget -= 60.0
+        warm_retries += 1
+        t0 = time.perf_counter()
+        run_extraction(pages.limit(256), dedup=False).count()
+        # keep the LAST measurement, not the min: it reflects the box
+        # the rest of the bench is about to run on
+        timings["worker_warmup"] = round(time.perf_counter() - t0, 3)
     # best of N: the sandbox is co-tenant and single runs swing ±30%;
     # min-of-N reports steady-state throughput, not scheduler luck
     extract_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
@@ -531,6 +548,7 @@ def main() -> int:
                 "loadavg_start": load_start,
                 "loadavg_end": _loadavg(),
                 "loadavg_gate_waited_sec": round(waited, 1),
+                "warmup_gate_retries": warm_retries,
             }
         )
     )
