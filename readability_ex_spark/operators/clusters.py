@@ -100,7 +100,14 @@ def near_dup_clusters(
         labels = labels.join(jump, "label", "left").select(
             "id", F.coalesce("l2", "label").alias("label")
         )
-        labels = labels.localCheckpoint(eager=True)
+        # lineage must be cut EVERY round (labels is referenced 3x per
+        # round — uncut, the tree re-derives exponentially), but an
+        # EAGER cut is a driver job each; only the rounds that also run
+        # the split-edge check pay one. Odd rounds cut lazily — the
+        # checkpoint materializes (and caches) inside the next eager
+        # round's job, so the job count halves with identical labels.
+        eager = rnd % 2 == 0 or rnd == max_rounds
+        labels = labels.localCheckpoint(eager=eager)
         if strict and (rnd % 2 == 0 or rnd == max_rounds):
             split = _split_edges()
             if split == 0:

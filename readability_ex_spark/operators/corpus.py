@@ -451,7 +451,10 @@ def dedup_keep_manifest(
 
     exact = exact_dup_manifest(
         extracted, text_col=text_col, id_col=id_col, canonical_col=canonical_col
-    )
+    # referenced twice (the survivors semi-join AND the final manifest
+    # select) — checkpoint so the md5 fingerprint pass + group agg run
+    # once per action (plans are trees)
+    ).localCheckpoint(eager=False)
     survivors = extracted.join(
         exact.filter(F.col(id_col) == F.col(canonical_col)).select(id_col),
         id_col,

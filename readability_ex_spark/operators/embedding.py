@@ -85,19 +85,23 @@ def _emb_sig_rule() -> str:
 EMB_SIG_RULE = _emb_sig_rule()
 
 
-def nonzero_embeddings(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+def nonzero_embeddings(
+    df: DataFrame, emb_col: str = "embedding", dim: int = TEXT_EMB_DIM
+) -> DataFrame:
     """Drop zero-norm vectors (empty / all-OOV text hashes to the zero
     vector, for which cosine is undefined).  One shared filter so every
-    embedding consumer applies the same rule - a short fixed-width HOF,
-    within the BENCH interpreted-lambda budget (dim lambdas per row)."""
-    return df.filter(
-        F.aggregate(
-            F.transform(emb_col, lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        > 0
-    )
+    embedding consumer applies the same rule.  Flat ``getItem(i) != 0``
+    OR-chain, not ``aggregate(transform(...))``: the width is known
+    (every caller feeds ``text_embedding`` output), and the interpreted
+    HOF pair measured ~1.6 s over 5k rows at sf0.1 vs ~0 for the
+    codegen chain (the BENCH/BASELINE.md HOF-unroll rule).  Equivalent
+    by construction: sum(x_i^2) > 0 iff any x_i != 0 (components are
+    finite by the vectorizer's contract); a NULL array fails both
+    forms."""
+    pred = F.col(emb_col).getItem(0) != 0.0
+    for i in range(1, dim):
+        pred = pred | (F.col(emb_col).getItem(i) != 0.0)
+    return df.filter(pred)
 
 
 def text_embedding(
@@ -121,8 +125,16 @@ def text_embedding(
 
     from pyspark.sql.functions import pandas_udf
 
+    # (bucket, sign) per feature string, memoized across the task's
+    # batches (closure state deserializes empty per task, then persists
+    # for its lifetime — guide §4.5 shape): tokens and bigrams repeat
+    # heavily across documents (Zipfian vocab), so each distinct
+    # feature pays hashlib once per task instead of once per occurrence
+    _vec_memo: dict[str, tuple[int, float]] = {}
+
     @pandas_udf("array<double>")
     def _vec(toks: pd.Series) -> pd.Series:
+        memo: dict[str, tuple[int, float]] = _vec_memo
         out = []
         for arr in toks:
             v = np.zeros(dim, dtype=np.float64)
@@ -131,9 +143,15 @@ def text_embedding(
                     f"{arr[i]} {arr[i + 1]}" for i in range(len(arr) - 1)
                 ]
                 for f in feats:
-                    h = md5(f.encode("utf-8")).hexdigest()
-                    b = int(h[:2], 16) % dim
-                    v[b] += 1.0 if h[2] in _ODD_HEX else -1.0
+                    bs = memo.get(f)
+                    if bs is None:
+                        h = md5(f.encode("utf-8")).hexdigest()
+                        bs = (
+                            int(h[:2], 16) % dim,
+                            1.0 if h[2] in _ODD_HEX else -1.0,
+                        )
+                        memo[f] = bs
+                    v[bs[0]] += bs[1]
             # v holds small exact integers; sum of their squares is
             # exact, so the normalized values are bit-identical to the
             # oracle's val / sqrt(sum(val^2)) regardless of sum order

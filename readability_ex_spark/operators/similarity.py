@@ -186,7 +186,13 @@ def _cosine_pairs(a_col, b_col):
             dot / np.maximum(np.sqrt(na) * np.sqrt(nb), 1e-12)
         )
 
-    return _cos(a_col, b_col)
+    # asNondeterministic stops the optimizer DUPLICATING the eval when a
+    # filter references the projected cosine column (guide §4.4 shape:
+    # the pushed-down filter and the surviving projection each got their
+    # own ArrowEvalPython — every verify pair paid the Arrow transfer
+    # twice; plan-visible in plans/r08/text_emb_near_dup_before.txt).
+    # The function is pure — the marker only constrains the optimizer.
+    return _cos.asNondeterministic()(a_col, b_col)
 
 
 def hyperplanes(dim: int, n_planes: int = N_PLANES, seed: int = LSH_SEED) -> np.ndarray:
@@ -208,29 +214,45 @@ def lsh_bucket(
     ``dim`` is a parameter (the embedding column's contract width), not
     sniffed from the data — operator construction runs no Spark job.
     Hyperplanes are generated deterministically on the driver (numpy,
-    seeded) and inlined as literal arrays; the sign-bit bucket id is
-    computed fully JVM-side. At 100 TB: groupBy(bucket) colocates
-    candidates; query vectors hash to the same buckets. Plane i maps to
-    bit (n_planes-1-i), i.e. the first plane is the MSB.
+    seeded); the sign-bit bucket id is computed in ONE Arrow pass whose
+    dots accumulate component-sequentially (index order) — the exact
+    float semantics of the inlined-literal ``F.aggregate`` expression it
+    replaces (and of the DuckDB oracle's list_sum over list_zip), so
+    bucket ids are bit-identical while the plan sheds 8 interpreted
+    64-element lambda chains per row (the BENCH/BASELINE.md HOF rule —
+    same precedent as banded_sig_codes/ivf_assign). At 100 TB:
+    groupBy(bucket) colocates candidates; query vectors hash to the
+    same buckets. Plane i maps to bit (n_planes-1-i), i.e. the first
+    plane is the MSB.
     """
+    from pyspark.sql.functions import pandas_udf
+
     planes = hyperplanes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("long")
-    for i in range(n_planes):
-        p = F.array(*[F.lit(float(x)) for x in planes[i]])
-        bit = F.when(_dot(F.col(emb_col), p) >= 0, F.lit(1)).otherwise(F.lit(0))
-        bucket = bucket * 2 + bit
-    # fail loudly on a dim mismatch: zip_with pads the shorter array with
-    # NULLs, the dot goes NULL, every sign bit falls to 0 and ALL vectors
-    # silently land in bucket 0 — degrading the index into a cross join
-    guarded = F.when(F.size(F.col(emb_col)) == dim, bucket).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(f"lsh_bucket: expected {dim}-dim embedding, got "),
-                F.size(F.col(emb_col)).cast("string"),
+
+    @pandas_udf("long")
+    def _bucket(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:  # zero-row Arrow batch: nothing to hash
+            return pd.Series([], dtype="int64")
+        M = np.array(embs.tolist(), dtype=object)
+        # fail loudly on a dim mismatch (ragged rows -> object matrix):
+        # a silently zero-padded dot would land ALL vectors in bucket 0,
+        # degrading the index into a cross join
+        try:
+            M = M.astype(np.float64)
+        except (TypeError, ValueError):
+            M = None
+        if M is None or M.ndim != 2 or M.shape[1] != dim:
+            got = "ragged/null" if M is None or M.ndim != 2 else M.shape[1]
+            raise ValueError(
+                f"lsh_bucket: expected {dim}-dim embedding, got {got}"
             )
-        )
-    )
-    return emb.withColumn(out_col, guarded)
+        acc = np.zeros((len(M), n_planes))
+        for i in range(dim):
+            acc += M[:, i : i + 1] * planes.T[i : i + 1, :]
+        w = 1 << np.arange(n_planes - 1, -1, -1, dtype=np.int64)
+        return pd.Series(((acc >= 0) @ w).astype("int64"))
+
+    return emb.withColumn(out_col, _bucket(F.col(emb_col)))
 
 
 def probe_buckets(bucket: int, n_planes: int, probe_hamming: int = 1) -> list[int]:
@@ -434,6 +456,10 @@ def embedding_near_dup(
         bucketed.join(counts, "bucket")
         .filter(F.col("_n") <= max_bucket)
         .drop("_n")
+        # both self-join sides read this — checkpoint so the bucket-count
+        # join runs once (bucketed alone was already checkpointed, but
+        # the count+join subtree still re-ran per side)
+        .localCheckpoint(eager=False)
     )
     # XOR masks of the Hamming ball around each bucket (radius 0/1/2);
     # more planes + radius 2 beats fewer planes + radius 1 at equal
@@ -664,6 +690,10 @@ def embedding_near_dup_banded(
         tabled.join(counts, ["t", "code"])
         .filter(F.col("_n") <= max_bucket)
         .drop("_n")
+        # referenced by BOTH self-join sides — without the checkpoint the
+        # posexplode + bucket-count subtree ran twice (plan-visible as
+        # two Generate+HashAggregate branches in the r8 before-plan)
+        .localCheckpoint(eager=False)
     )
     ham = _sig_hamming(n_words)
     pairs = (
@@ -826,9 +856,19 @@ def materialize_buckets(
     Probe reads against the result hit only the probed bucket
     directories — partition pruning shows up as PartitionFilters in the
     scan plan, so a Hamming-1 probe reads (1+n_planes)/2^n_planes of
-    the data."""
+    the data.
+
+    The repartition carries an EXPLICIT partition count (core count,
+    scale-adaptive — defaultParallelism is executor cores on a real
+    cluster): a bare ``repartition(col)`` is AQE-coalescible, and on a
+    byte-small index AQE collapsed the exchange to ONE partition, so a
+    single task wrote all 2^n_planes bucket files sequentially
+    (measured 5.0 s vs 0.9 s for the same write at sf0.1). Each bucket
+    still hashes to exactly one task, so the file count is unchanged —
+    only the write parallelism is pinned."""
+    n_tasks = max(emb.sparkSession.sparkContext.defaultParallelism, 1)
     bucketed = lsh_bucket(emb, dim=dim, n_planes=n_planes, seed=seed)
-    bucketed.repartition(F.col("bucket")).write.mode(
+    bucketed.repartition(n_tasks, F.col("bucket")).write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(path)
 
@@ -1104,13 +1144,24 @@ def materialize_ivf(
     cents = [
         (int(i), [float(x) for x in c]) for i, c in enumerate(centroids)
     ]
+    # build the (tiny) centroids frame through the Arrow/pandas path:
+    # createDataFrame from a plain Python list takes the row-pickling
+    # path with per-element type verification — measured 1.8 s cold /
+    # 0.4 s warm for 16 rows vs 0.15 s via pandas (the build's single
+    # biggest line before this change)
+    cent_pdf = pd.DataFrame(
+        {"cell": [c for c, _ in cents], "centroid": [v for _, v in cents]}
+    )
     spark.createDataFrame(
-        cents, "cell int, centroid array<double>"
+        cent_pdf, "cell int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     assigned = ivf_assign(emb, [c for _, c in cents])
-    assigned.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(f"{path}/table")
+    # explicit partition count for the same AQE-coalesce reason as
+    # materialize_buckets (a 1-task partitioned write serializes)
+    n_tasks = max(spark.sparkContext.defaultParallelism, 1)
+    assigned.repartition(n_tasks, F.col("cell")).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/table")
 
 
 def ann_ivf_materialized_topk(
@@ -1332,6 +1383,11 @@ def semantic_dedup(
         dist.join(comp, "vec_id", "left")
         .withColumn("cluster_id", F.coalesce(F.col("_cid"), F.col("vec_id")))
         .select("vec_id", "cluster_id", "d")
+        # referenced twice (keeper argmax + output join): without the
+        # checkpoint the _centroid_dist Arrow pass and the comp join ran
+        # once per reference (two ArrowEvalPython nodes in the r8
+        # before-plan)
+        .localCheckpoint(eager=False)
     )
     keeper = members.groupBy("cluster_id").agg(
         F.min(F.struct((-F.col("d")).alias("nd"), F.col("vec_id").alias("kid")))

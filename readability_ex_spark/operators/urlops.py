@@ -368,7 +368,15 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_url_expr().alias("url"),
         synth_link_html_expr().alias("html"),
     )
-    discovered = outlink_edges(pages).select(F.col("dst").alias("url"))
+    discovered = (
+        outlink_edges(pages)
+        .select(F.col("dst").alias("url"))
+        # referenced twice (frontier candidates AND the cand_sub slice of
+        # the known set): uncheckpointed, the synth-html build + regexp
+        # harvest + resolve + explode ran once per reference (the r8
+        # before-plan carried two full Generate subtrees)
+        .localCheckpoint(eager=False)
+    )
     cand_sub = (
         discovered.filter(F.lower("url").rlike(r"^https?://"))
         .filter(F.substring(F.md5("url"), 1, 1).isin("0", "1", "2", "3", "4"))
