@@ -298,9 +298,14 @@ def winnow_overlap_pairs(
     ).localCheckpoint(eager=False)
     sizes = fps.groupBy(id_col).agg(F.count("*").alias("_n"))
     dfreq = fps.groupBy("fingerprint").agg(F.count("*").alias("_df"))
-    bounded = fps.join(dfreq, "fingerprint").filter(
-        F.col("_df") <= max_df
-    ).drop("_df")
+    bounded = (
+        fps.join(dfreq, "fingerprint")
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+        # both self-join sides read this — checkpoint so the df-cut join
+        # runs once, not per side
+        .localCheckpoint(eager=False)
+    )
     a = bounded.select("fingerprint", F.col(id_col).alias("id_a"))
     b = bounded.select("fingerprint", F.col(id_col).alias("id_b"))
     inter = (
@@ -440,6 +445,10 @@ def lsh_band_candidates(
         bands.join(counts, ["band_id", "band_hash"])
         .filter(F.col("_n") <= max_bucket)
         .drop("_n")
+        # both self-join sides read this — checkpoint so the bucket-count
+        # join runs once (bands alone was already checkpointed, but the
+        # count+join subtree still re-ran per side)
+        .localCheckpoint(eager=False)
     )
     a = bounded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
     b = bounded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
@@ -467,26 +476,74 @@ def band_index(
     ``{output}/_bands``) and every later ``--update`` batch equality-joins
     against the stored table instead of re-banding the whole corpus —
     the artifact is ~40 bytes × b per document, independent of text
-    size, so at 100 TB it is a small fraction of the corpus."""
+    size, so at 100 TB it is a small fraction of the corpus.
+
+    The b×r seeded-md5 signature pass runs as ONE Arrow pandas UDF over
+    the (JVM-tokenized) distinct-token arrays, not as b×r interpreted
+    ``transform`` lambdas (which re-hashed every token once per
+    signature element — the BENCH/BASELINE.md HOF rule; measured
+    1.5 s -> 0.3 s at sf0.1).  Bit-exact to the expression form it
+    replaces and to the DuckDB oracle: hashlib md5 hex == Spark md5 ==
+    DuckDB md5 on utf-8 bytes; the per-seed signature is the
+    lexicographic min of those hex strings (Python ``min`` on ASCII hex
+    == Spark ``array_min`` binary collation); the band hash is md5 of
+    the '|'-joined signatures, with an empty token set yielding a NULL
+    band (the F.concat NULL-propagation contract).  Per-(seed, token)
+    digests memoize across a task's batches — vocab is Zipfian, so
+    each distinct token hashes n_seeds times per task, not per
+    document."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_seeds = n_bands * rows_per_band
+    seed_pre = [f"{s}|".encode() for s in range(n_seeds)]
+    _memo: dict[str, list[str]] = {}
+
+    @pandas_udf("array<string>")
+    def _bands(toks: pd.Series) -> pd.Series:
+        from hashlib import md5
+
+        memo = _memo
+        out = []
+        for arr in toks:
+            if arr is None or len(arr) == 0:
+                out.append([None] * n_bands)
+                continue
+            uniq = set(arr)
+            sig = [None] * n_seeds
+            for tok in uniq:
+                digs = memo.get(tok)
+                if digs is None:
+                    tb = tok.encode("utf-8")
+                    digs = [
+                        md5(seed_pre[s] + tb).hexdigest()
+                        for s in range(n_seeds)
+                    ]
+                    memo[tok] = digs
+                for s in range(n_seeds):
+                    d = digs[s]
+                    if sig[s] is None or d < sig[s]:
+                        sig[s] = d
+            out.append(
+                [
+                    md5(
+                        "|".join(
+                            sig[j * rows_per_band + k]
+                            for k in range(rows_per_band)
+                        ).encode("utf-8")
+                    ).hexdigest()
+                    for j in range(n_bands)
+                ]
+            )
+        return pd.Series(out)
+
+    toks_col = _tokens_col() if text_col == "text" else _text_tokens(text_col)
     return (
         df.select(
             F.col(id_col),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).cast("int").alias("band_id"),
-                            _band_hash_expr(j, rows_per_band, text_col).alias(
-                                "band_hash"
-                            ),
-                        )
-                        for j in range(n_bands)
-                    ]
-                )
-            ).alias("band"),
+            F.posexplode(_bands(toks_col)).alias("band_id", "band_hash"),
         )
-        .select(id_col, "band.band_id", "band.band_hash")
         .filter(F.col("band_hash").isNotNull())
+        .select(id_col, F.col("band_id").cast("int").alias("band_id"), "band_hash")
     )
 
 
@@ -989,6 +1046,11 @@ def shingle_jaccard_pairs(
     counts = t.groupBy("_block").agg(F.count("*").alias("_n"))
     bounded = (
         t.join(counts, "_block").filter(F.col("_n") <= max_block).drop("_n")
+        # both inverted-index sides explode this — checkpoint so the
+        # block-count join runs once, not per side (t alone was already
+        # checkpointed; the arrays are pre-explode, so the blocks stay
+        # small)
+        .localCheckpoint(eager=False)
     )
     inv = bounded.select(
         "_block",
@@ -1118,10 +1180,17 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     for ch in _ODD_HEX:
         lut[ord(ch)] = 1
 
+    # per-token ±1 vote vector, memoized across the task's batches
+    # (integer addition is order-independent, so memoized totals are
+    # exactly the per-occurrence totals; vocab is Zipfian, so each
+    # distinct token pays its two md5 calls once per task, not per doc)
+    _vote_memo: dict[str, "np.ndarray"] = {}
+
     @pandas_udf(
         "struct<band0:bigint,band1:bigint,band2:bigint,band3:bigint>"
     )
     def _bands(toks: pd.Series) -> pd.DataFrame:
+        memo = _vote_memo
         out = {f"band{k}": [] for k in range(N_SIMHASH64_BANDS)}
         weights = 1 << np.arange(16)
         for arr in toks:
@@ -1131,9 +1200,15 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
                 continue
             totals = np.zeros(64, dtype=np.int64)
             for t in arr:
-                tb = t.encode("utf-8")
-                hx = md5(tb).hexdigest() + md5(b"#" + tb).hexdigest()
-                totals += 2 * lut[np.frombuffer(hx.encode(), np.uint8)] - 1
+                votes = memo.get(t)
+                if votes is None:
+                    tb = t.encode("utf-8")
+                    hx = md5(tb).hexdigest() + md5(b"#" + tb).hexdigest()
+                    votes = (
+                        2 * lut[np.frombuffer(hx.encode(), np.uint8)] - 1
+                    ).astype(np.int64)
+                    memo[t] = votes
+                totals += votes
             bits = totals > 0
             for k in range(N_SIMHASH64_BANDS):
                 out[f"band{k}"].append(
@@ -1200,6 +1275,9 @@ def simhash_near_dup(
         bands.join(counts, ["band_id", "band_val"])
         .filter(F.col("_n") <= max_bucket)
         .drop("_n")
+        # both self-join sides read this — checkpoint so the band
+        # explode + bucket-count join run once, not per side
+        .localCheckpoint(eager=False)
     )
     a = bounded.select(F.col(id_col).alias("id_a"), "band_id", "band_val")
     b = bounded.select(F.col(id_col).alias("id_b"), "band_id", "band_val")
