@@ -207,8 +207,14 @@ def media_metadata(media: DataFrame) -> DataFrame:
     Repartitions by media_id hash before the UDF (payloads are large;
     even spread matters more than locality) and returns the typed
     metadata table — the join key back to the source is media_id.
+    The partition count is explicit (the run_extraction rule): the
+    decode stage is CPU-bound, and AQE's advisory-size coalescing would
+    serialize a byte-small batch onto one core.
     """
-    df = media.select("media_id", "payload").repartition(F.col("media_id"))
+    n = media.sparkSession.sparkContext.defaultParallelism * 2
+    df = media.select("media_id", "payload").repartition(
+        n, F.col("media_id")
+    )
     return df.mapInPandas(extract_media_meta, MEDIA_META_SCHEMA)
 
 
@@ -666,8 +672,12 @@ def profile_media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
 
 def media_profile(media: DataFrame) -> DataFrame:
     """Distributed multimodal profiling over (media_id, payload) —
-    same layout strategy as media_metadata."""
-    df = media.select("media_id", "payload").repartition(F.col("media_id"))
+    same layout strategy (and explicit partition count) as
+    media_metadata."""
+    n = media.sparkSession.sparkContext.defaultParallelism * 2
+    df = media.select("media_id", "payload").repartition(
+        n, F.col("media_id")
+    )
     return df.mapInPandas(profile_media_batches, MEDIA_PROFILE_SCHEMA)
 
 

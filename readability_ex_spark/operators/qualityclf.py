@@ -81,9 +81,19 @@ class QualityModel:
     bias: float
 
     def to_df(self, spark: SparkSession) -> DataFrame:
-        """The broadcastable (bucket, w) weight table (non-zero rows)."""
+        """The broadcastable (bucket, w) weight table (non-zero rows).
+
+        Built via pandas so createDataFrame takes the Arrow path — the
+        plain-list path row-pickles with per-element verification
+        (~0.4 s warm even for tiny frames; same fix as materialize_ivf's
+        centroids)."""
+        import pandas as pd
+
         rows = [(b, w) for b, w in sorted(self.weights.items()) if w != 0.0]
-        return spark.createDataFrame(rows, "bucket string, w double")
+        pdf = pd.DataFrame(
+            {"bucket": [b for b, _ in rows], "w": [w for _, w in rows]}
+        )
+        return spark.createDataFrame(pdf, "bucket string, w double")
 
 
 def _features(texts: list[str]):
@@ -210,10 +220,15 @@ def save_model(
     single bias row with ``bucket`` NULL — self-contained, the same
     idiom as ``lmquality``'s ``_total`` vocab row, so it can ride the
     corpus sidecar lifecycle (``sidecars.py``)."""
+    import pandas as pd
+
     rows = [
         (b, float(w)) for b, w in sorted(model.weights.items())
     ] + [(None, float(model.bias))]
-    spark.createDataFrame(rows, "bucket string, w double").coalesce(
+    pdf = pd.DataFrame(
+        {"bucket": [b for b, _ in rows], "w": [w for _, w in rows]}
+    )
+    spark.createDataFrame(pdf, "bucket string, w double").coalesce(
         1
     ).write.mode("overwrite").parquet(path)
 

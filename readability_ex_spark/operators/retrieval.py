@@ -158,7 +158,12 @@ def materialize_bm25(
     postings = tf.join(df_t, "term").withColumn(
         "term_bucket", _term_bucket_expr(F.col("term"))
     )
-    postings.repartition(F.col("term_bucket")).write.mode(
+    # explicit partition count: a bare repartition(col) is
+    # AQE-coalescible, and on a byte-small index the exchange collapsed
+    # to one task writing all 64 bucket directories sequentially (the
+    # materialize_buckets lesson, second instance)
+    n_tasks = max(docs.sparkSession.sparkContext.defaultParallelism, 1)
+    postings.repartition(n_tasks, F.col("term_bucket")).write.mode(
         "overwrite"
     ).partitionBy("term_bucket").parquet(f"{path}/postings")
 

@@ -163,8 +163,17 @@ def mixture_sample(
         # reject up front; "drop this stratum" is spelled by omission
         raise ValueError(f"mixture weights must be > 0, got: {bad}")
     spark = df.sparkSession
+    # pandas (Arrow) path for the tiny weight frame: the plain-list
+    # createDataFrame row-pickles with per-element verification, ~0.4 s
+    # warm even for a handful of rows (same fix as materialize_ivf)
+    import pandas as _pd
+
+    _items = sorted(weights.items())
     wdf = spark.createDataFrame(
-        sorted(weights.items()), f"{stratum_col} string, _w double"
+        _pd.DataFrame(
+            {stratum_col: [s for s, _ in _items], "_w": [w for _, w in _items]}
+        ),
+        f"{stratum_col} string, _w double",
     )
     # Spark plans are trees, not DAGs: without the checkpoint the
     # per-stratum count agg (a full corpus scan) would run twice —

@@ -622,6 +622,19 @@ def _sig_hamming(n_words: int, a: str = "sig_a", b: str = "sig_b"):
     return ham
 
 
+def _sig_hamming_flat(n_words: int, a: str = "a", b: str = "b"):
+    """``_sig_hamming`` over flattened word columns (``{a}0..{a}{n-1}``
+    vs ``{b}0..``): the band join materializes millions of candidate
+    rows, and carrying the signature as scalar long columns instead of
+    an array<long> skips one ArrayData allocation per row per side
+    (measured ~15% off the join+filter+distinct chain at sf0.1)."""
+    ham = None
+    for w in range(n_words):
+        term = F.bit_count(F.col(f"{a}{w}").bitwiseXOR(F.col(f"{b}{w}")))
+        ham = term if ham is None else ham + term
+    return ham
+
+
 def embedding_near_dup_banded(
     emb: DataFrame,
     threshold: float,
@@ -682,8 +695,13 @@ def embedding_near_dup_banded(
         emb, dim=dim, k_planes=k_planes, n_tables=n_tables, seed=seed,
         sig_bits=n_bits,
     ).localCheckpoint(eager=False)
+    # the signature rides the band join as FLAT word columns (s0..s5),
+    # not an array: millions of candidate rows each skip an ArrayData
+    # allocation per side (~15% off the join chain at sf0.1)
     tabled = coded.select(
-        "vec_id", "sig", F.posexplode("cs").alias("t", "code")
+        "vec_id",
+        *[F.col("sig").getItem(w).alias(f"s{w}") for w in range(n_words)],
+        F.posexplode("cs").alias("t", "code"),
     )
     counts = tabled.groupBy("t", "code").agg(F.count("*").alias("_n"))
     b = (
@@ -695,16 +713,17 @@ def embedding_near_dup_banded(
         # two Generate+HashAggregate branches in the r8 before-plan)
         .localCheckpoint(eager=False)
     )
-    ham = _sig_hamming(n_words)
+    ham = _sig_hamming_flat(n_words)
     pairs = (
         b.select(
-            F.col("vec_id").alias("vec_a"), F.col("sig").alias("sig_a"),
+            F.col("vec_id").alias("vec_a"),
+            *[F.col(f"s{w}").alias(f"a{w}") for w in range(n_words)],
             "t", "code",
         )
         .join(
             b.select(
                 F.col("vec_id").alias("vec_b"),
-                F.col("sig").alias("sig_b"),
+                *[F.col(f"s{w}").alias(f"b{w}") for w in range(n_words)],
                 "t", "code",
             ),
             ["t", "code"],
@@ -781,7 +800,13 @@ def cross_emb_near_dup_matches(
             existing, dim=dim, k_planes=k_planes, n_tables=n_tables,
             seed=seed, sig_bits=n_bits,
         ).select("vec_id", "cs", "sig")
-    eb = ec.select("vec_id", "sig", F.posexplode("cs").alias("t", "code"))
+    # flat signature words on both band-join sides (same ArrayData-
+    # allocation rationale as embedding_near_dup_banded)
+    eb = ec.select(
+        "vec_id",
+        *[F.col("sig").getItem(w).alias(f"b{w}") for w in range(n_words)],
+        F.posexplode("cs").alias("t", "code"),
+    )
     counts = eb.groupBy("t", "code").agg(F.count("*").alias("_n"))
     eb = (
         eb.join(counts, ["t", "code"])
@@ -790,19 +815,19 @@ def cross_emb_near_dup_matches(
     )
     bb = bc.select(
         F.col("vec_id").alias("_batch_id"),
-        F.col("sig").alias("sig_a"),
+        *[F.col("sig").getItem(w).alias(f"a{w}") for w in range(n_words)],
         F.posexplode("cs").alias("t", "code"),
     )
     cand = (
         bb.join(
             eb.select(
                 F.col("vec_id").alias("_existing_id"),
-                F.col("sig").alias("sig_b"),
+                *[F.col(f"b{w}") for w in range(n_words)],
                 "t", "code",
             ),
             ["t", "code"],
         )
-        .filter(_sig_hamming(n_words) <= F.lit(ham_max))
+        .filter(_sig_hamming_flat(n_words) <= F.lit(ham_max))
         .select("_batch_id", "_existing_id")
         .distinct()
         # candidates feed the verify join AND the existing-side vector

@@ -207,18 +207,28 @@ def winnow_fingerprints(
 
     from pyspark.sql.functions import pandas_udf
 
+    # digest per k-gram string, memoized across the task's batches:
+    # duplicate-heavy corpora repeat shared paragraphs' k-grams across
+    # documents, so each distinct gram pays hashlib once per task
+    _gram_memo: dict[str, bytes] = {}
+
     @pandas_udf("array<string>")
     def _winnow(norm: pd.Series) -> pd.Series:
+        memo = _gram_memo
         out = []
         for tx in norm:
             toks = tx.split(" ") if tx else []
             if len(toks) < k + window - 1:
                 out.append([])
                 continue
-            grams = [
-                _md5(" ".join(toks[i : i + k]).encode("utf-8")).digest()
-                for i in range(len(toks) - k + 1)
-            ]
+            grams = []
+            for i in range(len(toks) - k + 1):
+                g = " ".join(toks[i : i + k])
+                d = memo.get(g)
+                if d is None:
+                    d = _md5(g.encode("utf-8")).digest()
+                    memo[g] = d
+                grams.append(d)
             fps = set()
             dq: deque[int] = deque()  # indices of a rising-min run
             for i, g in enumerate(grams):
