@@ -355,7 +355,13 @@ def host_pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            # lazy cut: the lineage must break every round (the next
+            # round references ranks twice), but the checkpoint
+            # materializes anyway inside the next round's dangling
+            # BROADCAST build (or the tol collect / the caller's
+            # action), so an eager cut was one extra driver job per
+            # iteration for the same materialization order
+            .localCheckpoint(eager=False)
         )
         if track:
             last_residual = _residual(prev, ranks)

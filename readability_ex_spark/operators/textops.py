@@ -985,6 +985,11 @@ def shingle_expr(text_col: str = "text", w: int = W_SHINGLE):
 
     from pyspark.sql.functions import pandas_udf
 
+    # NO cross-document digest memo here, unlike band_index/winnow: a
+    # w>=5-token window is nearly unique outside dup families (13-gram
+    # decontamination measured 1.2x SLOWER with a memo — the dict of
+    # long string keys was pure miss overhead)
+
     @pandas_udf("array<string>")
     def _sh(tok_arrs: pd.Series) -> pd.Series:
         out = []
