@@ -355,13 +355,12 @@ def host_pagerank(
                     )
                 ).alias("rank"),
             )
-            # lazy cut: the lineage must break every round (the next
-            # round references ranks twice), but the checkpoint
-            # materializes anyway inside the next round's dangling
-            # BROADCAST build (or the tol collect / the caller's
-            # action), so an eager cut was one extra driver job per
-            # iteration for the same materialization order
-            .localCheckpoint(eager=False)
+            # eager cut: interleaved A/B at sf0.1 (r8) measured the
+            # lazy variant no faster warm and ~40% slower on the cold
+            # first run (the deeper uncut chain concentrates codegen
+            # into one job) — the per-round driver job is the cheaper
+            # side of that trade, so the eager checkpoint stays
+            .localCheckpoint(eager=True)
         )
         if track:
             last_residual = _residual(prev, ranks)
