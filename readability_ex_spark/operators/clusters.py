@@ -78,19 +78,22 @@ def near_dup_clusters(
         )
 
     for rnd in range(1, max_rounds + 1):
-        nbr = (
-            sym.join(
-                labels.select(
-                    F.col("id").alias("dst"), F.col("label").alias("nl")
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("nl").alias("nl"))
-            .select(F.col("src").alias("id"), "nl")
-        )
-        labels = labels.join(nbr, "id", "left").select(
-            "id", F.least("label", F.coalesce("nl", "label")).alias("label")
+        # propagate as ONE union + min aggregation: each node's new
+        # label is min(own, neighbors') — unioning the self-label rows
+        # into the neighbor-message stream folds the old
+        # join+agg+left-join+least chain (two id-keyed exchanges) into
+        # a single grouped min, same values by the min identity (every
+        # id keeps its own row, so nodes are never lost)
+        nbr_msgs = sym.join(
+            labels.select(
+                F.col("id").alias("dst"), F.col("label").alias("nl")
+            ),
+            "dst",
+        ).select(F.col("src").alias("id"), "nl")
+        labels = (
+            nbr_msgs.union(labels.select("id", F.col("label").alias("nl")))
+            .groupBy("id")
+            .agg(F.min("nl").alias("label"))
         )
         # pointer jump: label <- label(label) compresses chains so the
         # round count covers exponentially deeper components
